@@ -1,5 +1,385 @@
-"""SURVEY §2.7/§2.8 lifecycle operators (upsert, cleanup, analysis DSL,
-rules, drift, closure) expressed as deterministic query pipelines so the
-DuckDB oracle can verify them. Populated incrementally."""
+"""SURVEY §2.7/§2.8/§3 lifecycle operator inventory: upsert, scoped and
+cascade cleanup, analysis DSL effects, rules compliance, drift, and the
+variable-length closure — each run through the REAL engine operators on a
+graph catalog built from the driver tables, with a DuckDB oracle that
+computes the expected end state relationally.
+
+These are the queries that prove the engine's write path (MERGE semantics,
+firstseen preservation, tenant scoping) — the reference's core loop
+(querybuilder.py:1266-1279; cleanupbuilder.py:16-122).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.catalog import GraphCatalog
+from cartography_spark.operators.cleanup import cleanup_cascade, cleanup_nodes
+from cartography_spark.operators.closure import transitive_closure
+from cartography_spark.operators.upsert import load
+from cartography_spark.plans.registry import query
+from cartography_spark.schema import NodeSchema, PropertyRef, RelSchema, TargetNodeMatcher
+from cartography_spark.sources.parquet import load_table
+
+T1, T2 = 100, 200
+
+_BASE_CACHE: dict[tuple[int, str], GraphCatalog] = {}
+
+
+def base_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
+    """Build (once per session+sf_dir) the FIXTURES §B catalog at T1 and
+    hand out cheap copies."""
+    key = (id(spark), sf_dir)
+    if key not in _BASE_CACHE:
+        from cartography_spark.plans.graph_fixture import build_catalog
+
+        _BASE_CACHE[key] = build_catalog(spark, sf_dir, T1)
+    return _BASE_CACHE[key].copy()
+
+
+def _supplier_batches(spark: SparkSession, sf_dir: str):
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    b1 = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).withColumn("s_acctbal_positive", F.col("s_acctbal") > 0)
+    b2 = b1.filter(F.col("s_suppkey") % 2 == 0).withColumn("s_acctbal", F.col("s_acctbal") + 1000)
+    return b1, b2
+
+
+def _lifecycle_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
+    """T1: all suppliers; T2: even suppkeys with acctbal+1000 — the
+    sync-twice pattern of the reference's integration tests."""
+    from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
+
+    cat = base_catalog(spark, sf_dir)
+    _, b2 = _supplier_batches(spark, sf_dir)
+    load(cat, SUPPLIER_SCHEMA, b2, T2)
+    return cat
+
+
+@query(
+    "upsert_lifecycle",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id,
+           ROUND(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) AS acctbal,
+           CAST(100 AS BIGINT) AS firstseen,
+           CAST(CASE WHEN s_suppkey % 2 = 0 THEN 200 ELSE 100 END AS BIGINT) AS lastupdated
+    FROM supplier
+    """,
+    doc="MERGE upsert lifecycle (querybuilder.py:1266-1279): batch2 mutates "
+    "even suppliers at T2; firstseen survives from T1, lastupdated and the "
+    "mutated property reflect the latest batch.",
+    tags=("engine", "mutation"),
+)
+def q_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _lifecycle_catalog(spark, sf_dir)
+    return cat.node("Supplier").select(
+        "id", F.round("acctbal", 2).alias("acctbal"), "firstseen", "lastupdated"
+    )
+
+
+@query(
+    "cleanup_scoped",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id,
+           CAST(CASE WHEN s_suppkey % 2 = 0 THEN 200 ELSE 100 END AS BIGINT) AS lastupdated
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE NOT (s_suppkey % 2 = 1 AND n_regionkey = 0)
+    """,
+    doc="Tenant-scoped stale cleanup (cleanupbuilder.py:16-122 case 1, "
+    ":244-390): after the T2 sync of tenant Region-0, stale suppliers in "
+    "that region are deleted; stale rows of other tenants survive.",
+    tags=("engine", "mutation"),
+)
+def q_cleanup_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
+
+    cat = _lifecycle_catalog(spark, sf_dir)
+    cleanup_nodes(cat, SUPPLIER_SCHEMA, T2, tenant_id="0")
+    return cat.node("Supplier").select("id", "lastupdated")
+
+
+@query(
+    "cleanup_unscoped",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+    doc="Unscoped (global) stale cleanup (cleanupbuilder.py:386-452): only "
+    "rows touched at T2 survive.",
+    tags=("engine", "mutation"),
+)
+def q_cleanup_unscoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
+
+    cat = _lifecycle_catalog(spark, sf_dir)
+    cleanup_nodes(cat, SUPPLIER_SCHEMA, T2, tenant_id=None)
+    return cat.node("Supplier").select("id")
+
+
+_LINEITEM_SCHEMA = NodeSchema(
+    label="Lineitem",
+    properties={
+        "id": PropertyRef("li_id"),
+        "quantity": PropertyRef("l_quantity"),
+        "l_orderkey": PropertyRef("l_orderkey"),
+    },
+    other_relationships=(
+        RelSchema(
+            rel_label="PART_OF",
+            target_node_label="Order",
+            target_node_matcher=TargetNodeMatcher({"id": PropertyRef("l_orderkey_str")}),
+        ),
+    ),
+    scoped_cleanup=False,
+)
+
+
+def _lineitem_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("li_id", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+        .withColumn("l_orderkey_str", F.col("l_orderkey").cast("string"))
+    )
+
+
+@query(
+    "cleanup_cascade",
+    oracle="""
+    SELECT (SELECT count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem WHERE l_orderkey % 2 = 0)
+             AS n_lineitems,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_orders
+    """,
+    doc="Cascade delete (cleanupbuilder.py:309-334): T2 syncs only even "
+    "orders + their lineitems; stale parents AND their stale children are "
+    "deleted in one pass.",
+    tags=("engine", "mutation"),
+)
+def q_cleanup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.graph_fixture import ORDER_SCHEMA
+
+    cat = base_catalog(spark, sf_dir)
+    li = _lineitem_batch(spark, sf_dir)
+    load(cat, _LINEITEM_SCHEMA, li, T1)
+    load(cat, ORDER_SCHEMA, load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0), T2)
+    load(cat, _LINEITEM_SCHEMA, li.filter(F.col("l_orderkey") % 2 == 0), T2)
+    cleanup_cascade(
+        cat,
+        parent_schema=ORDER_SCHEMA,
+        child_schema=_LINEITEM_SCHEMA,
+        child_edge=("Lineitem", "PART_OF", "Order"),
+        update_tag=T2,
+    )
+    n_li = cat.node("Lineitem").count()
+    n_o = cat.node("Order").count()
+    return spark.createDataFrame([(n_li, n_o)], "n_lineitems bigint, n_orders bigint")
+
+
+@query(
+    "analysis_set_property",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS id
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_totalprice > 300000
+    """,
+    doc="Analysis DSL SetProperty (analysis.py:71-88; e.g. exposed_internet "
+    "flags, analysis/aws/analysis.py:96-330): 3-hop match -> derived boolean "
+    "property on Order nodes.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_set_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import AnalysisJob, AnalysisStatement, SetProperty
+    from cartography_spark.plans.query import match
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            match(c, "Order", "o")
+            .where(F.col("o__totalprice") > 300000)
+            .out("PLACED_BY", "Customer", "c")
+            .inward("RESOURCE", "Region", "r")
+            .df.filter(F.col("r__name") == "ASIA")
+        )
+
+    job = AnalysisJob(
+        name="high-value-asia",
+        statements=(
+            AnalysisStatement(
+                matcher=matcher,
+                effects=(SetProperty("Order", "o__id", "high_value", True),),
+            ),
+        ),
+    )
+    job.run(cat, T2)
+    return cat.node("Order").filter(F.col("high_value") == True).select("id")  # noqa: E712
+
+
+@query(
+    "analysis_add_relationship",
+    oracle="""
+    SELECT s_nationkey AS supplier_nation, count(*) AS n_edges
+    FROM (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ) pairs
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="Analysis DSL AddRelationship + auto-cleanup "
+    "(analysis.py:134-150; analysisbuilder.py:385-490; mirrors "
+    "AWS_EC2_IAM_INSTANCE_PROFILE, analysis/aws/analysis.py:10-29): derive "
+    "(Customer)-[:BUYS_FROM]->(Supplier) through the order->lineitem chain; "
+    "a second run restricted to status-F orders cleans stale derived edges.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_add_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import AddRelationship, AnalysisJob, AnalysisStatement
+
+    cat = base_catalog(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def matcher_all(c: GraphCatalog) -> DataFrame:
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").cast("string").alias("cust_id"),
+                F.col("l_suppkey").cast("string").alias("supp_id"),
+                "o_orderstatus",
+            )
+        )
+
+    def matcher_f(c: GraphCatalog) -> DataFrame:
+        return matcher_all(c).filter(F.col("o_orderstatus") == "F")
+
+    effect = AddRelationship("Customer", "BUYS_FROM", "Supplier", "cust_id", "supp_id")
+    AnalysisJob("buys-from", (AnalysisStatement(matcher_all, (effect,)),)).run(cat, T1)
+    # second run: only F orders still produce the edge -> auto-cleanup drops the rest
+    AnalysisJob("buys-from", (AnalysisStatement(matcher_f, (effect,)),)).run(cat, T2)
+
+    edges = cat.edge("Customer", "BUYS_FROM", "Supplier")
+    sup = cat.node("Supplier").select(F.col("id").alias("dst_id"), "s_nationkey")
+    return (
+        edges.join(sup, "dst_id")
+        .groupBy(F.col("s_nationkey").alias("supplier_nation"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+@query(
+    "rule_compliance_counts",
+    oracle="""
+    SELECT CAST('negative-balance-customers' AS VARCHAR) AS fact_id,
+           CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN c_custkey END) AS BIGINT) AS failing,
+           CAST(count(DISTINCT c_custkey) - count(DISTINCT CASE WHEN c_acctbal < 0 THEN c_custkey END) AS BIGINT) AS passing,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS total
+    FROM customer
+    """,
+    doc="Rules engine compliance math (rules/runners.py:121-134): failing = "
+    "distinct asset_id_field values; passing = total - failing.",
+    tags=("engine", "rules"),
+)
+def q_rule_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.rules import Fact, compliance_summary
+
+    cat = base_catalog(spark, sf_dir)
+    fact = Fact(
+        fact_id="negative-balance-customers",
+        name="Customers with negative account balance",
+        query=lambda c: c.node("Customer").filter(F.col("acctbal") < 0).select(
+            F.col("id").alias("asset_id"), "name", "acctbal"
+        ),
+        asset_label="Customer",
+        asset_id_field="asset_id",
+    )
+    return compliance_summary([fact.run(cat)])
+
+
+@query(
+    "drift_detect_states",
+    oracle="""
+    WITH s1 AS (SELECT o_orderpriority, o_orderstatus FROM orders WHERE year(o_orderdate) <= 1996),
+         s2 AS (SELECT o_orderpriority, o_orderstatus FROM orders WHERE year(o_orderdate) <= 1997)
+    SELECT o_orderpriority, o_orderstatus, 'new' AS status
+    FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)
+    UNION ALL
+    SELECT o_orderpriority, o_orderstatus, 'missing' AS status
+    FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2)
+    """,
+    doc="Drift detection (detect_deviations.py:70-117): multiset difference "
+    "of two query snapshots in both directions via exceptAll.",
+    tags=("engine", "drift"),
+)
+def q_drift_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.drift import compare_states, snapshot
+
+    o = load_table(spark, sf_dir, "orders")
+    s1 = snapshot("t1", o.filter(F.year("o_orderdate") <= 1996).select("o_orderpriority", "o_orderstatus"))
+    s2 = snapshot("t2", o.filter(F.year("o_orderdate") <= 1997).select("o_orderpriority", "o_orderstatus"))
+    return compare_states(s1, s2)
+
+
+@query(
+    "variable_length_closure",
+    oracle="""
+    WITH RECURSIVE ring AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+    ), r(src, dst, hops) AS (
+      SELECT src, dst, 1 FROM ring
+      UNION ALL
+      SELECT r.src, ring.dst, r.hops + 1
+      FROM r JOIN ring ON r.dst = ring.src
+      WHERE r.hops < 3
+    )
+    SELECT CAST(src AS VARCHAR) AS src_id, CAST(dst AS VARCHAR) AS dst_id,
+           CAST(min(hops) AS INT) AS hops
+    FROM r GROUP BY src, dst
+    """,
+    doc="Variable-length path [:REL*1..3] (14 reference use sites, e.g. "
+    "intel/googleworkspace/groups.py; SURVEY §2.3) -> bounded iterative "
+    "self-join with frontier dedup (operators/closure.py) vs a recursive "
+    "CTE oracle.",
+    tags=("engine", "graph"),
+)
+def q_varlen_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").cast("string").alias("src_id"),
+        ((F.col("n_nationkey") + 1) % 25).cast("string").alias("dst_id"),
+    )
+    return transitive_closure(edges, max_hops=3)
+
+
+@query(
+    "pattern_multihop_read",
+    oracle="""
+    SELECT r_name, count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Pattern-match read surface (plans/query.py): "
+    "(Supplier)-[:LOCATED_IN]->(Nation)<-[:RESOURCE]-(Region) as chained "
+    "equi-joins over the graph catalog.",
+    tags=("engine", "query"),
+)
+def q_pattern_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.query import match
+
+    cat = base_catalog(spark, sf_dir)
+    return (
+        match(cat, "Supplier", "s")
+        .out("LOCATED_IN", "Nation", "n")
+        .inward("RESOURCE", "Region", "r")
+        .df.groupBy(F.col("r__name").alias("r_name"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
