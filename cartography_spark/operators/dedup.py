@@ -1,0 +1,205 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All set-based and JVM-side (no Python UDFs in the hot path):
+
+- exact_dedup:      md5-hash groupBy — one shuffle on the hash.
+- shingles:         character n-gram set per doc (split/explode/distinct).
+- ngram_jaccard_pairs: exact Jaccard over shingle sets via an inverted-index
+                    self-join — blocked by (lang, length-bucket) so the pair
+                    space stays bounded at scale.
+- minhash_signatures / lsh_candidate_pairs: MinHash + banded LSH. Hashes are
+  derived from md5 (portable: the DuckDB oracle reproduces them bit-exactly)
+  instead of Scala murmur, so correctness is externally checkable. At 100 TB
+  the only shuffles are (doc, perm) -> min and the band-bucket join, both
+  map-side combinable.
+- simhash:          token-hash bit-vote fingerprint; near-dup = small
+                    hamming distance via bit_count(xor).
+
+Design note: everything keys on stable doc ids, never on driver-side
+collects; pair generation is always through joins on bounded buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def portable_hash32(col: Column, salt: Column | str | int | None = None) -> Column:
+    """Unsigned-32-bit hash derived from md5, reproducible in any engine
+    with md5(): conv(substr(md5(x),1,8),16,10). Salt prefixes the input."""
+    x = col.cast("string")
+    if salt is not None:
+        s = salt if isinstance(salt, Column) else F.lit(str(salt))
+        x = F.concat(s.cast("string"), F.lit(":"), x)
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text hash.
+    Returns (doc_id, keep, group_size)."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    grp = h.groupBy("h").agg(F.min(id_col).alias("keeper"), F.count("*").alias("group_size"))
+    return (
+        h.join(grp, "h")
+        .select(
+            F.col(id_col),
+            (F.col(id_col) == F.col("keeper")).alias("keep"),
+            "group_size",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    inverted index: (shingle, id) self-join -> |A ∩ B| per pair;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. ``block_cols`` restricts pairs to equal
+    blocking keys (e.g. lang) — essential at scale.
+    """
+    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col, extra_cols=block_cols)
+    sizes = sh.groupBy(id_col, *block_cols).agg(F.count("*").alias("sz"))
+    a = sh.select(
+        F.col(id_col).alias("a"), F.col("shingle"), *[F.col(c).alias(f"__ba_{c}") for c in block_cols]
+    )
+    b = sh.select(
+        F.col(id_col).alias("b"), F.col("shingle"), *[F.col(c).alias(f"__bb_{c}") for c in block_cols]
+    )
+    cond = [a.shingle == b.shingle] + [
+        F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols
+    ]
+    on = cond[0]
+    for c in cond[1:]:
+        on = on & c
+    inter = (
+        a.join(b, on & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc (JVM-side)."""
+    t = F.lower(F.col(text_col))
+    rows = docs.select(F.col(id_col), *[F.col(c) for c in extra_cols], t.alias("__t"))
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than n must yield no shingles (matches generate_series/oracle)
+    grams = F.when(
+        F.length("__t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length("__t") - (n - 1)),
+            lambda i: F.col("__t").substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        rows.select(F.col(id_col), *extra_cols, F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, perm, minhash): the MinHash signature, one row per permutation.
+
+    Permutation i's hash of a shingle is portable_hash32 with salt i; the
+    signature entry is the min over the doc's shingles. Plan: shingle
+    explode -> perm explode -> groupBy(id, perm) min — fully map-side
+    combinable, one shuffle.
+    """
+    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    perms = sh.select(
+        F.col(id_col), "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    )
+    hashed = perms.withColumn("h", portable_hash32(F.col("shingle"), F.col("perm")))
+    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_perm / bands), bucket-join on
+    (band, band_signature): docs sharing any band are candidate pairs."""
+    sig = signatures.withColumn("band", F.col("perm") % F.lit(bands))
+    band_sig = sig.groupBy(id_col, "band").agg(
+        F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("perm", "minhash"))), lambda s: s["minhash"].cast("string")), "_").alias("bsig")
+    )
+    a = band_sig.select(F.col(id_col).alias("a"), "band", "bsig")
+    b = band_sig.select(F.col(id_col).alias("b"), "band", "bsig")
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: each token votes ±1 per bit of its hash; the
+    fingerprint sets bit b iff the vote sum is positive.
+
+    Plan: token explode -> bit explode (tokens × bits rows) -> groupBy(id)
+    with conditional sums — one shuffle, map-side combined.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", portable_hash32(F.col("tok")))
+    bitrows = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+    votes = bitrows.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs by hamming distance over simhash fingerprints.
+    Blocked on the top byte to avoid the full cross join at scale."""
+    a = fingerprints.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = fingerprints.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    blk_a = F.shiftright("ha", 24)
+    blk_b = F.shiftright("hb", 24)
+    return (
+        a.join(b, (blk_a == blk_b) & (F.col("a") < F.col("b")))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

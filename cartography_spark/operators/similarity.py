@@ -1,0 +1,136 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths, both set-based:
+
+- ``cosine_topk``: brute-force exact top-k against one query vector.
+  The dot product runs JVM-side via ``F.zip_with`` + ``F.aggregate`` (no
+  Python in the loop); at scale this is one full scan + TakeOrdered — the
+  right baseline, and embarrassingly parallel.
+- ``lsh_ann_topk``: random-hyperplane LSH. Hyperplane components are
+  md5-derived ±1 (deterministic and oracle-reproducible; at 100 TB you'd
+  precompute a broadcast matrix — same plan shape). Vectors sharing the
+  query's signature bucket get exact re-ranking; the scan is pruned by the
+  bucket equality filter, which pushes down to the signature column.
+
+``pandas_cosine_topk`` is the Arrow-vectorized variant (mapInPandas +
+numpy) for when the built-ins become the bottleneck at very high dims.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<double> columns, JVM-side, left-to-right
+    accumulation (deterministic and engine-portable)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``."""
+    q = F.lit(query_vec).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col), F.round(cosine_similarity(v, q), round_digits).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0 where
+    h_i[j] = +1 if md5("i_j") has an even first hex nibble else -1.
+    Deterministic, no RNG state — reproducible anywhere md5 exists."""
+    v = vec_col.cast("array<double>")
+    bits = []
+    for i in range(n_planes):
+        # component signs for plane i as an array literal expression
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}_"), j.cast("string"))), 1, 1), 16, 10)
+                .cast("int")
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot = F.aggregate(F.zip_with(v, comps, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN: filter to the query's LSH bucket, then exact cosine re-rank.
+    Recall < 1.0 by construction; the oracle replicates the same bucketing
+    so results are still exactly checkable."""
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    with_sig = embeddings.withColumn("__sig", sig)
+    qdf_sig_row = None  # computed relationally below to stay set-based
+    q = F.lit(query_vec).cast("array<double>")
+    qsig = hyperplane_signature(q, dim, n_planes)
+    bucket = with_sig.filter(F.col("__sig") == qsig)
+    v = F.col(vec_col).cast("array<double>")
+    scored = bucket.select(
+        F.col(id_col), F.round(cosine_similarity(v, q), round_digits).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pandas_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized brute force: numpy batch dot products via
+    mapInPandas, then a global top-k. Per-partition top-k bounds the
+    shuffle to k rows per task."""
+    import numpy as np
+
+    qv = None
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).values)
+            sims = mat @ q / (np.linalg.norm(mat, axis=1) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col], "cosine": np.round(sims, 4)})
+            yield out.nlargest(k, "cosine")
+
+    schema = f"{id_col} long, cosine double"
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,104 @@
+"""Text analysis operators for training-data pipelines — all built-in
+pyspark.sql.functions (JVM, codegen), no UDFs:
+
+- token_stats:    whitespace tokens, BPE-ish regex tokens, char classes.
+- quality_score:  length / punctuation / stopword-ratio heuristic.
+- language_id:    n-gram/stopword-hit heuristic over a small marker table.
+- fingerprint:    normalization + md5 content fingerprint (e.g. for
+                  corpus-level provenance joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: word pieces, digit runs, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language marker words (tiny heuristic table; a real system ships a model —
+# the operator shape is what matters: per-language hit counts then argmax)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _count_tokens_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    ws_tokens = F.split(F.trim(t), r"\s+")
+    bpe_tokens = F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(bpe_tokens).alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^\s]", "")) / F.greatest(F.length(t), F.lit(1)), 6
+        ).alias("space_ratio"),
+        F.round(
+            F.aggregate(ws_tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long"))
+            / F.greatest(F.size(ws_tokens), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: favors moderate length, low
+    punctuation density, and presence of stopwords (prose-likeness)."""
+    t = F.lower(F.col(text_col))
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tok = F.greatest(F.size(tokens), F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(t, r"[a-z0-9\s]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    stop_ratio = _count_tokens_in(tokens, STOPWORDS_EN) / n_tok
+    len_score = F.least(F.size(tokens) / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language by marker-word hit count (argmax, ties -> lexical
+    order). The operator shape is a per-language conditional aggregate —
+    the same plan a real n-gram model table would use via a join."""
+    t = F.lower(F.col(text_col))
+    tokens = F.split(F.trim(t), r"\s+")
+    scores = [
+        F.struct(_count_tokens_in(tokens, words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    # array_max picks highest hits; ties resolve to lexicographically-last
+    # struct, so reverse-sorted input makes ties resolve to first language
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: lowercase, strip non-alphanumerics,
+    md5. Robust to whitespace/punctuation-only edits."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,4 +1,357 @@
-"""North-star LLM-data-pipeline operators (dedup, similarity search, text
-analysis) over the documents/embeddings tables. Populated incrementally."""
+"""North-star LLM-data-pipeline operator inventory over documents /
+embeddings: dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force + LSH ANN), text analysis, multimodal metadata, and the
+permission-evaluation wildcard join.
+
+Every hash here is md5-derived (operators/dedup.py portable_hash32) so the
+DuckDB oracle reproduces signatures bit-exactly — the dedup pipelines are
+verified end-to-end, not just smoke-tested.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.operators import dedup as dd
+from cartography_spark.operators import multimodal as mm
+from cartography_spark.operators import similarity as sim
+from cartography_spark.operators import textstats as ts
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no exact duplicates, so inject copies of
+    doc_id < 50 at id+1000000 (deterministic)."""
+    d = _docs(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    return d.unionByName(copies)
+
+
+_DUPES_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id < 50
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH d AS ({_DUPES_SQL}),
+    h AS (SELECT doc_id, md5(text) AS h FROM d),
+    g AS (SELECT h, min(doc_id) AS keeper, count(*) AS group_size FROM h GROUP BY h)
+    SELECT h.doc_id, h.doc_id = g.keeper AS keep, g.group_size
+    FROM h JOIN g USING (h)
+    """,
+    doc="Exact dedup: hash-groupBy, keep lowest id per text hash. One "
+    "shuffle on the 128-bit hash; at 100 TB this is the cheapest dedup pass.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs_with_dupes(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join, "
+    "blocked by lang. |A∩B| from the shingle join, |A∪B|=|A|+|B|-|A∩B|.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, block_cols=("lang",)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, p,
+             min(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p % 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY p) AS bsig
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash (16 md5-derived permutations) + banded LSH (4 bands x 4 "
+    "rows): candidate pairs share at least one band signature. Signatures "
+    "reproduce bit-exactly in the oracle — full pipeline verification.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir), num_perm=16, n=3)
+    return dd.lsh_candidate_pairs(sigs, bands=4)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash 32-bit fingerprint: per-token md5-derived hash, ±1 votes "
+    "per bit, fingerprint bit set iff vote sum positive. Token x bit "
+    "explode then one map-side-combinable shuffle.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row[0]]
+
+
+_COSINE_SQL = """
+      list_aggregate(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')))
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-k against one query vector "
+    "(vec_id=0): zip_with/aggregate dot product JVM-side, TakeOrdered for "
+    "the top-k — the exact baseline every ANN variant is measured against.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_SIG_SQL = """
+    list_aggregate(list_transform(generate_series(0, 7), i ->
+      CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j ->
+           CAST({vec}[j] AS DOUBLE) *
+           (CASE WHEN ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+      THEN (1::BIGINT << i) ELSE 0 END), 'sum')
+"""
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sigs AS (
+      SELECT e.vec_id, e.embedding, {_SIG_SQL.format(vec='e.embedding')} AS sig
+      FROM embeddings e
+    ),
+    qsig AS (SELECT {_SIG_SQL.format(vec='q.qv')} AS sig FROM q)
+    SELECT e.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine
+    FROM sigs e CROSS JOIN q CROSS JOIN qsig
+    WHERE e.sig = qsig.sig
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="ANN via random-hyperplane LSH: 8 md5-derived ±1 hyperplanes -> "
+    "8-bit signature; filter to the query's bucket then exact re-rank. The "
+    "bucket filter is the scale path (prunes the scan to ~1/256 of rows).",
+    tags=("llm", "similarity"),
+)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_topk(emb, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=8)
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           ROUND(length(regexp_replace(text, '[^\s]', '', 'g')) / greatest(length(text), 1), 6) AS space_ratio,
+           ROUND(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> CAST(length(t) AS BIGINT)), 'sum')
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS avg_token_len
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(word-pieces/digit-runs/symbols) + char-class ratios, all codegen'd "
+    "string expressions.",
+    tags=("llm", "text"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.token_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS t,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (1.0 - least((length(regexp_replace(t, '[a-z0-9\s]', '', 'g')) / greatest(length(t), 1)) * 5, 1.0))
+               + 0.3 * least((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) / greatest(len(toks), 1)) * 5, 1.0), 6) AS quality,
+           ROUND(length(regexp_replace(t, '[a-z0-9\s]', '', 'g')) / greatest(length(t), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) / greatest(len(toks), 1), 6) AS stopword_ratio
+    FROM t
+    """,
+    doc="Quality scoring: length/punctuation/stopword-ratio heuristic in "
+    "[0,1] — the standard cheap pre-filter before model-based scoring.",
+    tags=("llm", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.quality_score(_docs(spark, sf_dir))
+
+
+@query(
+    "text_language_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, list_sort([
+        {'hits': len(list_filter(toks, x -> x IN ('的','是','了'))), 'lang': 'zh'},
+        {'hits': len(list_filter(toks, x -> x IN ('le','la','et'))), 'lang': 'fr'},
+        {'hits': len(list_filter(toks, x -> x IN ('el','la','de'))), 'lang': 'es'},
+        {'hits': len(list_filter(toks, x -> x IN ('the','and','of'))), 'lang': 'en'},
+        {'hits': len(list_filter(toks, x -> x IN ('der','die','und'))), 'lang': 'de'}
+      ])[-1] AS best
+      FROM t
+    )
+    SELECT doc_id, best.lang AS predicted_lang, CAST(best.hits AS INT) AS marker_hits FROM scored
+    """,
+    doc="Language-ID heuristic: marker-word hit counts per language, argmax "
+    "with deterministic (hits, lang) tie-break — the plan shape of an "
+    "n-gram model join.",
+    tags=("llm", "text"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.language_id(_docs(spark, sf_dir))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: normalize (lowercase, strip "
+    "non-alphanumerics) then md5 — whitespace/punctuation-robust identity.",
+    tags=("llm", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.fingerprint(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1920 + 1 AS INT) AS width,
+           CAST(('0x' || substring(md5(reverse(text)), 1, 8))::BIGINT % 1080 + 1 AS INT) AS height,
+           28 AS n_bytes,
+           TRUE AS valid
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary image column (deterministic fake "
+    "payload) -> Arrow-batched mapInPandas metadata decode (STUB decoder; "
+    "real codecs slot into _parse_header without changing the plan). The "
+    "oracle recomputes the synthesized dimensions independently.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = mm.synthesize_image_column(_docs(spark, sf_dir))
+    return mm.decode_image_meta(images)
+
+
+@query(
+    "permission_wildcard_eval",
+    oracle="""
+    WITH statements(pattern, effect) AS (
+      VALUES ('MED*', 'Allow'), ('*O*', 'Allow'), ('STANDARD', 'Allow'), ('PROMO', 'Deny')
+    ),
+    names AS (SELECT DISTINCT p_type AS name FROM part),
+    m AS (
+      SELECT name, effect
+      FROM names LEFT JOIN statements
+        ON lower(name) LIKE lower(replace(replace(pattern, '*', '%'), '?', '_'))
+    )
+    SELECT name,
+           (count(CASE WHEN effect = 'Allow' THEN 1 END) > 0
+            AND count(CASE WHEN effect = 'Deny' THEN 1 END) = 0) AS allowed
+    FROM m GROUP BY name
+    """,
+    doc="IAM wildcard permission evaluation "
+    "(intel/aws/permission_relationships.py:25-254): */? patterns compiled "
+    "to LIKE, allow-unless-explicit-deny per name, broadcast theta join — "
+    "no Python UDF.",
+    tags=("llm", "permissions"),
+)
+def q_permission_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.permissions import evaluate_policy_grid
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_type").alias("name")).distinct()
+    statements = spark.createDataFrame(
+        [("MED*", "Allow"), ("*O*", "Allow"), ("STANDARD", "Allow"), ("PROMO", "Deny")],
+        "pattern string, effect string",
+    )
+    return evaluate_policy_grid(names, statements)

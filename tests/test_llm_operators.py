@@ -1,0 +1,90 @@
+"""LLM-data operator tests beyond the oracle-checked inventory: Arrow/pandas
+paths, multimodal stubs, simhash near-pairs, wildcard translation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.permissions import wildcard_match
+from cartography_spark.operators import multimodal as mm
+from cartography_spark.operators import similarity as sim
+from cartography_spark.operators.dedup import simhash, simhash_near_pairs
+from cartography_spark.sources.parquet import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qvec(spark, sf_dir):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def test_pandas_topk_matches_builtin(spark, sf_dir):
+    """The Arrow-vectorized top-k must agree with the JVM-side exact path."""
+    q = _qvec(spark, sf_dir)
+    a = sim.cosine_topk(_emb(spark, sf_dir), q, k=10).collect()
+    b = sim.pandas_cosine_topk(_emb(spark, sf_dir), q, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in a] == [(r.vec_id, r.cosine) for r in b]
+
+
+def test_ann_subset_of_exact_scores(spark, sf_dir):
+    """ANN results re-rank exactly: every returned cosine matches the
+    brute-force score for that id."""
+    q = _qvec(spark, sf_dir)
+    exact = {r.vec_id: r.cosine for r in sim.cosine_topk(_emb(spark, sf_dir), q, k=10**6).collect()}
+    ann = sim.lsh_ann_topk(_emb(spark, sf_dir), q, dim=64, k=10).collect()
+    assert ann, "query vector must at least match itself in its own bucket"
+    for r in ann:
+        assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_multimodal_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    images = mm.synthesize_image_column(docs)
+    meta = mm.decode_image_meta(images)
+    rows = meta.collect()
+    assert all(r.valid and r.n_bytes == 28 and 1 <= r.width <= 1920 and 1 <= r.height <= 1080 for r in rows)
+    # resize stub rewrites the header only
+    resized = mm.decode_image_meta(mm.resize_stub(images, 64, 64))
+    assert all(r.width == 64 and r.height == 64 and r.valid for r in resized.collect())
+    # corrupt payloads are flagged invalid, not crashed
+    bad = images.withColumn("image", F.lit(b"JUNK"))
+    assert all(not r.valid for r in mm.decode_image_meta(bad).collect())
+
+
+def test_frame_sample_stub(spark):
+    vids = spark.createDataFrame([(1, b"x" * 64)], "doc_id long, video binary")
+    frames = mm.frame_sample_stub(vids, every_n=2).collect()
+    assert [r.frame_no for r in frames] == [0, 2]
+    assert all(len(r.frame) == 16 for r in frames)
+
+
+def test_simhash_near_pairs_self(spark, sf_dir):
+    """A doc duplicated verbatim has hamming distance 0 to its copy."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    fp = simhash(docs.unionByName(dup))
+    pairs = simhash_near_pairs(fp, max_hamming=0)
+    got = {(r.a, r.b) for r in pairs.collect() if r.b == r.a + 1000000}
+    assert len(got) == 50
+
+
+def test_wildcard_translation(spark):
+    df = spark.createDataFrame(
+        [
+            ("s3:GetObject", "s3:Get*", True),
+            ("s3:GetObject", "s3:get?bject", True),  # case-insensitive + ?
+            ("s3:PutObject", "s3:Get*", False),
+            ("a_b", "a_b", True),  # literal underscore must not wildcard
+            ("axb", "a_b", False),
+            ("a%b", "a%b", True),  # literal percent
+            ("aXYb", "a%b", False),
+            ("anything", "*", True),
+        ],
+        "name string, pattern string, expect boolean",
+    )
+    rows = df.withColumn("got", wildcard_match(F.col("name"), F.col("pattern"))).collect()
+    for r in rows:
+        assert r.got == r.expect, f"{r.name} ~ {r.pattern}: got {r.got}"
