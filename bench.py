@@ -25,6 +25,13 @@ HEADLINE = [
     "drift_set_difference",
     "events_tumbling_window",
     "higher_order_list_predicates",
+    "upsert_lifecycle",
+    "variable_length_closure",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "text_token_stats",
 ]
 
 
@@ -48,7 +55,9 @@ def main() -> None:
         if spec is None:
             continue
         t0 = time.time()
-        spec.spark(spark, sf_dir).collect()
+        # noop sink: full distributed computation without paying the
+        # driver-side Row materialization for large results
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -65,6 +65,8 @@ def ngram_jaccard_pairs(
     blocking keys (e.g. lang) — essential at scale.
     """
     sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col, extra_cols=block_cols)
+    # materialize: consumed three times (both join sides + sizes)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col, *block_cols).agg(F.count("*").alias("sz"))
     a = sh.select(
         F.col(id_col).alias("a"), F.col("shingle"), *[F.col(c).alias(f"__ba_{c}") for c in block_cols]
@@ -118,6 +120,19 @@ def doc_shingles(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i: universal-hash family
+    h_i(x) = (a*x + b) mod p. Knuth multiplicative constant keeps the a's
+    well-spread; everything is exact BIGINT arithmetic (a < p, x < 2^32 ->
+    a*x+b < 2^63), so any engine reproduces the signature bit-exactly."""
+    a = ((i + 1) * 2654435761) % MINHASH_PRIME
+    b = ((i + 1) * 40503) % MINHASH_PRIME
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 16,
@@ -127,17 +142,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, perm, minhash): the MinHash signature, one row per permutation.
 
-    Permutation i's hash of a shingle is portable_hash32 with salt i; the
-    signature entry is the min over the doc's shingles. Plan: shingle
-    explode -> perm explode -> groupBy(id, perm) min — fully map-side
-    combinable, one shuffle.
+    Cost model (the reason for this shape): the expensive md5 runs ONCE per
+    (doc, shingle); the ``num_perm`` permutations are derived arithmetically
+    (h_i = (a_i*h + b_i) mod p) as parallel aggregate columns, so there is a
+    single shuffle of |shingles| rows with map-side-combined mins — not a
+    num_perm-times row explosion. (A first implementation salted md5 per
+    perm: 16x the hashing and 16x the shuffle, ~25x slower at sf0.1.)
     """
     sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    perms = sh.select(
-        F.col(id_col), "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    )
-    hashed = perms.withColumn("h", portable_hash32(F.col("shingle"), F.col("perm")))
-    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+    hashed = sh.withColumn("h", portable_hash32(F.col("shingle")))
+    aggs = []
+    for i in range(num_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}"))
+    wide = hashed.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    return wide.select(F.col(id_col), F.posexplode(sig).alias("perm", "minhash"))
 
 
 def lsh_candidate_pairs(
@@ -151,6 +171,9 @@ def lsh_candidate_pairs(
     band_sig = sig.groupBy(id_col, "band").agg(
         F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("perm", "minhash"))), lambda s: s["minhash"].cast("string")), "_").alias("bsig")
     )
+    # materialize once: the a/b self-join would otherwise recompute the
+    # whole shingle->hash->min pipeline twice (docs x bands rows — small)
+    band_sig = band_sig.localCheckpoint(eager=True)
     a = band_sig.select(F.col(id_col).alias("a"), "band", "bsig")
     b = band_sig.select(F.col(id_col).alias("b"), "band", "bsig")
     return (

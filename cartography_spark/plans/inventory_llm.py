@@ -95,10 +95,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
       FROM documents
     ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
     mh AS (
       SELECT doc_id, p,
-             min(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+             CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
+                       + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
       GROUP BY doc_id, p
     ),
     bands AS (

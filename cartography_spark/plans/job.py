@@ -1,0 +1,144 @@
+"""GraphJob / GraphStatement: ordered, parameterized, JSON-(de)serializable
+statement lists — the reference's job IR
+(cartography/graph/job.py:133-548; statement.py:71-300; JSON corpus under
+cartography/data/jobs/{analysis,cleanup,scoped_analysis}/).
+
+Spark port: a statement is Spark SQL text over the catalog's registered
+views, with ``$PARAM`` placeholders bound from job parameters (the
+reference binds Neo4j query parameters the same way). Statements run
+sequentially and fail fast (job.py:217-254). The reference's iterative
+LIMIT-chunked execution (statement.py:303+) is unnecessary — each Spark
+statement is one set-based job.
+
+Write statements: a statement whose ``writes`` field names a node label (or
+edge key "Src,REL,Dst") replaces that catalog table with the statement's
+result — the set-based analogue of Cypher SET/DELETE statements.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from cartography_spark.catalog import GraphCatalog
+
+
+def register_catalog_views(catalog: GraphCatalog) -> None:
+    """Expose node tables as ``n_<Label>`` and edge tables as
+    ``e_<Src>__<REL>__<Dst>`` temp views for SQL statements."""
+    for label, df in catalog.nodes.items():
+        df.createOrReplaceTempView(f"n_{label}")
+    for (sl, rl, dl), df in catalog.edges.items():
+        df.createOrReplaceTempView(f"e_{sl}__{rl}__{dl}")
+
+
+def _bind(sql: str, params: dict[str, Any]) -> str:
+    # longest-first so $UPDATE_TAG_X binds before $UPDATE_TAG
+    for k in sorted(params, key=len, reverse=True):
+        v = params[k]
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        sql = sql.replace(f"${k}", lit)
+    return sql
+
+
+@dataclass(frozen=True)
+class GraphStatement:
+    """One parameterized SQL statement (reference statement.py:71-300)."""
+
+    query: str
+    writes: str | None = None  # node label or "Src,REL,Dst" edge key
+
+    def run(self, catalog: GraphCatalog, params: dict[str, Any]) -> DataFrame:
+        register_catalog_views(catalog)
+        result = catalog.spark.sql(_bind(self.query, params))
+        if self.writes:
+            if "," in self.writes:
+                sl, rl, dl = (p.strip() for p in self.writes.split(","))
+                catalog.set_edge((sl, rl, dl), result)
+            else:
+                catalog.set_node(self.writes, result)
+        return result
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"query": self.query, "writes": self.writes}
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> GraphStatement:
+        return cls(query=d["query"], writes=d.get("writes"))
+
+
+@dataclass(frozen=True)
+class GraphJob:
+    """Ordered statements, sequential, fail-fast (job.py:133-254); JSON
+    round-trip matches the reference's job-file workflow (job.py:256-327)."""
+
+    name: str
+    statements: tuple[GraphStatement, ...]
+    short_name: str | None = None
+
+    def run(self, catalog: GraphCatalog, params: dict[str, Any] | None = None) -> list[DataFrame]:
+        params = params or {}
+        results = []
+        for i, stmt in enumerate(self.statements):
+            try:
+                results.append(stmt.run(catalog, params))
+            except Exception as exc:  # fail fast with statement context
+                raise RuntimeError(
+                    f"job {self.name!r} failed at statement {i}: {stmt.query[:120]}"
+                ) from exc
+        return results
+
+    def as_json(self, indent: int | None = None) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "short_name": self.short_name,
+                "statements": [s.to_dict() for s in self.statements],
+            },
+            indent=indent,
+        )
+
+    @classmethod
+    def from_json(cls, blob: str) -> GraphJob:
+        d = json.loads(blob)
+        return cls(
+            name=d["name"],
+            short_name=d.get("short_name"),
+            statements=tuple(GraphStatement.from_dict(s) for s in d["statements"]),
+        )
+
+
+def merge_sync_metadata(
+    catalog: GraphCatalog,
+    group_type: str,
+    group_id: str,
+    synced_type: str,
+    update_tag: int,
+) -> None:
+    """Record sync provenance (reference util.py merge_module_sync_metadata
+    :363+): one row per (group_type, group_id, synced_type)."""
+    spark = catalog.spark
+    row = spark.createDataFrame(
+        [
+            (
+                f"{group_type}:{group_id}:{synced_type}",
+                group_type,
+                str(group_id),
+                synced_type,
+                update_tag,
+                update_tag,
+            )
+        ],
+        "id string, grouptype string, groupid string, syncedtype string, "
+        "firstseen long, lastupdated long",
+    )
+    existing = catalog.nodes.get("SyncMetadata")
+    if existing is None:
+        catalog.nodes["SyncMetadata"] = row
+    else:
+        from cartography_spark.operators.upsert import _merge
+
+        catalog.nodes["SyncMetadata"] = _merge(existing, row)

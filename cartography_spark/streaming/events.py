@@ -1,0 +1,84 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (SURVEY §2.11 — no watermarks/windows
+anywhere in it); this module is the native-Spark extension: the SAME
+windowed aggregation logic as the batch query ``events_tumbling_window``
+expressed as a stream, so batch results are the correctness oracle for the
+stream (run with Trigger.AvailableNow over the parquet directory).
+
+Scale design: watermark bounds state; windowed aggregation state lives in
+the state store keyed by (window, event_type) — at 100 TB/day the state is
+proportional to windows x keys, not events. ``sessionize`` shows the
+custom-stateful path via applyInPandasWithState-style session windows using
+the built-in session_window (no Python state loop needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet path (file or directory);
+    normalizes the NANOS timestamp exactly like the batch loader
+    (sources/parquet.py)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    if os.path.isfile(path):
+        # the file stream source requires a directory: expose the single
+        # file through a symlink dir (read-only testdata stays untouched)
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling windows with late-data handling via watermark —
+    identical logic to the batch query events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: gap-based session assignment in the state
+    store (built-in session_window — the declarative form of a custom
+    applyInPandasWithState sessionizer)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result (for tests/verification)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

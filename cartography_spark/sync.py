@@ -1,0 +1,53 @@
+"""Sync orchestration — the reference's top-level pipeline
+(cartography/sync.py:240-297: ordered stages, one session, lazy stage
+import; intel/aws/__init__.py:598-684: per-account loop with best-effort
+error aggregation).
+
+Spark port: a Sync is an ordered dict of stage callables
+``stage(catalog, config) -> None``; stages run sequentially (their INNER
+work is distributed — each load/cleanup is a cluster job). Per-tenant
+parallelism needs no thread pool: tenant batches union into one DataFrame
+and partitioning does the rest.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from cartography_spark.catalog import GraphCatalog
+
+StageFunc = Callable[[GraphCatalog, dict[str, Any]], None]
+
+
+@dataclass
+class Sync:
+    """Ordered stages, run sequentially; ``best_effort`` aggregates stage
+    errors instead of failing fast (the reference does both: stages fail
+    fast in Sync.run, accounts aggregate in _sync_multiple_accounts)."""
+
+    stages: dict[str, StageFunc] = field(default_factory=dict)
+
+    def add_stage(self, name: str, fn: StageFunc) -> None:
+        self.stages[name] = fn
+
+    def run(
+        self,
+        catalog: GraphCatalog,
+        config: dict[str, Any] | None = None,
+        best_effort: bool = False,
+    ) -> dict[str, Exception]:
+        config = dict(config or {})
+        # default update_tag = epoch seconds (sync.py:494-496)
+        config.setdefault("UPDATE_TAG", int(time.time()))
+        errors: dict[str, Exception] = {}
+        for name, fn in self.stages.items():
+            try:
+                fn(catalog, config)
+            except Exception as exc:
+                if not best_effort:
+                    raise RuntimeError(f"sync stage {name!r} failed") from exc
+                errors[name] = exc
+        return errors

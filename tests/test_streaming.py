@@ -1,0 +1,28 @@
+"""Structured Streaming tests: the batch windowed query is the oracle for
+the streaming one (same logic, availableNow trigger)."""
+
+from __future__ import annotations
+
+from cartography_spark.plans.inventory_relational import q_events_tumbling
+from cartography_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    sessionize,
+    tumbling_counts,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_available_now(tumbling_counts(stream), "tumbling_test")
+    got = {tuple(r) for r in result.collect()}
+    expect = {tuple(r) for r in q_events_tumbling(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_sessionize_runs(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_available_now(sessionize(stream), "session_test")
+    rows = result.collect()
+    assert rows
+    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
