@@ -213,6 +213,41 @@ def simhash(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    All-pairs cosine is O(n^2) — unusable at 100 TB. Instead: random-
+    hyperplane signature per vector (one scan), equi-self-join on the
+    signature bucket (near-identical vectors collide with high probability),
+    exact cosine re-check inside buckets only. The join is an equi-join on
+    the signature, so Catalyst shuffles both sides on ~2^n_planes balanced
+    keys instead of building the cross product.
+    """
+    from cartography_spark.operators.similarity import cosine_similarity, hyperplane_signature
+
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    with_sig = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    # bounded: one row per vector; avoids recomputing 8x64 md5 signs per side
+    with_sig = with_sig.localCheckpoint(eager=True)
+    a = with_sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__sig")
+    b = with_sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__sig")
+    pairs = a.join(b, "__sig").filter(F.col("a") < F.col("b"))
+    cos = cosine_similarity(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate pairs by hamming distance over simhash fingerprints.
     Blocked on the top byte to avoid the full cross join at scale."""

@@ -1,0 +1,357 @@
+"""Extended SURVEY §2 coverage: the operator-inventory rows not exercised by
+the relational/lifecycle/LLM inventories —
+
+- rel-only cleanup               (cleanupbuilder.py:123-180,454-515)
+- scoped matchlink cleanup       (cleanupbuilder.py:603-667; graph/job.py:401-490)
+- AddToSet analysis effect       (analysis.py:114-132; analysisbuilder.py:285-307)
+- SetRelationshipProperty effect (analysis.py:90-112)
+- undirected/any-rel match       (docs/root/usage/samplequeries.md:104-119)
+- ontology field mappings        (graph/querybuilder.py:24-415)
+- embedding-cosine near-dup      (north-star dedup, LSH-blocked)
+- session-window aggregation     (native-Spark bonus over the events table)
+
+Each entry runs the REAL engine operator and is verified against a DuckDB
+oracle that recomputes the expected end state relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.operators import dedup as dd
+from cartography_spark.operators.cleanup import cleanup_rels
+from cartography_spark.operators.matchlink import cleanup_match_links, match_link
+from cartography_spark.plans.registry import query
+from cartography_spark.schema import PropertyRef, TargetNodeMatcher
+from cartography_spark.sources.parquet import load_table
+
+T1, T2 = 100, 200
+
+
+@query(
+    "cleanup_rel_only",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS src_id,
+           CAST(s_nationkey AS VARCHAR) AS dst_id,
+           (SELECT count(*) FROM supplier) AS n_supplier_nodes
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+    doc="Rel-only cleanup (cleanupbuilder.py:123-180,454-515): after the T2 "
+    "re-sync of even suppliers, stale LOCATED_IN edges are deleted but ALL "
+    "supplier nodes survive (n_supplier_nodes proves nodes were untouched).",
+    tags=("engine", "mutation"),
+)
+def q_cleanup_rel_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import _lifecycle_catalog
+
+    cat = _lifecycle_catalog(spark, sf_dir)
+    cleanup_rels(cat, ("Supplier", "LOCATED_IN", "Nation"), T2)
+    edges = cat.edge("Supplier", "LOCATED_IN", "Nation").select("src_id", "dst_id")
+    n_nodes = cat.node("Supplier").agg(F.count("*").alias("n_supplier_nodes"))
+    return edges.crossJoin(F.broadcast(n_nodes))
+
+
+def _peer_rows(spark: SparkSession, sf_dir: str, regionkey: int) -> DataFrame:
+    """Supplier-customer pairs within one region, nation-colocated."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == regionkey)
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(customer, supplier.s_nationkey == customer.c_nationkey)
+        .select(
+            F.col("s_suppkey").cast("string").alias("supp_id"),
+            F.col("c_custkey").cast("string").alias("cust_id"),
+        )
+    )
+
+
+@query(
+    "matchlink_scoped_cleanup",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS src_id,
+           CAST(c_custkey AS VARCHAR) AS dst_id,
+           CAST(CASE WHEN n_regionkey = 0 THEN 200 ELSE 100 END AS BIGINT) AS lastupdated
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (0, 1)
+      AND (n_regionkey = 1 OR s_suppkey % 2 = 0)
+    """,
+    doc="Scoped matchlink cleanup (cleanupbuilder.py:603-667): PEERS_WITH "
+    "matchlinks stamped per-tenant (_sub_resource_label/_id); the T2 re-link "
+    "of tenant Region-0 followed by scoped cleanup deletes only Region-0's "
+    "stale edges — Region-1's T1 edges survive.",
+    tags=("engine", "mutation"),
+)
+def q_matchlink_scoped_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    cat = base_catalog(spark, sf_dir)
+    s_matcher = TargetNodeMatcher({"id": PropertyRef("supp_id")})
+    c_matcher = TargetNodeMatcher({"id": PropertyRef("cust_id")})
+
+    def link(rows: DataFrame, tag: int, region: str) -> None:
+        match_link(
+            cat, rows, "PEERS_WITH",
+            "Supplier", s_matcher, "Customer", c_matcher,
+            update_tag=tag, sub_resource_label="Region", sub_resource_id=region,
+        )
+
+    link(_peer_rows(spark, sf_dir, 0), T1, "0")
+    link(_peer_rows(spark, sf_dir, 1), T1, "1")
+    # T2: only even suppliers of region 0 are re-linked
+    link(_peer_rows(spark, sf_dir, 0).filter(F.col("supp_id").cast("long") % 2 == 0), T2, "0")
+    cleanup_match_links(cat, ("Supplier", "PEERS_WITH", "Customer"), T2, "Region", "0")
+    return cat.edge("Supplier", "PEERS_WITH", "Customer").select("src_id", "dst_id", "lastupdated")
+
+
+@query(
+    "analysis_add_to_set",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           array_to_string(list_sort(coalesce(
+             list(DISTINCT o_orderpriority) FILTER (o_orderpriority IS NOT NULL), []
+           )), ',') AS priorities
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Analysis DSL AddToSet (analysis.py:114-132; the "
+    "coalesce(n.p,[])+filter dedup idiom, analysisbuilder.py:285-307): "
+    "collect each customer's order priorities into a set property; a second "
+    "run over a subset proves append-dedup idempotence.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_add_to_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import AddToSet, AnalysisJob, AnalysisStatement
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher_all(c: GraphCatalog) -> DataFrame:
+        return c.node("Order").select(
+            F.col("o_custkey").cast("string").alias("cust_id"), F.col("priority")
+        )
+
+    def matcher_urgent(c: GraphCatalog) -> DataFrame:
+        return matcher_all(c).filter(F.col("priority").startswith("1"))
+
+    effect = AddToSet("Customer", "cust_id", "priorities", F.col("priority"))
+    AnalysisJob("prio-set", (AnalysisStatement(matcher_all, (effect,)),)).run(cat, T1)
+    # overlapping second run: values already present must not duplicate
+    AnalysisJob("prio-set", (AnalysisStatement(matcher_urgent, (effect,)),)).run(cat, T2)
+    return cat.node("Customer").select(
+        "id", F.array_join(F.array_sort("priorities"), ",").alias("priorities")
+    )
+
+
+@query(
+    "analysis_set_rel_property",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS src_id,
+           CAST(o_custkey AS VARCHAR) AS dst_id,
+           (o_totalprice > 300000) AS high_value
+    FROM orders
+    """,
+    doc="Analysis DSL SetRelationshipProperty (analysis.py:90-112): flag "
+    "PLACED_BY edges of orders over 300k; unmatched edges keep a null "
+    "property (the reference's SET touches only matched rels) — coalesced "
+    "to false in the report projection.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_set_rel_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import AnalysisJob, AnalysisStatement, SetRelationshipProperty
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Order")
+            .filter(F.col("totalprice") > 300000)
+            .select(F.col("id").alias("oid"), F.col("o_custkey").cast("string").alias("cid"))
+        )
+
+    effect = SetRelationshipProperty(
+        ("Order", "PLACED_BY", "Customer"), "oid", "cid", "high_value", True
+    )
+    AnalysisJob("flag-high-value", (AnalysisStatement(matcher, (effect,)),)).run(cat, T2)
+    return cat.edge("Order", "PLACED_BY", "Customer").select(
+        "src_id", "dst_id", F.coalesce("high_value", F.lit(False)).alias("high_value")
+    )
+
+
+@query(
+    "undirected_any_rel",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS id, 'RESOURCE' AS rel_label,
+           'Region' AS neighbor_label, CAST(1 AS BIGINT) AS n_neighbors
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS VARCHAR), 'LOCATED_IN', 'Supplier', count(*)
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_nationkey
+    UNION ALL
+    SELECT CAST(n_nationkey AS VARCHAR), 'LOCATED_IN', 'Customer', count(*)
+    FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_nationkey
+    """,
+    doc="Undirected wildcard match MATCH (n:Nation)-[r]-(m) "
+    "(samplequeries.md:104-119): union over every edge table touching the "
+    "label in either direction, then neighbor counts per rel type.",
+    tags=("join", "graph"),
+)
+def q_undirected_any_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.query import any_rel_neighbors
+
+    cat = base_catalog(spark, sf_dir)
+    return (
+        any_rel_neighbors(cat, "Nation")
+        .groupBy("id", "rel_label", "neighbor_label")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+
+
+@query(
+    "ontology_field_mapping",
+    oracle="""
+    SELECT p_partkey,
+           (p_size % 2 = 0) AS _ont_is_even,
+           NOT (p_size % 2 = 0) AS _ont_is_odd,
+           ((p_size % 2 = 0) OR p_retailprice > 1500) AS _ont_any_flag,
+           NOT ((p_size % 2 = 0) OR p_retailprice > 1500) AS _ont_no_flag,
+           (split_part(p_type, ' ', 1) = 'PROMO') AS _ont_is_promo,
+           CASE split_part(p_type, ' ', 1)
+                WHEN 'SMALL' THEN 'small' WHEN 'LARGE' THEN 'large'
+                WHEN 'MEDIUM' THEN 'medium' WHEN 'PROMO' THEN 'promo'
+                WHEN 'ECONOMY' THEN 'economy' ELSE 'other' END AS _ont_type_class,
+           coalesce(CASE WHEN p_size > 40 THEN p_type END, p_name) AS _ont_display_name
+    FROM part
+    """,
+    doc="Ontology field mappings (querybuilder.py:24-415): provider columns "
+    "projected to normalized _ont_* columns via to_boolean / invert_boolean "
+    "/ or_boolean / nor_boolean / equal_boolean / value mapping (CASE) / "
+    "coalesce — one codegen'd select, applied at ingest.",
+    tags=("schema", "ontology"),
+)
+def q_ontology_field_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions import ontology as ont
+
+    part = load_table(spark, sf_dir, "part")
+    flag_even = (F.col("p_size") % 2) == 0
+    flag_pricey = F.col("p_retailprice") > 1500
+    first_word = F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
+    mapped = ont.apply_ontology_mappings(
+        part,
+        {
+            "is_even": ont.to_boolean(flag_even),
+            "is_odd": ont.invert_boolean(flag_even),
+            "any_flag": ont.or_boolean(flag_even, flag_pricey),
+            "no_flag": ont.nor_boolean(flag_even, flag_pricey),
+            "is_promo": ont.equal_boolean(first_word, "PROMO"),
+            "type_class": ont.value_mapping(
+                first_word,
+                {"SMALL": "small", "LARGE": "large", "MEDIUM": "medium",
+                 "PROMO": "promo", "ECONOMY": "economy"},
+                default="other",
+            ),
+            "display_name": ont.ont_coalesce(
+                F.when(F.col("p_size") > 40, F.col("p_type")), F.col("p_name")
+            ),
+        },
+    )
+    return mapped.select(
+        "p_partkey", "_ont_is_even", "_ont_is_odd", "_ont_any_flag", "_ont_no_flag",
+        "_ont_is_promo", "_ont_type_class", "_ont_display_name",
+    )
+
+
+_PAIR_SIG_SQL = """
+    list_aggregate(list_transform(generate_series(0, 7), i ->
+      CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j ->
+           {vec}[j] *
+           (CASE WHEN ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)), 'sum') > 0
+      THEN (1::BIGINT << i) ELSE 0 END), 'sum')
+"""
+
+_PAIR_COSINE_SQL = """
+      list_aggregate(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i]), 'sum')))
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            (x, i) -> CASE WHEN i = 2 THEN x * 1.1 ELSE x END)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sigs AS (SELECT vec_id, v, {_PAIR_SIG_SQL.format(vec='v')} AS sig FROM base)
+    SELECT a.vec_id AS a, b.vec_id AS b, ROUND({_PAIR_COSINE_SQL}, 4) AS cosine
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COSINE_SQL} >= 0.99
+    """,
+    doc="Embedding-cosine near-dup pairs, LSH-blocked: hyperplane signature "
+    "per vector, equi-self-join on the bucket, exact cosine >= 0.99 inside "
+    "buckets only — never the O(n^2) cross product. Near-dups injected "
+    "deterministically (vec_id<20 copied with one coordinate scaled 1.1x).",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # DuckDB list indices are 1-based: i=2 there is index 1 here
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 1, x * 1.1).otherwise(x)
+        ).alias("embedding"),
+    )
+    return dd.embedding_near_dup_pairs(
+        emb.unionByName(perturbed), dim=64, threshold=0.99, n_planes=8
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           ROUND(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="Session-window aggregation (30-min inactivity gap) per user via "
+    "F.session_window — the stateful-streaming window shape run in batch; "
+    "oracle recomputes sessions with the gaps-and-islands idiom.",
+    tags=("window", "streaming"),
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
+        )
+    )

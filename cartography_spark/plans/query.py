@@ -67,3 +67,38 @@ class Pattern:
 
 def match(catalog: GraphCatalog, label: str, alias: str | None = None) -> Pattern:
     return Pattern(catalog, label, alias)
+
+
+def any_rel_neighbors(catalog: GraphCatalog, label: str) -> DataFrame:
+    """Undirected wildcard match ``MATCH (n:label)-[r]-(m)`` — union over
+    every edge table touching the label, both directions
+    (docs/root/usage/samplequeries.md:104-119). Returns
+    (id, rel_label, neighbor_label, neighbor_id); each union branch is an
+    independent scan, so Catalyst runs them in parallel with no join at all.
+    """
+    parts: list[DataFrame] = []
+    for (sl, rl, dl), edges in catalog.edges.items():
+        if sl == label:
+            parts.append(
+                edges.select(
+                    F.col("src_id").alias("id"),
+                    F.lit(rl).alias("rel_label"),
+                    F.lit(dl).alias("neighbor_label"),
+                    F.col("dst_id").alias("neighbor_id"),
+                )
+            )
+        if dl == label:
+            parts.append(
+                edges.select(
+                    F.col("dst_id").alias("id"),
+                    F.lit(rl).alias("rel_label"),
+                    F.lit(sl).alias("neighbor_label"),
+                    F.col("src_id").alias("neighbor_id"),
+                )
+            )
+    if not parts:
+        raise ValueError(f"no edge tables touch label {label}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,108 @@
+"""Tests for the extended §2 coverage: ontology field mappings, undirected
+any-rel match, AddToSet / SetRelationshipProperty effects, and the
+LSH-blocked embedding near-dup operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ontology_transforms(spark):
+    from cartography_spark.functions import ontology as ont
+
+    df = spark.createDataFrame(
+        [(True, False, "x"), (False, True, None), (None, None, "y")],
+        "a boolean, b boolean, s string",
+    )
+    out = ont.apply_ontology_mappings(
+        df,
+        {
+            "inv": ont.invert_boolean(F.col("a")),
+            "either": ont.or_boolean("a", "b"),
+            "neither": ont.nor_boolean("a", "b"),
+            "eq": ont.equal_boolean("s", "x"),
+            "mapped": ont.value_mapping("s", {"x": "ex", "y": "why"}, default="?"),
+            "first": ont.ont_coalesce("s", F.lit("fallback")),
+        },
+    )
+    rows = {tuple(r) for r in out.select("a", "_ont_inv", "_ont_either", "_ont_neither",
+                                         "_ont_eq", "_ont_mapped", "_ont_first").collect()}
+    assert (True, False, True, False, True, "ex", "x") in rows
+    assert (False, True, True, False, False, "?", "fallback") in rows
+    # null booleans: or/nor treat null as false; equal_boolean is null-safe
+    assert (None, None, False, True, False, "why", "y") in rows
+
+
+def test_to_boolean_lenient(spark):
+    from cartography_spark.functions.ontology import to_boolean
+
+    df = spark.createDataFrame([("true",), ("FALSE",), ("nope",), (None,)], "v string")
+    got = [r[0] for r in df.select(to_boolean(F.col("v"))).collect()]
+    assert got == [True, False, None, None]
+
+
+def test_any_rel_neighbors_directions(spark):
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.query import any_rel_neighbors
+
+    cat = base_catalog(spark, SF_SMOKE)
+    n = any_rel_neighbors(cat, "Nation")
+    rels = {(r.rel_label, r.neighbor_label) for r in n.select("rel_label", "neighbor_label").distinct().collect()}
+    # inward tenant edge AND outward located-in edges must both appear
+    assert ("RESOURCE", "Region") in rels
+    assert ("LOCATED_IN", "Supplier") in rels
+    assert ("LOCATED_IN", "Customer") in rels
+    # every nation has exactly one region neighbor
+    region_counts = (
+        n.filter(F.col("neighbor_label") == "Region").groupBy("id").count().select("count").distinct().collect()
+    )
+    assert [r[0] for r in region_counts] == [1]
+
+
+def test_add_to_set_idempotent(spark):
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import AddToSet, AnalysisJob, AnalysisStatement
+
+    cat = GraphCatalog(spark)
+    cat.nodes["N"] = spark.createDataFrame([("1",), ("2",)], "id string")
+    matched = spark.createDataFrame([("1", "a"), ("1", "b")], "nid string, v string")
+    stmt = AnalysisStatement(lambda c: matched, (AddToSet("N", "nid", "vals", F.col("v")),))
+    AnalysisJob("j", (stmt,)).run(cat, 1)
+    AnalysisJob("j", (stmt,)).run(cat, 2)  # re-run: no duplicates
+    rows = {r.id: sorted(r.vals) for r in cat.node("N").collect()}
+    assert rows["1"] == ["a", "b"]
+    assert rows["2"] == []
+
+
+def test_embedding_near_dup_finds_injected_copy(spark):
+    from cartography_spark.operators.dedup import embedding_near_dup_pairs
+
+    base = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    copies = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dup_pairs(emb.unionByName(copies), dim=8, threshold=0.999, n_planes=4)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # exact copies always share the LSH bucket and have cosine 1.0
+    assert {(0, 100), (1, 101), (2, 102)} <= got
+
+
+def test_session_window_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),   # same session
+        (1, t0 + dt.timedelta(minutes=50)),            # gap 40m >= 30m -> new session
+        (2, t0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = {(r.user_id, r.n) for r in sess.collect()}
+    assert got == {(1, 2), (1, 1), (2, 1)}
