@@ -106,6 +106,13 @@ def doc_shingles(
     """Distinct character n-gram shingles per doc (JVM-side)."""
     t = F.lower(F.col(text_col))
     rows = docs.select(F.col(id_col), *[F.col(c) for c in extra_cols], t.alias("__t"))
+    # Parallelism guard: a compact input (one small parquet file = one scan
+    # split) would run the ~100x row explosion + per-shingle md5 on a single
+    # task. Hash-repartition the PRE-explode rows (cheap) so the heavy work
+    # spreads across the cluster; since we key on id, the downstream
+    # groupBy(id) reuses this partitioning instead of shuffling the
+    # much larger post-explode rowset.
+    rows = rows.repartition(F.col(id_col))
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
     # shorter than n must yield no shingles (matches generate_series/oracle)
     grams = F.when(
@@ -133,14 +140,14 @@ def perm_coeffs(i: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(
+def minhash_wide(
     docs: DataFrame,
     num_perm: int = 16,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, perm, minhash): the MinHash signature, one row per permutation.
+    """(id, mh0..mh{num_perm-1}): the MinHash signature as one wide row.
 
     Cost model (the reason for this shape): the expensive md5 runs ONCE per
     (doc, shingle); the ``num_perm`` permutations are derived arithmetically
@@ -155,22 +162,77 @@ def minhash_signatures(
     for i in range(num_perm):
         a, b = perm_coeffs(i)
         aggs.append(F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}"))
-    wide = hashed.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, perm, minhash): the signature in long format (one row per
+    permutation) — a posexplode view over :func:`minhash_wide`."""
+    wide = minhash_wide(docs, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
     sig = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     return wide.select(F.col(id_col), F.posexplode(sig).alias("perm", "minhash"))
+
+
+def band_signatures(
+    wide: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bsig) straight from the wide signature — no extra shuffle.
+
+    Band b holds permutations {b, b+bands, b+2*bands, ...} in ascending perm
+    order (equivalent to grouping long-format rows by perm % bands), so the
+    band signature is a concat of already-computed aggregate columns: the
+    explode-and-regroup a long-format pipeline would need (one full extra
+    shuffle) disappears.
+    """
+    num_perm = sum(1 for c in wide.columns if c.startswith("mh"))
+    rows = []
+    for b in range(bands):
+        perms = list(range(b, num_perm, bands))
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh{p}").cast("string") for p in perms]).alias("bsig"),
+            )
+        )
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
+    wide: bool = False,
 ) -> DataFrame:
     """Band the signature (rows_per_band = num_perm / bands), bucket-join on
-    (band, band_signature): docs sharing any band are candidate pairs."""
-    sig = signatures.withColumn("band", F.col("perm") % F.lit(bands))
-    band_sig = sig.groupBy(id_col, "band").agg(
-        F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("perm", "minhash"))), lambda s: s["minhash"].cast("string")), "_").alias("bsig")
-    )
+    (band, band_signature): docs sharing any band are candidate pairs.
+
+    ``signatures`` is long format (id, perm, minhash) by default; pass
+    ``wide=True`` with a :func:`minhash_wide` frame to skip the regroup
+    shuffle entirely.
+    """
+    if wide:
+        band_sig = band_signatures(signatures, bands=bands, id_col=id_col)
+    else:
+        sig = signatures.withColumn("band", F.col("perm") % F.lit(bands))
+        band_sig = sig.groupBy(id_col, "band").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("bsig")
+        )
     # materialize once: the a/b self-join would otherwise recompute the
     # whole shingle->hash->min pipeline twice (docs x bands rows — small)
     band_sig = band_sig.localCheckpoint(eager=True)
@@ -196,9 +258,15 @@ def simhash(
     Plan: token explode -> bit explode (tokens × bits rows) -> groupBy(id)
     with conditional sums — one shuffle, map-side combined.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    # same parallelism guard as doc_shingles: spread the token x bit
+    # explosion before it happens, keyed so downstream groupBys don't
+    # re-shuffle the exploded rows
+    toks = (
+        toks.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col("__t"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     hashed = toks.withColumn("h", portable_hash32(F.col("tok")))
     bitrows = hashed.select(
         F.col(id_col),

@@ -119,8 +119,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dd.minhash_signatures(_docs(spark, sf_dir), num_perm=16, n=3)
-    return dd.lsh_candidate_pairs(sigs, bands=4)
+    wide = dd.minhash_wide(_docs(spark, sf_dir), num_perm=16, n=3)
+    return dd.lsh_candidate_pairs(wide, bands=4, wide=True)
 
 
 @query(
