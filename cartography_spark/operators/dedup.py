@@ -58,38 +58,63 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+    """Exact n-gram Jaccard similarity pairs >= threshold, via PREFIX
+    FILTERING (exact — identical output to the naive inverted-index join).
 
-    inverted index: (shingle, id) self-join -> |A ∩ B| per pair;
-    |A ∪ B| = |A| + |B| - |A ∩ B|. ``block_cols`` restricts pairs to equal
-    blocking keys (e.g. lang) — essential at scale.
+    Why: a naive inverted-index self-join generates Σ_s n_s² candidate rows;
+    a shingle present in most documents alone produces |docs|² rows, which
+    is quadratic death at scale. Prefix filter: order all shingles by global
+    document frequency (rarest first); any pair with J(A,B) >= t MUST share
+    at least one shingle among each side's first |A| - ceil(t·|A|) + 1
+    shingles in that order (else |A∩B| <= ceil(t|A|)-1 < t|A| <= t|A∪B|).
+    Indexing only those prefixes removes the frequent-shingle hot spots
+    entirely. Candidates are then verified exactly with one
+    ``array_intersect`` per pair — no explode, no per-pair shuffle.
+
+    ``block_cols`` additionally restricts pairs to equal blocking keys
+    (e.g. lang).
     """
+    from pyspark.sql import Window
+
     sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col, extra_cols=block_cols)
-    # materialize: consumed three times (both join sides + sizes)
+    # materialize: consumed by freq, prefix, and the verification sets
     sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col, *block_cols).agg(F.count("*").alias("sz"))
-    a = sh.select(
-        F.col(id_col).alias("a"), F.col("shingle"), *[F.col(c).alias(f"__ba_{c}") for c in block_cols]
+
+    # global rarity order; shingle-space for char n-grams is bounded, so the
+    # frequency table broadcasts
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col, *block_cols).orderBy("__df", "shingle")
+    wsz = Window.partitionBy(id_col, *block_cols)
+    ranked = (
+        sh.join(F.broadcast(freq), "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__sz", F.count("*").over(wsz))
     )
-    b = sh.select(
-        F.col(id_col).alias("b"), F.col("shingle"), *[F.col(c).alias(f"__bb_{c}") for c in block_cols]
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
     )
-    cond = [a.shingle == b.shingle] + [
-        F.col(f"__ba_{c}") == F.col(f"__bb_{c}") for c in block_cols
-    ]
-    on = cond[0]
-    for c in cond[1:]:
-        on = on & c
-    inter = (
-        a.join(b, on & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+
+    a = prefix.select(
+        F.col(id_col).alias("a"), "shingle", *[F.col(c).alias(f"__ba_{c}") for c in block_cols]
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    b = prefix.select(
+        F.col(id_col).alias("b"), "shingle", *[F.col(c).alias(f"__bb_{c}") for c in block_cols]
+    )
+    on = a.shingle == b.shingle
+    for c in block_cols:
+        on = on & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    cand = a.join(b, on & (F.col("a") < F.col("b"))).select("a", "b").distinct()
+
+    sets = sh.groupBy(id_col, *block_cols).agg(
+        F.collect_set("shingle").alias("__set"), F.count("*").alias("__sz")
+    )
+    sa = sets.select(F.col(id_col).alias("a"), F.col("__set").alias("__seta"), F.col("__sz").alias("sza"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("__set").alias("__setb"), F.col("__sz").alias("szb"))
+    inter = F.size(F.array_intersect("__seta", "__setb"))
     return (
-        inter.join(sa, "a")
+        cand.join(sa, "a")
         .join(sb, "b")
+        .withColumn("inter", inter)
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
