@@ -1,0 +1,212 @@
+"""Command-line entry points mirroring the reference's three CLIs
+(cartography/cli.py:372+ sync; rules/cli.py:328-477 run; driftdetect/cli.py:14-231):
+
+    python -m cartography_spark sync        --sf-dir D --warehouse W [--update-tag N]
+    python -m cartography_spark query       --warehouse W --sql "SELECT ..."
+    python -m cartography_spark rules run   --warehouse W [--format text|json]
+    python -m cartography_spark drift get-state --warehouse W --name X --sql "..." --state-dir S
+    python -m cartography_spark drift detect    --state-dir S --name X --start F1 --end F2
+
+``sync`` ingests the synthetic provider tables through the real
+schema->upsert->edge pipeline and persists the graph catalog as parquet;
+every other command loads that warehouse. Node tables are registered as
+temp views ``n_<Label>``, edge tables as ``e_<src>__<rel>__<dst>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.catalog import GraphCatalog
+from cartography_spark.session import get_spark
+
+
+def _register_views(spark: SparkSession, cat: GraphCatalog) -> None:
+    for label, df in cat.nodes.items():
+        df.createOrReplaceTempView(f"n_{label}")
+    for (sl, rl, dl), df in cat.edges.items():
+        df.createOrReplaceTempView(f"e_{sl}__{rl}__{dl}")
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    spark = get_spark("cartography-spark-sync")
+    update_tag = args.update_tag or int(time.time())
+    from cartography_spark.plans.graph_fixture import build_catalog
+
+    cat = build_catalog(spark, args.sf_dir, update_tag)
+    cat.save(args.warehouse)
+    summary = {label: cat.node(label).count() for label in sorted(cat.nodes)}
+    print(json.dumps({"update_tag": update_tag, "nodes": summary}))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    spark = get_spark("cartography-spark-query")
+    cat = GraphCatalog.load(spark, args.warehouse)
+    _register_views(spark, cat)
+    out = spark.sql(args.sql)
+    for row in out.limit(args.limit).collect():
+        print(json.dumps(row.asDict(recursive=True), default=str))
+    return 0
+
+
+def _demo_rules(cat: GraphCatalog):
+    """Built-in demo rule set over the synced catalog — the reference ships
+    37 rule files under rules/data/rules/; users add Facts the same way."""
+    from cartography_spark.plans.rules import Fact, Rule
+
+    return [
+        Rule(
+            rule_id="account-hygiene",
+            name="Account balance hygiene",
+            facts=(
+                Fact(
+                    fact_id="negative-balance-customers",
+                    name="Customers with negative account balance",
+                    query=lambda c: c.node("Customer")
+                    .filter(F.col("acctbal") < 0)
+                    .select(F.col("id").alias("asset_id"), "name", "acctbal"),
+                    asset_label="Customer",
+                    asset_id_field="asset_id",
+                ),
+                Fact(
+                    fact_id="negative-balance-suppliers",
+                    name="Suppliers with negative account balance",
+                    query=lambda c: c.node("Supplier")
+                    .filter(F.col("acctbal") < 0)
+                    .select(F.col("id").alias("asset_id"), "name", "acctbal"),
+                    asset_label="Supplier",
+                    asset_id_field="asset_id",
+                ),
+            ),
+            frameworks={"CIS": "1.1", "SOC2": "CC6.1"},
+        ),
+    ]
+
+
+def cmd_rules_run(args: argparse.Namespace) -> int:
+    spark = get_spark("cartography-spark-rules")
+    cat = GraphCatalog.load(spark, args.warehouse)
+    results = []
+    for rule in _demo_rules(cat):
+        results.extend(rule.run(cat))
+    if args.format == "json":
+        out = [
+            {
+                "fact_id": r.fact.fact_id,
+                "name": r.fact.name,
+                "failing": r.failing_assets,
+                "passing": r.passing_assets,
+                "total": r.total_assets,
+            }
+            for r in results
+        ]
+        print(json.dumps(out, indent=2))
+    else:
+        for r in results:
+            print(
+                f"{r.fact.fact_id}: {r.failing_assets} failing / "
+                f"{r.passing_assets} passing / {r.total_assets} total"
+            )
+    return 0
+
+
+def cmd_drift_get_state(args: argparse.Namespace) -> int:
+    spark = get_spark("cartography-spark-drift")
+    cat = GraphCatalog.load(spark, args.warehouse)
+    _register_views(spark, cat)
+    from cartography_spark.plans.drift import snapshot
+
+    state = snapshot(args.name, spark.sql(args.sql))
+    os.makedirs(f"{args.state_dir}/{args.name}", exist_ok=True)
+    payload: dict[str, Any] = {
+        "name": args.name,
+        "validation_query": args.sql,
+        "properties": list(state.properties),
+        "results": [list(map(lambda v: None if v is None else str(v), row)) for row in state.results.collect()],
+    }
+    fname = f"{args.state_dir}/{args.name}/{int(time.time())}.json"
+    with open(fname, "w") as f:
+        json.dump(payload, f)
+    print(fname)
+    return 0
+
+
+def cmd_drift_detect(args: argparse.Namespace) -> int:
+    spark = get_spark("cartography-spark-drift")
+    from cartography_spark.plans.drift import DriftState, compare_states
+
+    def load_state(fname: str) -> DriftState:
+        with open(f"{args.state_dir}/{args.name}/{fname}") as f:
+            payload = json.load(f)
+        props = payload["properties"]
+        schema = ", ".join(f"`{p}` string" for p in props)
+        rows = [tuple(r) for r in payload["results"]]
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        return DriftState(name=payload["name"], properties=tuple(props), results=df)
+
+    start, end = load_state(args.start), load_state(args.end)
+    if start.name != end.name:
+        print("states come from different queries", file=sys.stderr)
+        return 2
+    for row in compare_states(start, end).collect():
+        print(json.dumps(row.asDict(recursive=True), default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cartography_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("sync", help="ingest provider tables into the graph warehouse")
+    s.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--update-tag", type=int, default=None)
+    s.set_defaults(fn=cmd_sync)
+
+    q = sub.add_parser("query", help="run SQL over the graph warehouse views")
+    q.add_argument("--warehouse", required=True)
+    q.add_argument("--sql", required=True)
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("rules", help="security-rules engine")
+    rsub = r.add_subparsers(dest="rules_cmd", required=True)
+    rr = rsub.add_parser("run")
+    rr.add_argument("--warehouse", required=True)
+    rr.add_argument("--format", choices=("text", "json"), default="text")
+    rr.set_defaults(fn=cmd_rules_run)
+
+    d = sub.add_parser("drift", help="state snapshot + drift detection")
+    dsub = d.add_subparsers(dest="drift_cmd", required=True)
+    dg = dsub.add_parser("get-state")
+    dg.add_argument("--warehouse", required=True)
+    dg.add_argument("--name", required=True)
+    dg.add_argument("--sql", required=True)
+    dg.add_argument("--state-dir", required=True)
+    dg.set_defaults(fn=cmd_drift_get_state)
+    dd = dsub.add_parser("detect")
+    dd.add_argument("--state-dir", required=True)
+    dd.add_argument("--name", required=True)
+    dd.add_argument("--start", required=True)
+    dd.add_argument("--end", required=True)
+    dd.set_defaults(fn=cmd_drift_detect)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

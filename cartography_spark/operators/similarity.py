@@ -108,6 +108,58 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
+    ``n_centroids`` cells; the query probes only its ``n_probe`` nearest
+    cells and re-ranks exactly inside them.
+
+    The quantizer here is deterministic (cells seeded by the first
+    ``n_centroids`` vectors) so the result is exactly oracle-reproducible;
+    swapping in k-means centroids changes only the seed frame, not the
+    plan. Cell assignment is a broadcast cross join (|emb| x K cosine
+    evaluations, JVM-side) + one window argmax; at very large K you'd move
+    the assignment into a pandas-UDF matmul — the surrounding plan is
+    unchanged. The probe filter is an equi-semi-join on cell id, so the
+    exact re-rank scans ~n_probe/n_centroids of the data.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), v.alias("cv")
+    )
+    q = F.lit(query_vec).cast("array<double>")
+
+    from pyspark.sql import Window
+
+    scored = embeddings.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(cents))
+    scored = scored.withColumn("__cos", cosine_similarity(F.col("__v"), F.col("cv")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        .select(id_col, "cid", "__v")
+    )
+
+    probes = (
+        cents.withColumn("__qcos", cosine_similarity(F.col("cv"), q))
+        .orderBy(F.col("__qcos").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    bucket = assigned.join(F.broadcast(probes), "cid", "left_semi")
+    out = bucket.select(
+        F.col(id_col), F.round(cosine_similarity(F.col("__v"), q), round_digits).alias("cosine")
+    )
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pandas_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

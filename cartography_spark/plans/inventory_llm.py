@@ -219,6 +219,48 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(emb, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=8)
 
 
+def _cos64(a: str, b: str) -> str:
+    return f"""
+      list_aggregate(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> {a}[i] * {a}[i]), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> {b}[i] * {b}[i]), 'sum')))
+    """
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM (SELECT e.vec_id, e.v, c.cid, {_cos64('e.v', 'c.cv')} AS cos
+            FROM e CROSS JOIN cents c)
+    ),
+    probes AS (
+      SELECT cid FROM cents CROSS JOIN q
+      ORDER BY {_cos64('cents.cv', 'q.qv')} DESC, cid ASC LIMIT 4
+    )
+    SELECT a.vec_id, ROUND({_cos64('a.v', 'q.qv')}, 4) AS cosine
+    FROM assign a JOIN probes USING (cid) CROSS JOIN q
+    WHERE a.rn = 1
+    ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
+    """,
+    doc="IVF ANN: deterministic coarse quantizer (16 cells seeded by the "
+    "first 16 vectors), query probes its 4 nearest cells, exact re-rank "
+    "inside — the second scale path next to LSH; scans n_probe/n_centroids "
+    "of the data.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_ann_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probe=4
+    )
+
+
 @query(
     "text_token_stats",
     oracle=r"""
