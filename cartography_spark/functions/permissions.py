@@ -54,3 +54,71 @@ def evaluate_policy_grid(
             ).alias("allowed")
         )
     )
+
+
+def _any_match(value: Column, patterns: Column) -> Column:
+    """True iff any wildcard pattern in the array matches (lowercased both
+    sides, like evaluate_policy_for_permissions :61-90). Null/empty pattern
+    arrays yield false."""
+    return F.coalesce(
+        F.exists(patterns, lambda p: F.like(F.lower(value), F.lower(wildcard_to_like(p)))),
+        F.lit(False),
+    )
+
+
+def statement_matches(
+    permission: Column,
+    resource: Column,
+    actions: Column,
+    notactions: Column,
+    resources: Column,
+    notresources: Column,
+) -> Column:
+    """Full statement-match semantics
+    (permission_relationships.py evaluate_statements_for_permission :91-156):
+    a statement matches (permission, resource) iff
+
+    - some ``action`` pattern matches the permission AND no ``notaction``
+      pattern matches it, and
+    - some ``resource`` pattern matches the resource AND no ``notresource``
+      pattern matches it.
+    """
+    return (
+        _any_match(permission, actions)
+        & ~_any_match(permission, notactions)
+        & _any_match(resource, resources)
+        & ~_any_match(resource, notresources)
+    )
+
+
+def principal_allowed_grid(
+    grid: DataFrame,
+    statements: DataFrame,
+    permission_col: str = "permission",
+    resource_col: str = "resource",
+) -> DataFrame:
+    """For every (permission, resource) row of ``grid``: allowed iff at
+    least one Allow statement fully matches and NO Deny statement matches —
+    ``principal_allowed_on_resource`` (:157-181) as one relational pass.
+
+    ``statements`` columns: ``actions``, ``notactions``, ``resources``,
+    ``notresources`` (array<string>, null = absent clause) and ``effect``.
+    Statements broadcast (policy sets are small); the match runs JVM-side
+    through higher-order LIKE predicates — no Python UDF, so a
+    principals x resources grid of any size stays whole-stage codegen'd.
+    """
+    m = grid.crossJoin(F.broadcast(statements))
+    hit = statement_matches(
+        F.col(permission_col), F.col(resource_col),
+        F.col("actions"), F.col("notactions"), F.col("resources"), F.col("notresources"),
+    )
+    return (
+        m.withColumn("__hit", hit)
+        .groupBy(permission_col, resource_col)
+        .agg(
+            (
+                (F.count(F.when(F.col("__hit") & (F.col("effect") == "Allow"), 1)) > 0)
+                & (F.count(F.when(F.col("__hit") & (F.col("effect") == "Deny"), 1)) == 0)
+            ).alias("allowed")
+        )
+    )

@@ -56,6 +56,9 @@ SUPPLIER_SCHEMA = NodeSchema(
         "acctbal": PropertyRef("s_acctbal"),
         "s_suppkey": PropertyRef("s_suppkey"),
         "s_nationkey": PropertyRef("s_nationkey"),
+        # tenant column: lets the warehouse partition this label by region so
+        # scoped cleanup/analysis prune partitions (SURVEY §4 tenant scoping)
+        "region_id": PropertyRef("n_regionkey"),
     },
     sub_resource_relationship=RelSchema(
         rel_label="RESOURCE",
@@ -125,6 +128,7 @@ ORDER_SCHEMA = NodeSchema(
 def build_catalog(spark: SparkSession, sf_dir: str, update_tag: int = 100) -> GraphCatalog:
     """Run the real load pipeline over region/nation/customer/supplier/orders."""
     cat = GraphCatalog(spark)
+    cat.partition_cols["Supplier"] = "region_id"
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")

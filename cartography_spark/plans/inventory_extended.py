@@ -323,6 +323,107 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "closure_multi_rel_zero",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+      UNION
+      SELECT n_nationkey, (n_nationkey + 5) % 25 FROM nation
+    ),
+    r(src, dst, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.dst = e.src WHERE r.hops < 3
+    ),
+    m AS (SELECT src, dst, min(hops) AS hops FROM r GROUP BY src, dst)
+    SELECT CAST(n_nationkey AS VARCHAR) AS src_id,
+           CAST(n_nationkey AS VARCHAR) AS dst_id, CAST(0 AS INT) AS hops
+    FROM nation
+    UNION ALL
+    SELECT CAST(src AS VARCHAR), CAST(dst AS VARCHAR), CAST(hops AS INT)
+    FROM m WHERE src <> dst
+    """,
+    doc="Variable-length path over ALTERNATE rel types including zero hops "
+    "— [:NEXT|SKIP*0..3] (reference *0..6 analysis/ontology/analysis.py; "
+    "MEMBER_OF|SUBGROUP_OF*1..5 googleworkspace): union the edge tables, "
+    "run the bounded closure with include_zero min-hop semantics.",
+    tags=("engine", "graph"),
+)
+def q_closure_multi_rel_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.closure import transitive_closure
+
+    n = load_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    next_edges = n.select(nk.alias("src_id"), ((F.col("n_nationkey") + 1) % 25).cast("string").alias("dst_id"))
+    skip_edges = n.select(nk.alias("src_id"), ((F.col("n_nationkey") + 5) % 25).cast("string").alias("dst_id"))
+    # MATCH (a)-[:NEXT|SKIP*0..3]->(b): alternate rel types = union of the
+    # edge tables before the closure
+    edges = next_edges.unionByName(skip_edges)
+    return transitive_closure(edges, max_hops=3, include_zero=True)
+
+
+_WC = "lower(replace(replace({p}, '*', '%'), '?', '_'))"
+_MATCH = f"lower({{v}}) LIKE {_WC.format(p='x')}"
+
+
+def _dd_any(v: str, arr: str) -> str:
+    return f"len(list_filter(coalesce({arr}, []), x -> {_MATCH.format(v=v)})) > 0"
+
+
+@query(
+    "permission_statement_eval",
+    oracle=f"""
+    WITH stmts(actions, notactions, resources, notresources, effect) AS (VALUES
+      (['STANDARD*', 'MED*'], ['*BRUSHED*'], ['Brand#1*'], ['Brand#13'], 'Allow'),
+      (['*'], NULL, ['Brand#3*'], NULL, 'Allow'),
+      (['PROMO*'], NULL, ['*'], NULL, 'Deny')
+    ),
+    grid AS (
+      SELECT p.permission, b.resource
+      FROM (SELECT DISTINCT p_type AS permission FROM part) p
+      CROSS JOIN (SELECT DISTINCT p_brand AS resource FROM part) b
+    ),
+    m AS (
+      SELECT permission, resource, effect,
+             ({_dd_any('permission', 'actions')}
+              AND NOT {_dd_any('permission', 'notactions')}
+              AND {_dd_any('resource', 'resources')}
+              AND NOT {_dd_any('resource', 'notresources')}) AS hit
+      FROM grid CROSS JOIN stmts
+    )
+    SELECT permission, resource,
+           (count(CASE WHEN hit AND effect = 'Allow' THEN 1 END) > 0
+            AND count(CASE WHEN hit AND effect = 'Deny' THEN 1 END) = 0) AS allowed
+    FROM m GROUP BY permission, resource
+    """,
+    doc="Full IAM statement evaluation "
+    "(permission_relationships.py:91-181): action/notaction/resource/"
+    "notresource wildcard clauses per statement, allow-unless-explicit-deny "
+    "over a permissions x resources grid — higher-order LIKE predicates on "
+    "broadcast statements, no Python UDF.",
+    tags=("llm", "permissions"),
+)
+def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.permissions import principal_allowed_grid
+
+    part = load_table(spark, sf_dir, "part")
+    grid = (
+        part.select(F.col("p_type").alias("permission")).distinct()
+        .crossJoin(part.select(F.col("p_brand").alias("resource")).distinct())
+    )
+    statements = spark.createDataFrame(
+        [
+            (["STANDARD*", "MED*"], ["*BRUSHED*"], ["Brand#1*"], ["Brand#13"], "Allow"),
+            (["*"], None, ["Brand#3*"], None, "Allow"),
+            (["PROMO*"], None, ["*"], None, "Deny"),
+        ],
+        "actions array<string>, notactions array<string>, resources array<string>, "
+        "notresources array<string>, effect string",
+    )
+    return principal_allowed_grid(grid, statements)
+
+
+@query(
     "events_session_window",
     oracle="""
     WITH o AS (

@@ -90,6 +90,46 @@ def test_embedding_near_dup_finds_injected_copy(spark):
     assert {(0, 100), (1, 101), (2, 102)} <= got
 
 
+def test_tenant_partition_pruning(spark, tmp_path):
+    """A region-partitioned warehouse prunes partitions on tenant-scoped
+    reads — the Spark analogue of the reference's tenant-scoped indexes."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    cat = base_catalog(spark, SF_SMOKE)
+    assert cat.partition_cols["Supplier"] == "region_id"
+    cat.save(str(tmp_path / "wh"))
+    loaded = GraphCatalog.load(spark, str(tmp_path / "wh"))
+    scoped = loaded.node("Supplier").filter(F.col("region_id") == 0)
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "region_id" in plan.split("PartitionFilters")[1][:120]
+    # and the scan really reads a subset
+    assert 0 < scoped.count() < loaded.node("Supplier").count()
+
+
+def test_principal_allowed_grid_semantics(spark):
+    from cartography_spark.functions.permissions import principal_allowed_grid
+
+    grid = spark.createDataFrame(
+        [("s3:GetObject", "arn:bucket/a"), ("s3:PutObject", "arn:bucket/a"),
+         ("iam:CreateUser", "arn:user/x")],
+        "permission string, resource string",
+    )
+    statements = spark.createDataFrame(
+        [(["s3:*"], ["s3:Put*"], ["arn:bucket/*"], None, "Allow"),
+         (["iam:*"], None, ["*"], None, "Allow"),
+         (["iam:Create*"], None, ["arn:user/*"], None, "Deny")],
+        "actions array<string>, notactions array<string>, resources array<string>, "
+        "notresources array<string>, effect string",
+    )
+    got = {(r.permission, r.allowed) for r in principal_allowed_grid(grid, statements).collect()}
+    assert ("s3:GetObject", True) in got      # allow matches
+    assert ("s3:PutObject", False) in got     # notaction excludes
+    assert ("iam:CreateUser", False) in got   # explicit deny wins over allow
+
+
 def test_session_window_gap_semantics(spark):
     import datetime as dt
 
