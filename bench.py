@@ -55,9 +55,10 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # best-of-2: first run pays JIT/codegen warmup; report steady-state
+        # best-of-3: the first run pays JIT/codegen warmup, and the host
+        # shows hypervisor steal-time spikes — min over 3 is the steady state
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             # noop sink: full distributed computation without paying the
             # driver-side Row materialization for large results

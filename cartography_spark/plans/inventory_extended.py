@@ -424,6 +424,33 @@ def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "running per-user totals in the state store, run to completion with "
+    "Trigger.AvailableNow; integer-cents accumulation makes the stream's "
+    "final state exactly equal to the batch aggregate oracle.",
+    tags=("streaming", "stateful"),
+)
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    return run_available_now(stateful_user_totals(stream), name, output_mode="update")
+
+
+@query(
     "events_session_window",
     oracle="""
     WITH o AS (

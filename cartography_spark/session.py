@@ -28,6 +28,12 @@ def get_spark(app_name: str = "cartography-spark", shuffle_partitions: int | Non
         # Arrow transfer for pandas UDFs / mapInPandas (vectorized exchange).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local test files are single-digit-MB parquet; the 128MB default
+        # split size would hand whole tables to one task. 2MB keeps scans
+        # parallel here (still bounded by parquet row groups); on a real
+        # cluster with TB-scale inputs raise this back to 128-256MB.
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -70,13 +70,47 @@ def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 h
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user (event count, value total) kept in the state store across
+    micro-batches — the escape hatch for operators the declarative
+    windowing API can't express (reference has nothing like it; SURVEY
+    §2.11 bonus surface).
+
+    State is one (long, long) tuple per user — bounded by |users|, not
+    |events|. Totals accumulate in integer cents so results are exactly
+    reproducible regardless of batch order and float summation order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, value_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Execute the stream with Trigger.AvailableNow into a memory sink and
-    return the materialized result (for tests/verification)."""
+    return the materialized result (for tests/verification). Stateful
+    operators (applyInPandasWithState) require ``output_mode='update'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

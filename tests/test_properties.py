@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the engine's load-bearing
+invariants — beyond the reference's test strategy (SURVEY §5 notes it has
+no randomized testing), these pin the MERGE/cleanup/closure semantics on
+arbitrary inputs, not just the fixture tables."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cartography_spark.catalog import GraphCatalog
+from cartography_spark.operators.cleanup import cleanup_nodes
+from cartography_spark.operators.closure import transitive_closure
+from cartography_spark.operators.upsert import load
+from cartography_spark.schema import NodeSchema, PropertyRef
+
+SCHEMA = NodeSchema(
+    label="T",
+    properties={"id": PropertyRef("k"), "v": PropertyRef("v")},
+    scoped_cleanup=False,
+)
+
+batch_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-5, 5)), min_size=0, max_size=25
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+
+
+def _first_per_key(rows):
+    out = {}
+    for k, v in rows:
+        out.setdefault(str(k), v)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(b1=batch_strategy, b2=batch_strategy)
+def test_upsert_merge_semantics(spark, b1, b2):
+    """After load(b1,T1); load(b2,T2): every key exactly once; keys in b2
+    carry b2's value (first occurrence per key — the batch dedup contract),
+    firstseen=T1 iff the key was in b1, lastupdated = last touching batch."""
+    cat = GraphCatalog(spark)
+    load(cat, SCHEMA, _df(spark, b1), 1)
+    load(cat, SCHEMA, _df(spark, b2), 2)
+    got = {r.id: (r.v, r.firstseen, r.lastupdated) for r in cat.node("T").collect()}
+
+    first1, first2 = _first_per_key(b1), _first_per_key(b2)
+    expect = {k: (v, 1, 1) for k, v in first1.items()}
+    for k, v in first2.items():
+        expect[k] = (v, 1 if k in first1 else 2, 2)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(b1=batch_strategy, b2=batch_strategy)
+def test_cleanup_keeps_exactly_last_sync(spark, b1, b2):
+    cat = GraphCatalog(spark)
+    load(cat, SCHEMA, _df(spark, b1), 1)
+    load(cat, SCHEMA, _df(spark, b2), 2)
+    cleanup_nodes(cat, SCHEMA, 2)
+    got = {r.id for r in cat.node("T").collect()}
+    assert got == {str(k) for k, _ in b2}
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=16
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edges_strategy)
+def test_closure_matches_bfs(spark, edges):
+    """transitive_closure == min-hop BFS on arbitrary digraphs (cycles and
+    self-loops included), bounded at 4 hops."""
+    eset = {(str(a), str(b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(eset), "src_id string, dst_id string")
+    got = {(r.src_id, r.dst_id): r.hops for r in transitive_closure(df, max_hops=4).collect()}
+
+    adj: dict[str, set[str]] = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+    expect: dict[tuple[str, str], int] = {}
+    for start in adj:
+        dist: dict[str, int] = {}
+        frontier = {start}
+        for hop in range(1, 5):
+            frontier = {n for f in frontier for n in adj.get(f, ())}
+            frontier = {n for n in frontier if n not in dist}
+            for n in frontier:
+                dist[n] = hop
+            if not frontier:
+                break
+        for n, h in dist.items():
+            expect[(start, n)] = h
+    assert got == expect

@@ -26,3 +26,25 @@ def test_sessionize_runs(spark, sf_dir):
     rows = result.collect()
     assert rows
     assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import stateful_user_totals
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_available_now(
+        stateful_user_totals(stream), "stateful_test", output_mode="update"
+    )
+    got = {tuple(r) for r in result.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    assert got == {tuple(r) for r in batch.collect()}
