@@ -31,7 +31,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
+    "similarity_ann_ivf",
+    "events_session_window",
     "text_token_stats",
 ]
 

@@ -130,6 +130,29 @@ def test_principal_allowed_grid_semantics(spark):
     assert ("iam:CreateUser", False) in got   # explicit deny wins over allow
 
 
+def test_introspection(spark):
+    from cartography_spark.introspection import catalog_summary, describe_schema, schemas_to_df
+    from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    info = describe_schema(SUPPLIER_SCHEMA)
+    assert info.label == "Supplier"
+    assert {p.name for p in info.properties} >= {"id", "name", "acctbal"}
+    rel_by_label = {r.rel_label: r for r in info.relationships}
+    assert rel_by_label["RESOURCE"].is_sub_resource
+    assert rel_by_label["RESOURCE"].direction == "INWARD"
+    assert rel_by_label["LOCATED_IN"].target_label == "Nation"
+    assert "HIGH_BALANCE" in info.extra_labels
+
+    df = schemas_to_df(spark, [SUPPLIER_SCHEMA])
+    assert df.filter("property = 'acctbal' AND source_column = 's_acctbal'").count() == 1
+
+    cat = base_catalog(spark, SF_SMOKE)
+    summary = {r.name: r.n_rows for r in catalog_summary(cat).collect()}
+    assert summary["Region"] == 5
+    assert "Supplier-[LOCATED_IN]->Nation" in summary
+
+
 def test_session_window_gap_semantics(spark):
     import datetime as dt
 
