@@ -221,10 +221,15 @@ def band_signatures(
     rows = []
     for b in range(bands):
         perms = list(range(b, num_perm, bands))
+        concat = F.concat_ws("_", *[F.col(f"mh{p}").cast("string") for p in perms])
+        # compact the ~100-byte signature string to a 60-bit key so the
+        # bucket self-join shuffles 8-byte longs; md5-derived, so the oracle
+        # computes the identical key (collisions, ~2^-60, would be identical
+        # on both sides too)
         rows.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(f"mh{p}").cast("string") for p in perms]).alias("bsig"),
+                F.conv(F.substring(F.md5(concat), 1, 15), 16, 10).cast("long").alias("bsig"),
             )
         )
     return wide.select(

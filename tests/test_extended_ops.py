@@ -130,6 +130,42 @@ def test_principal_allowed_grid_semantics(spark):
     assert ("iam:CreateUser", False) in got   # explicit deny wins over allow
 
 
+def test_salted_agg_matches_plain(spark):
+    from cartography_spark.operators.skew import salted_agg
+    from cartography_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        (r.l_returnflag, r.n, round(r.total, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.n, round(r.total, 2))
+        for r in salted_agg(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            {"n": F.count("*"), "total": F.sum("l_quantity")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from cartography_spark.operators.skew import salted_join
+    from cartography_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = {tuple(r) for r in li.join(sup, "l_suppkey").collect()}
+    salted = {tuple(r) for r in salted_join(li, sup, ["l_suppkey"], salt_buckets=4).collect()}
+    assert salted == plain
+
+
 def test_introspection(spark):
     from cartography_spark.introspection import catalog_summary, describe_schema, schemas_to_df
     from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
