@@ -56,24 +56,28 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def plane_signs(i: int, dim: int) -> list[float]:
+    """±1 components of hyperplane i: +1 iff md5("i_j") has an even first
+    hex nibble. Computed driver-side with hashlib — bit-identical to an
+    engine-side md5, so oracles reproduce it — and embedded as a literal,
+    so the per-row cost is one dot product instead of ``dim`` md5 calls."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+
+
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0 where
-    h_i[j] = +1 if md5("i_j") has an even first hex nibble else -1.
-    Deterministic, no RNG state — reproducible anywhere md5 exists."""
+    """Random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0 with
+    h_i the md5-derived ±1 vector of :func:`plane_signs`. Deterministic,
+    no RNG state; the sign matrix is a plan constant (at very high dims
+    you'd broadcast it into a pandas-UDF matmul — same signature values)."""
     v = vec_col.cast("array<double>")
     bits = []
     for i in range(n_planes):
-        # component signs for plane i as an array literal expression
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: F.when(
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}_"), j.cast("string"))), 1, 1), 16, 10)
-                .cast("int")
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        comps = F.lit(plane_signs(i, dim)).cast("array<double>")
         dot = F.aggregate(F.zip_with(v, comps, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
         bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     sig = bits[0]
