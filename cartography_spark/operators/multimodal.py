@@ -95,6 +95,54 @@ def resize_stub(images: DataFrame, target_w: int, target_h: int, bin_col: str = 
     return images.mapInPandas(resize, images.schema)
 
 
+FAKE_AUDIO_MAGIC = b"FAUD"
+AUDIO_RATE = 16000
+
+
+def synthesize_audio_column(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake audio bytes per doc: an 8-byte header (magic +
+    sample rate) + md5(text) as the 16 'samples'."""
+    header = F.concat(F.lit(FAKE_AUDIO_MAGIC), _int_be(F.lit(AUDIO_RATE)))
+    return docs.select(
+        F.col(id_col), F.concat(header, F.unhex(F.md5(F.col(text_col)))).alias("audio")
+    )
+
+
+def extract_audio_features(audio: DataFrame, bin_col: str = "audio", id_col: str = "doc_id") -> DataFrame:
+    """Audio feature extraction through Arrow-batched mapInPandas:
+    (sample_rate, n_samples, duration_ms, mean_amplitude). STUB decodes the
+    fake format; a real impl would call soundfile/librosa in the same batch
+    loop — the plan (narrow, no shuffle, Arrow transport) is identical."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(payload):
+            if payload is None or len(payload) < 8 or payload[:4] != FAKE_AUDIO_MAGIC:
+                return (0, 0, 0.0, 0.0)
+            rate = struct.unpack(">I", payload[4:8])[0]
+            samples = payload[8:]
+            n = len(samples)
+            dur = n * 1000.0 / rate if rate else 0.0
+            mean_amp = sum(samples) / n if n else 0.0
+            return (rate, n, dur, mean_amp)
+
+        for pdf in batches:
+            m = pdf[bin_col].map(feats)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": m.map(lambda t: t[0]),
+                    "n_samples": m.map(lambda t: t[1]),
+                    "duration_ms": m.map(lambda t: t[2]),
+                    "mean_amplitude": m.map(lambda t: t[3]),
+                }
+            )
+
+    schema = f"{id_col} long, sample_rate int, n_samples int, duration_ms double, mean_amplitude double"
+    return audio.mapInPandas(extract, schema)
+
+
 def frame_sample_stub(videos: DataFrame, every_n: int, bin_col: str = "video", id_col: str = "doc_id") -> DataFrame:
     """Frame-sampling contract for video: emits one row per sampled frame
     (explode-shaped mapInPandas). STUB: frames are 16-byte slices of the

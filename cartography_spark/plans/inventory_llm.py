@@ -369,6 +369,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           16000 AS sample_rate,
+           16 AS n_samples,
+           1.0 AS duration_ms,
+           list_aggregate(list_transform(generate_series(1, 16),
+               i -> ('0x' || substring(md5(text), 2*i - 1, 2))::BIGINT), 'sum') / 16.0
+             AS mean_amplitude
+    FROM documents
+    """,
+    doc="Audio plumbing: binary waveform column (deterministic fake "
+    "payload: md5 bytes as samples) -> Arrow-batched mapInPandas feature "
+    "extraction (rate, samples, duration, mean amplitude); the oracle "
+    "recomputes the features from the md5 bytes independently.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = mm.synthesize_audio_column(_docs(spark, sf_dir))
+    return mm.extract_audio_features(audio)
+
+
+@query(
     "permission_wildcard_eval",
     oracle="""
     WITH statements(pattern, effect) AS (
