@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the scale guarantees the operators are
+designed around — predicate pushdown reaching the scan, column pruning,
+broadcast joins for small dims, no accidental cartesian products — pinned
+so a refactor can't silently regress them. (Assertions are kept robust to
+Spark-version plan-format drift: presence/absence checks, not golden
+strings.)"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _registry():
+    from cartography_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    return REGISTRY
+
+
+def test_pushdown_reaches_scan(spark):
+    """The date-range filter of the multihop revenue query must be pushed
+    into the parquet scan, and the lineitem scan must prune to the few
+    referenced columns."""
+    reg = _registry()
+    plan = _plan(reg["multihop_join_revenue"].spark(spark, SF_SMOKE))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and all(len(s.split(",")) <= 6 for s in li)  # pruned, not SELECT *
+
+
+def test_small_dims_broadcast(spark):
+    """Dimension joins (region/nation/supplier at fixture scale) must be
+    broadcast — a sort-merge join on a small dim means a wasted shuffle."""
+    reg = _registry()
+    plan = _plan(reg["multihop_join_revenue"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_accidental_cartesian(spark):
+    """Everything except the explicit cartesian-link operator must avoid
+    CartesianProduct / BroadcastNestedLoopJoin-without-condition plans."""
+    reg = _registry()
+    for name in [
+        "multihop_join_revenue",
+        "exists_semijoin",
+        "one_to_many_membership_join",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+    ]:
+        plan = _plan(reg[name].spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semijoin_planned_for_exists(spark):
+    """EXISTS subqueries must plan as semi/anti joins, not inner joins with
+    dedup."""
+    reg = _registry()
+    assert "Semi" in _plan(reg["exists_semijoin"].spark(spark, SF_SMOKE))
+    assert "Anti" in _plan(reg["not_exists_antijoin"].spark(spark, SF_SMOKE))
+
+
+def test_dedup_explode_is_parallel(spark):
+    """The shingle pipeline must repartition before the explode so a
+    single-file input cannot serialize the heavy work onto one task."""
+    from cartography_spark.operators.dedup import doc_shingles
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = doc_shingles(docs)
+    assert "Exchange hashpartitioning(doc_id" in _plan(sh)
+
+
+def test_aggregates_partial_before_shuffle(spark):
+    """groupBy aggregates must keep map-side partial aggregation (the
+    HashAggregate -> Exchange -> HashAggregate shape)."""
+    reg = _registry()
+    plan = _plan(reg["agg_pricing_summary"].spark(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
