@@ -266,10 +266,23 @@ def lsh_candidate_pairs(
     # materialize once: the a/b self-join would otherwise recompute the
     # whole shingle->hash->min pipeline twice (docs x bands rows — small)
     band_sig = band_sig.localCheckpoint(eager=True)
-    a = band_sig.select(F.col(id_col).alias("a"), "band", "bsig")
-    b = band_sig.select(F.col(id_col).alias("b"), "band", "bsig")
+    # Hot-bucket defense: the join key IS the bucket, so a bucket with k
+    # docs sends all k rows to ONE reducer that then emits k^2/2 pairs —
+    # AQE can't split it (input bytes are tiny; the OUTPUT explodes).
+    # Group-replication: side B carries its group g = hash(id) % G in the
+    # join key; side A is replicated across all G group values. Every pair
+    # still meets exactly once (in the partition keyed by g(b)), but a hot
+    # bucket's pair generation now spreads over G reducers. A-side rows
+    # multiply by G — bounded (docs x bands x G) and tiny next to the pairs.
+    G = 8
+    a = band_sig.select(F.col(id_col).alias("a"), "band", "bsig").withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(G - 1)).cast("array<int>"))
+    )
+    b = band_sig.select(F.col(id_col).alias("b"), "band", "bsig").withColumn(
+        "g", F.pmod(F.hash("b"), F.lit(G)).cast("int")
+    )
     return (
-        a.join(b, ["band", "bsig"])
+        a.join(b, ["band", "bsig", "g"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
