@@ -67,6 +67,17 @@ class GraphCatalog:
             dict(self.partition_cols),
         )
 
+    def checkpoint(self) -> None:
+        """Truncate plan lineage on every table. Each sync stage chains a
+        full-outer merge over the previous table; after many stages Catalyst
+        replans the whole chain per action (quadratic). Call between stages
+        (or rely on ``save``/``load`` which truncates via parquet) — the
+        reference gets this implicitly because Neo4j persists every write."""
+        for label, df in list(self.nodes.items()):
+            self.nodes[label] = df.localCheckpoint(eager=True)
+        for key, df in list(self.edges.items()):
+            self.edges[key] = df.localCheckpoint(eager=True)
+
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -130,6 +130,26 @@ def test_principal_allowed_grid_semantics(spark):
     assert ("iam:CreateUser", False) in got   # explicit deny wins over allow
 
 
+def test_catalog_checkpoint_preserves_state(spark):
+    """Many chained syncs + checkpoint: results identical, lineage cut."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.operators.upsert import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+
+    schema = NodeSchema(
+        label="T", properties={"id": PropertyRef("k"), "v": PropertyRef("v")}, scoped_cleanup=False
+    )
+    cat = GraphCatalog(spark)
+    for tag in range(1, 6):
+        batch = spark.createDataFrame([(i, tag) for i in range(10)], "k int, v int")
+        load(cat, schema, batch, tag)
+        cat.checkpoint()
+    rows = {(r.id, r.v, r.firstseen, r.lastupdated) for r in cat.node("T").collect()}
+    assert rows == {(str(i), 5, 1, 5) for i in range(10)}
+    # lineage is truncated: the plan no longer contains the join chain
+    assert "Scan ExistingRDD" in cat.node("T")._jdf.queryExecution().executedPlan().toString()
+
+
 def test_salted_agg_matches_plain(spark):
     from cartography_spark.operators.skew import salted_agg
     from cartography_spark.sources.parquet import load_table
