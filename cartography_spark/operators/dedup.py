@@ -324,6 +324,47 @@ def simhash(
     )
 
 
+def cluster_min_label(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pair sets -> clusters: bounded min-label propagation.
+
+    After round k every vertex holds the minimum id within its k-hop
+    neighborhood (label_{k+1}(v) = min(label_k(v), min over neighbors)), so
+    ``max_iter`` rounds give exact connected components for any component
+    whose radius from its minimum-id vertex is <= max_iter — near-dup
+    clusters are dense (LSH/Jaccard pairs), so small bounds converge.
+    Each round is one shuffle (join + min-agg); lineage is checkpointed per
+    round. Returns (id, cluster, keep) — keep marks the canonical doc.
+    """
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    und = und.distinct().localCheckpoint(eager=True)
+    labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.v)
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(F.col("v"), F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("lbl").alias("cluster"),
+        (F.col("v") == F.col("lbl")).alias("keep"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -124,6 +124,47 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    r AS (
+      SELECT doc_id AS v, doc_id AS lbl, 0 AS hops FROM documents
+      UNION
+      SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster, (min(lbl) = v) AS keep
+    FROM r GROUP BY v
+    """,
+    doc="Near-dup clustering: Jaccard>=0.5 pairs -> connected components "
+    "via bounded min-label propagation (6 rounds = min id within 6 hops; "
+    "exact for clusters with radius<=6 from their canonical doc) -> keep "
+    "flag on the canonical (minimum-id) document per cluster — the step a "
+    "real dedup pipeline runs after pair generation.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=("lang",))
+    return dd.cluster_min_label(pairs, docs, max_iter=6)
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (

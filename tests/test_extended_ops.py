@@ -76,6 +76,19 @@ def test_add_to_set_idempotent(spark):
     assert rows["2"] == []
 
 
+def test_cluster_min_label_components(spark):
+    from cartography_spark.operators.dedup import cluster_min_label
+
+    # two components: {1,2,3} (chain) and {7,8}; 9 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long")
+    got = {(r.doc_id, r.cluster, r.keep) for r in cluster_min_label(pairs, verts, max_iter=4).collect()}
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (7, 7, True), (8, 7, False), (9, 9, True),
+    }
+
+
 def test_embedding_near_dup_finds_injected_copy(spark):
     from cartography_spark.operators.dedup import embedding_near_dup_pairs
 
