@@ -101,7 +101,6 @@ def lsh_ann_topk(
     so results are still exactly checkable."""
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
     with_sig = embeddings.withColumn("__sig", sig)
-    qdf_sig_row = None  # computed relationally below to stay set-based
     q = F.lit(query_vec).cast("array<double>")
     qsig = hyperplane_signature(q, dim, n_planes)
     bucket = with_sig.filter(F.col("__sig") == qsig)
