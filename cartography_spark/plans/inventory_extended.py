@@ -424,6 +424,53 @@ def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rules_library_run",
+    oracle="""
+    SELECT 'neg-balance-high-value-customers' AS fact_id,
+           CAST((SELECT count(DISTINCT c_custkey) FROM customer
+                 WHERE c_acctbal < 0 AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)) AS BIGINT) AS failing,
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+             - CAST((SELECT count(DISTINCT c_custkey) FROM customer
+                 WHERE c_acctbal < 0 AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)) AS BIGINT) AS passing,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS total
+    UNION ALL
+    SELECT 'asia-negative-suppliers',
+           (SELECT count(DISTINCT s_suppkey) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND s_acctbal < 0),
+           (SELECT count(*) FROM supplier)
+             - (SELECT count(DISTINCT s_suppkey) FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND s_acctbal < 0),
+           (SELECT count(*) FROM supplier)
+    UNION ALL
+    SELECT 'customers-without-orders',
+           (SELECT count(*) FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM customer
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+           (SELECT count(*) FROM customer)
+    """,
+    doc="Rule library end-to-end (the reference's rules corpus shapes: "
+    "EXISTS-subquery, multi-hop tenancy scope, NOT-EXISTS anti-join) run "
+    "through the Fact/Rule engine with compliance math per fact.",
+    tags=("engine", "rules"),
+)
+def q_rules_library_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.rules import compliance_summary
+    from cartography_spark.plans.rules_library import ACCOUNT_HYGIENE
+
+    cat = base_catalog(spark, sf_dir)
+    return compliance_summary(ACCOUNT_HYGIENE.run(cat))
+
+
+@query(
     "streaming_stateful_totals",
     oracle="""
     SELECT user_id, count(*) AS n_events,

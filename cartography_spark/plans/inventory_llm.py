@@ -389,6 +389,64 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_llm_prep",
+    oracle=rf"""
+    WITH d AS ({_DUPES_SQL}),
+    t AS (
+      SELECT doc_id, lang, text, lower(text) AS lt,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM d
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least((length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) / greatest(length(lt), 1)) * 5, 1.0))
+                 + 0.3 * least((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) / greatest(len(toks), 1)) * 5, 1.0), 6) AS quality
+      FROM t
+    ),
+    kept AS (
+      SELECT t.doc_id, t.lang, t.text, q.quality
+      FROM t JOIN q USING (doc_id) WHERE q.quality >= 0.5
+    ),
+    h AS (SELECT doc_id, md5(text) AS hh FROM kept),
+    g AS (SELECT hh, min(doc_id) AS keeper FROM h GROUP BY hh),
+    fin AS (
+      SELECT kept.* FROM kept JOIN h USING (doc_id) JOIN g USING (hh)
+      WHERE doc_id = keeper
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+           max(quality) AS max_quality
+    FROM fin GROUP BY lang
+    """,
+    doc="End-to-end LLM data-prep pipeline: quality filter (>=0.5) -> "
+    "exact dedup keeping canonical docs -> per-language corpus stats "
+    "(doc count, exact total BPE-ish tokens, max quality) — the composed "
+    "workflow a training-data pipeline runs, verified end-to-end as one "
+    "plan (Catalyst fuses the three stages; only the dedup groupBy and the "
+    "final aggregation shuffle).",
+    tags=("llm", "pipeline"),
+)
+def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dupes(spark, sf_dir)
+    quality = ts.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(quality.filter(F.col("quality") >= 0.5), "doc_id")
+    keepers = dd.exact_dedup(kept).filter("keep").select("doc_id")
+    fin = kept.join(keepers, "doc_id")
+    stats = ts.token_stats(fin).select("doc_id", "n_bpe_tokens")
+    return (
+        fin.join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
+@query(
     "multimodal_decode_meta",
     oracle="""
     SELECT doc_id,
