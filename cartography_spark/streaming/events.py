@@ -70,6 +70,20 @@ def sessionize(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 h
     )
 
 
+def stream_dedupe(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on event ids with watermark-BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes it, so state is proportional to the
+    watermark window, not the stream's lifetime — the only dedup shape that
+    survives an unbounded stream. (Batch dropDuplicates semantics, applied
+    to at-least-once sources.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a running
     per-user (event count, value total) kept in the state store across

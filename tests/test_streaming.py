@@ -28,6 +28,26 @@ def test_sessionize_runs(spark, sf_dir):
     assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
 
 
+def test_stream_dedupe_drops_replays(spark, sf_dir, tmp_path):
+    """Duplicate the events file in the stream directory (simulating an
+    at-least-once source replay): streaming dedup must restore the exact
+    original row set."""
+    import os
+
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import stream_dedupe
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, d / "a.parquet")
+    os.symlink(src, d / "b.parquet")  # replayed copy
+    stream = read_events_stream(spark, str(d))
+    result = run_available_now(stream_dedupe(stream), "dedupe_test", output_mode="append")
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert result.count() == n_unique
+
+
 def test_stateful_totals_match_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
