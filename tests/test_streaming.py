@@ -48,6 +48,31 @@ def test_stream_dedupe_drops_replays(spark, sf_dir, tmp_path):
     assert result.count() == n_unique
 
 
+def test_stream_upsert_into_catalog(spark, sf_dir):
+    """readStream -> foreachBatch -> the real upsert: after the stream
+    drains, the catalog holds one EventUser node per distinct user with
+    engine lifecycle columns."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.schema import NodeSchema, PropertyRef
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.ingest import run_stream_upsert
+
+    schema = NodeSchema(
+        label="EventUser",
+        properties={"id": PropertyRef("user_id")},
+        scoped_cleanup=False,
+    )
+    cat = GraphCatalog(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_upsert(cat, schema, stream)
+    node = cat.node("EventUser")
+    n_expected = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert node.count() == n_expected
+    assert {"id", "firstseen", "lastupdated"} <= set(node.columns)
+
+
 def test_stateful_totals_match_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
