@@ -323,6 +323,87 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           ROUND(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (absent in the reference — SURVEY §2.4 "
+    "notes grouping sets come free with Spark SQL): subtotals per "
+    "returnflag and a grand total in one pass (partial aggregation over "
+    "the grouping-set expansion).",
+    tags=("agg", "bonus"),
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long->wide cross-tab): order counts per priority x status "
+    "via groupBy().pivot() with an explicit value list (one pass, no "
+    "second 'distinct values' job).",
+    tags=("agg", "bonus"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f"),
+            F.coalesce("O", F.lit(0)).alias("o"),
+            F.coalesce("P", F.lit(0)).alias("p"),
+        )
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation (operators/skew.py): hot grouping "
+    "keys spread over salt buckets before the final combine — result "
+    "identical to the plain groupBy (the oracle).",
+    tags=("agg", "skew"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return salted_agg(
+        li, ["l_returnflag"], {"n": F.count("*"), "total_qty": F.sum("q")}, salt_buckets=16
+    )
+
+
+@query(
     "closure_multi_rel_zero",
     oracle="""
     WITH RECURSIVE e AS (
