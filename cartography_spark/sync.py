@@ -26,12 +26,23 @@ StageFunc = Callable[[GraphCatalog, dict[str, Any]], None]
 class Sync:
     """Ordered stages, run sequentially; ``best_effort`` aggregates stage
     errors instead of failing fast (the reference does both: stages fail
-    fast in Sync.run, accounts aggregate in _sync_multiple_accounts)."""
+    fast in Sync.run, accounts aggregate in _sync_multiple_accounts).
+
+    ``requires`` implements dependency gating
+    (util.py run_analysis_and_ensure_deps :145+; orchestration
+    intel/aws/__init__.py:712-787): a stage listing prerequisites is
+    SKIPPED — not failed — unless every prerequisite stage ran
+    successfully in this sync. Skipped stages are reported so callers can
+    distinguish "gated off" from "errored".
+    """
 
     stages: dict[str, StageFunc] = field(default_factory=dict)
+    requires: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
-    def add_stage(self, name: str, fn: StageFunc) -> None:
+    def add_stage(self, name: str, fn: StageFunc, requires: tuple[str, ...] = ()) -> None:
         self.stages[name] = fn
+        if requires:
+            self.requires[name] = tuple(requires)
 
     def run(
         self,
@@ -43,9 +54,17 @@ class Sync:
         # default update_tag = epoch seconds (sync.py:494-496)
         config.setdefault("UPDATE_TAG", int(time.time()))
         errors: dict[str, Exception] = {}
+        succeeded: set[str] = set()
+        self.skipped: list[str] = []
         for name, fn in self.stages.items():
+            deps = self.requires.get(name, ())
+            missing = [d for d in deps if d not in succeeded]
+            if missing:
+                self.skipped.append(name)
+                continue
             try:
                 fn(catalog, config)
+                succeeded.add(name)
             except Exception as exc:
                 if not best_effort:
                     raise RuntimeError(f"sync stage {name!r} failed") from exc

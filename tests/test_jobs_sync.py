@@ -88,3 +88,27 @@ def test_sync_stages_and_metadata(spark, sf_dir):
 
     with pytest.raises(RuntimeError, match="stage 'fail' failed"):
         s.run(cat, {"UPDATE_TAG": 1001}, best_effort=False)
+
+
+def test_sync_dependency_gating(spark, sf_dir):
+    """A stage with unmet prerequisites is SKIPPED, not failed
+    (run_analysis_and_ensure_deps semantics)."""
+    cat = base_catalog(spark, sf_dir)
+    ran = []
+
+    def ok(name):
+        return lambda c, cfg: ran.append(name)
+
+    def failing(c, cfg):
+        raise ValueError("boom")
+
+    s = Sync()
+    s.add_stage("ingest", ok("ingest"))
+    s.add_stage("broken", failing)
+    s.add_stage("analysis", ok("analysis"), requires=("ingest",))
+    s.add_stage("gated-off", ok("gated-off"), requires=("broken",))
+
+    errors = s.run(cat, best_effort=True)
+    assert ran == ["ingest", "analysis"]
+    assert list(errors) == ["broken"]
+    assert s.skipped == ["gated-off"]
