@@ -389,6 +389,35 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_hash",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY lang, split
+    """,
+    doc="Deterministic train/val/test split (80/10/10) via salted-md5 hash "
+    "buckets: membership is a pure function of the doc id — stable across "
+    "runs, engines, repartitions and incremental re-syncs, unlike "
+    "df.sample(). Counts per (lang, split) verify stratification.",
+    tags=("llm", "sampling"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import assign_splits
+
+    docs = _docs(spark, sf_dir)
+    return assign_splits(docs, id_col="doc_id").groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
     "pipeline_llm_prep",
     oracle=rf"""
     WITH d AS ({_DUPES_SQL}),

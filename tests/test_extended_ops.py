@@ -76,6 +76,26 @@ def test_add_to_set_idempotent(spark):
     assert rows["2"] == []
 
 
+def test_hash_split_stability(spark):
+    """Split membership is a pure function of id: re-assignment on a
+    subset or a repartitioned frame never moves a row between splits, and
+    weights land within tolerance."""
+    from cartography_spark.operators.sampling import assign_splits, hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    full = {r.doc_id: r.split for r in assign_splits(df).collect()}
+    subset = df.filter(F.col("doc_id") % 3 == 0).repartition(7)
+    again = {r.doc_id: r.split for r in assign_splits(subset).collect()}
+    assert all(full[k] == v for k, v in again.items())
+    frac = sum(1 for v in full.values() if v == "train") / len(full)
+    assert 0.75 < frac < 0.85
+    # deterministic sample: same rows every time
+    s1 = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+    s2 = {r.doc_id for r in hash_sample(df.repartition(5), 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+
+
 def test_cluster_min_label_components(spark):
     from cartography_spark.operators.dedup import cluster_min_label
 
