@@ -73,15 +73,31 @@ def upsert_nodes(
     batch: DataFrame,
     update_tag: int,
     params: dict[str, Any] | None = None,
+    scope_col: str | None = None,
+    scope_value: Any | None = None,
 ) -> DataFrame:
     """MERGE the projected batch into the catalog's node table for
-    ``schema.label``; returns the new table (also stored in the catalog)."""
+    ``schema.label``; returns the new table (also stored in the catalog).
+
+    ``scope_col``/``scope_value`` enable the tenant-scoped fast path: only
+    the touched tenant's slice joins the batch; every other tenant's rows
+    pass through untouched with no shuffle. On a table partitioned by
+    ``scope_col`` (catalog.partition_cols) both branches are partition-
+    pruned scans, so a one-tenant sync over a 1000-tenant warehouse
+    shuffles 1/1000th of the data — the Spark analogue of the reference
+    syncing one account at a time against Neo4j indexes
+    (intel/aws/__init__.py:598-684 per-account loop).
+    """
     incoming = project_batch(batch, schema, update_tag, params).withColumn(
         "firstseen", F.lit(update_tag).cast("long")
     )
     existing = catalog.nodes.get(schema.label)
     if existing is None:
         merged = incoming
+    elif scope_col is not None and scope_col in existing.columns:
+        touched = existing.filter(F.col(scope_col).eqNullSafe(F.lit(scope_value)))
+        untouched = existing.filter(~F.col(scope_col).eqNullSafe(F.lit(scope_value)))
+        merged = untouched.unionByName(_merge(touched, incoming), allowMissingColumns=True)
     else:
         merged = _merge(existing, incoming)
     catalog.nodes[schema.label] = merged
@@ -231,10 +247,14 @@ def load(
     batch: DataFrame,
     update_tag: int,
     params: dict[str, Any] | None = None,
+    scope_col: str | None = None,
+    scope_value: Any | None = None,
 ) -> DataFrame:
     """The reference's ``load()`` (client/core/tx.py:783-845): upsert nodes,
     then attach all declared relationships. Nodes commit before edges so
-    edges always reference existing ids (SURVEY §7.3 atomicity note)."""
-    merged = upsert_nodes(catalog, schema, batch, update_tag, params)
+    edges always reference existing ids (SURVEY §7.3 atomicity note).
+    ``scope_col``/``scope_value`` select the tenant-scoped merge fast path
+    (see :func:`upsert_nodes`)."""
+    merged = upsert_nodes(catalog, schema, batch, update_tag, params, scope_col, scope_value)
     attach_relationships(catalog, schema, batch, update_tag, params)
     return merged

@@ -76,6 +76,41 @@ def test_add_to_set_idempotent(spark):
     assert rows["2"] == []
 
 
+def test_tenant_scoped_upsert_fast_path(spark):
+    """Scoped merge: only the touched tenant's slice joins the batch;
+    other tenants' rows pass through bit-identical, and the merge result
+    equals the unscoped merge for the same batch."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.operators.upsert import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+
+    schema = NodeSchema(
+        label="T",
+        properties={"id": PropertyRef("k"), "v": PropertyRef("v"), "tenant": PropertyRef("tenant")},
+        scoped_cleanup=False,
+    )
+    rows = [(i, 0, str(i % 3)) for i in range(30)]
+    base = spark.createDataFrame(rows, "k int, v int, tenant string")
+    batch = spark.createDataFrame(
+        [(i, 99, "1") for i in range(30) if i % 3 == 1], "k int, v int, tenant string"
+    )
+
+    scoped, unscoped = GraphCatalog(spark), GraphCatalog(spark)
+    for cat in (scoped, unscoped):
+        load(cat, schema, base, 1)
+    load(scoped, schema, batch, 2, scope_col="tenant", scope_value="1")
+    load(unscoped, schema, batch, 2)
+
+    def state(cat):
+        return {(r.id, r.v, r.tenant, r.firstseen, r.lastupdated) for r in cat.node("T").collect()}
+
+    assert state(scoped) == state(unscoped)
+    # tenant-1 rows updated at T2; others untouched at T1
+    got = state(scoped)
+    assert (str(1), 99, "1", 1, 2) in got
+    assert (str(0), 0, "0", 1, 1) in got
+
+
 def test_hash_split_stability(spark):
     """Split membership is a pure function of id: re-assignment on a
     subset or a repartitioned frame never moves a row between splits, and
