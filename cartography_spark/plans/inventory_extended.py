@@ -323,6 +323,54 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+    doc="Analytic window FRAME (absent in the reference — SURVEY §2.5): "
+    "4-row moving average per user with a deterministic (ts, event_id) "
+    "ordering; one shuffle on user_id, sorted within partitions.",
+    tags=("window", "bonus"),
+)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mavg")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation): median and p95 per "
+    "group — Spark percentile == DuckDB quantile_cont; sort-based exact "
+    "aggregation, one shuffle.",
+    tags=("agg", "bonus"),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95_qty"),
+    )
+
+
+@query(
     "rollup_pricing",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
