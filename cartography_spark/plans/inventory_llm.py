@@ -124,6 +124,42 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-duplicate pairs: hamming distance <= 3 over the "
+    "32-bit fingerprints, blocked on the top byte so the self-join probes "
+    "256 buckets instead of the cross product (at 64-bit scale you'd use "
+    "4 rotated-table blocks — same plan shape).",
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dd.simhash(_docs(spark, sf_dir), bits=32)
+    return dd.simhash_near_pairs(fp, max_hamming=3)
+
+
+@query(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE sh AS (
