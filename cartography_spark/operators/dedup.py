@@ -37,15 +37,17 @@ def portable_hash32(col: Column, salt: Column | str | int | None = None) -> Colu
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per identical text hash.
-    Returns (doc_id, keep, group_size)."""
+    Returns (doc_id, keep, group_size). Null texts form their own group
+    (null-safe join) — a plain equi-join would silently DROP null-text
+    docs from the report, losing rows in a data-quality pass."""
     h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
     grp = h.groupBy("h").agg(F.min(id_col).alias("keeper"), F.count("*").alias("group_size"))
     return (
-        h.join(grp, "h")
+        h.alias("h").join(grp.alias("g"), F.col("h.h").eqNullSafe(F.col("g.h")))
         .select(
-            F.col(id_col),
-            (F.col(id_col) == F.col("keeper")).alias("keep"),
-            "group_size",
+            F.col(f"h.{id_col}").alias(id_col),
+            (F.col(f"h.{id_col}") == F.col("g.keeper")).alias("keep"),
+            F.col("g.group_size").alias("group_size"),
         )
     )
 
