@@ -512,6 +512,43 @@ def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+      FROM counts
+    )
+    SELECT lang, tok, n, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Corpus frequency analysis: top-5 tokens per language (the Zipf "
+    "head) — token explode, map-side-combined counts, per-language top-k "
+    "window with deterministic (count desc, token asc) tie-break.",
+    tags=("llm", "text"),
+)
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "n", "rnk")
+    )
+
+
+@query(
     "multimodal_decode_meta",
     oracle="""
     SELECT doc_id,
