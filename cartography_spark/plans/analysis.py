@@ -74,7 +74,13 @@ class AddToSet:
         table = catalog.node(self.target_label)
         has = self.prop in table.columns
         joined = table.join(vals, "id", "left")
-        base = F.col(self.prop) if has else F.array().cast("array<string>")
+        # empty-array base must match the VALUE's element type (an
+        # array<string> literal would fail to concat with e.g. int sets)
+        base = (
+            F.col(self.prop)
+            if has
+            else F.array().cast(vals.schema["__vs"].dataType.simpleString())
+        )
         newcol = F.array_distinct(
             F.concat(F.coalesce(base, F.array()), F.coalesce(F.col("__vs"), F.array()))
         )

@@ -54,6 +54,22 @@ def test_add_to_set_dedup(spark, sf_dir):
     assert all(r.tags == ["tag-a"] for r in rows), "AddToSet must dedup across reruns"
 
 
+def test_add_to_set_non_string_values(spark, sf_dir):
+    # the empty-array base must adopt the value's element type (int here) —
+    # a hardcoded array<string> base would fail to concat
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher(c):
+        return c.node("Supplier").select(
+            F.col("id").alias("sid"), F.col("s_nationkey").cast("int").alias("v")
+        )
+
+    eff = AddToSet("Supplier", "sid", "nation_set", F.col("v"))
+    AnalysisJob("t", (AnalysisStatement(matcher, (eff,)),)).run(cat, 200)
+    rows = cat.node("Supplier").select("s_nationkey", "nation_set").collect()
+    assert all(r.nation_set == [r.s_nationkey] for r in rows)
+
+
 def test_set_relationship_property(spark, sf_dir):
     cat = base_catalog(spark, sf_dir)
     key = ("Supplier", "LOCATED_IN", "Nation")
