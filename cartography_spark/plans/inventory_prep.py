@@ -1,0 +1,173 @@
+"""Training-data preparation inventory: repetition filtering, PII
+scrubbing, context-window chunking, sequence packing, and benchmark
+contamination — the post-dedup stages of an LLM data pipeline, each
+oracle-verified against DuckDB on the documents table.
+
+All Spark plans are UDF-free (whole-stage codegen); see
+operators/textprep.py for the 100 TB scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.operators import textprep as tp
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_repetition_stats",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, toks, greatest(len(toks), 1) AS n,
+             [toks[i] || ' ' || toks[i+1]
+              FOR i IN generate_series(1, greatest(len(toks) - 1, 0))] AS bigrams,
+             list_aggregate(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u))), 'max') AS top_n
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id,
+             top_n / n AS twf,
+             CASE WHEN len(bigrams) > 0
+                  THEN (len(bigrams) - len(list_distinct(bigrams))) / len(bigrams)
+                  ELSE 0.0 END AS dbf,
+             len(list_distinct(toks)) / n AS dtr
+      FROM m
+    )
+    SELECT doc_id, ROUND(twf, 6) AS top_word_frac, ROUND(dbf, 6) AS dup_bigram_frac,
+           ROUND(dtr, 6) AS distinct_token_ratio,
+           (twf > 0.2 OR dbf > 0.3) AS repetitive
+    FROM f
+    """,
+    doc="Gopher-style repetition filter: top-token fraction, duplicate "
+    "word-bigram fraction, distinct-token ratio — all computed inside the "
+    "row (narrow map, zero shuffle), the cheap pre-training degeneracy "
+    "filter.",
+    tags=("llm", "text"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id % 100 AS VARCHAR) || '@example.com'
+                  || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS t
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(t,
+                 '{tp.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{tp.PHONE_RE}', '<PHONE>', 'g') AS r2
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{tp.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{tp.PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(r2, '{tp.IPV4_RE}')) AS INT) AS n_ips,
+           md5(regexp_replace(r2, '{tp.IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM r
+    """,
+    doc="PII scrubbing: synthesize deterministic email/phone/IPv4 (fake "
+    "payload, real plumbing — the corpus has none), then regex-redact with "
+    "typed placeholders and per-type counts; md5 of the redacted text "
+    "verifies the exact replacement output. Narrow map, zero shuffle.",
+    tags=("llm", "text"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.scrub_pii(tp.synthesize_pii_column(_docs(spark, sf_dir)))
+
+
+@query(
+    "doc_chunking",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 15)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 15 AS INT) AS chunk_id,
+           CAST(len(toks[start : start + 19]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start : start + 19], ' ')) AS chunk_md5
+    FROM s
+    """,
+    doc="Context-window chunking: overlapping 20-token windows every 15 "
+    "tokens (posexplode of the stride starts, slice per chunk). Row count "
+    "multiplies ~n/stride; callers repartition compact inputs pre-explode.",
+    tags=("llm", "text"),
+)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.chunk_documents(_docs(spark, sf_dir), chunk_tokens=20, stride=15)
+
+
+@query(
+    "sequence_packing",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n FROM documents),
+    b AS (
+      SELECT lang, n,
+             CAST((sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n) // 256 AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT lang, bin, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM b GROUP BY lang, bin
+    """,
+    doc="Sequence packing into 256-token context bins, concatenate-and-"
+    "split convention: bin = running-token-offset // budget within each "
+    "language partition — one window shuffle, deterministic across "
+    "engines/re-runs (unlike greedy bin packing, which is sequential).",
+    tags=("llm", "sampling"),
+)
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i : i + 4], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks) - 4, 0))])) AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    m AS (SELECT g.doc_id, count(*) AS n_matched FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
+    SELECT s.doc_id, s.n_grams,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           ROUND(coalesce(m.n_matched, 0) / s.n_grams, 6) AS contam_frac,
+           (coalesce(m.n_matched, 0) / s.n_grams >= 0.2) AS contaminated
+    FROM sizes s LEFT JOIN m ON s.doc_id = m.doc_id
+    """,
+    doc="Benchmark-contamination check: share of each document's distinct "
+    "word 5-grams that appear in the benchmark set (docs 0-19 stand in for "
+    "an eval suite). Benchmark grams broadcast; corpus side is explode -> "
+    "broadcast left-semi probe -> one count shuffle — no corpus self-join.",
+    tags=("llm", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return tp.contamination_overlap(docs, bench, n=5, threshold=0.2)

@@ -1,0 +1,86 @@
+"""Edge-case tests for the training-data prep operators (textprep.py) —
+the oracle check covers the corpus-wide behavior; these pin degenerate
+inputs: single-token docs, pure repetition, stacked PII, short docs vs
+chunk size, and contamination boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators import textprep as tp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "en", "spam spam spam spam"),
+            (2, "en", "all words here are fully distinct tokens"),
+            (3, "en", "one"),
+        ],
+    )
+    out = {r.doc_id: r for r in tp.repetition_stats(df).collect()}
+    # 3 bigrams, 1 distinct -> (3-1)/3 duplicated
+    assert out[1].repetitive and out[1].top_word_frac == 1.0 and out[1].dup_bigram_frac == 0.666667
+    assert not out[2].repetitive and out[2].distinct_token_ratio == 1.0
+    # single token: no bigrams -> dup fraction 0, not flagged by bigrams
+    assert out[3].dup_bigram_frac == 0.0
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = _docs(
+        spark,
+        [(1, "en", "mail a@b.com and c.d+x@e.org call 555-123-4567 from 192.168.0.1 ok")],
+    )
+    r = tp.scrub_pii(df).collect()[0]
+    assert (r.n_emails, r.n_phones, r.n_ips) == (2, 1, 1)
+    # phone placeholder must not be double-counted as an IP
+    df2 = _docs(spark, [(2, "en", "just 555-000-1111 here")])
+    r2 = tp.scrub_pii(df2).collect()[0]
+    assert (r2.n_emails, r2.n_phones, r2.n_ips) == (0, 1, 0)
+
+
+def test_chunking_covers_all_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(47))
+    df = _docs(spark, [(1, "en", text), (2, "en", "short doc")])
+    chunks = tp.chunk_documents(df, chunk_tokens=20, stride=15).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    # 47 tokens, starts at 1,16,31,46 -> 4 chunks; last has 2 tokens
+    sizes = [c.n_chunk_tokens for c in sorted(by_doc[1], key=lambda c: c.chunk_id)]
+    assert sizes == [20, 20, 17, 2]
+    # doc shorter than one chunk -> exactly one chunk with every token
+    assert [c.n_chunk_tokens for c in by_doc[2]] == [2]
+
+
+def test_pack_sequences_preserves_totals(spark):
+    rows = [(i, "en", " ".join(["w"] * 10)) for i in range(10)]
+    df = _docs(spark, rows)
+    out = tp.pack_sequences(df, budget=25).collect()
+    # 10 docs x 10 tokens, bins split at running offsets 0,10,20|30,40|...
+    assert sum(r.total_tokens for r in out) == 100
+    assert sum(r.n_docs for r in out) == 10
+    bins = {r.bin: r.n_docs for r in out}
+    # offsets 0,10,20 -> bin 0; 30,40 -> bin 1; ... (3,2,3,2 pattern)
+    assert bins[0] == 3 and bins[1] == 2
+
+
+def test_contamination_boundaries(spark):
+    bench = _docs(spark, [(0, "en", "a b c d e f g h")])
+    corpus = _docs(
+        spark,
+        [
+            (0, "en", "a b c d e f g h"),  # the benchmark doc itself
+            (1, "en", "a b c d e x y z q r"),  # shares exactly 1 of 6 grams
+            (2, "en", "p q r s t u v w"),  # disjoint
+        ],
+    )
+    out = {r.doc_id: r for r in tp.contamination_overlap(corpus, bench, n=5).collect()}
+    assert out[0].contaminated and out[0].contam_frac == 1.0
+    assert out[1].n_matched == 1 and not out[1].contaminated
+    assert out[2].n_matched == 0 and not out[2].contaminated and out[2].contam_frac == 0.0
