@@ -79,6 +79,24 @@ def test_dedup_explode_is_parallel(spark):
     assert "Exchange hashpartitioning(doc_id" in _plan(sh)
 
 
+def test_narrow_text_ops_have_no_shuffle(spark):
+    """Per-row prep operators (repetition stats, PII scrub, chunking) must
+    plan as pure narrow maps over the scan — zero Exchange nodes."""
+    reg = _registry()
+    for name in ["text_repetition_stats", "text_pii_scrub", "doc_chunking"]:
+        plan = _plan(reg[name].spark(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+
+
+def test_contamination_probes_broadcast(spark):
+    """The benchmark gram set must broadcast so the corpus side never
+    shuffles for the semi-join probe."""
+    reg = _registry()
+    plan = _plan(reg["contamination_ngram_overlap"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_aggregates_partial_before_shuffle(spark):
     """groupBy aggregates must keep map-side partial aggregation (the
     HashAggregate -> Exchange -> HashAggregate shape)."""
