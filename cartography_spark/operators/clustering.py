@@ -1,0 +1,93 @@
+"""Embedding clustering for corpus curation — distributed Lloyd k-means
+with driver-side centroids.
+
+Scale design: the DATA never leaves the cluster; only the centroid matrix
+(k x dim floats — a few KB) round-trips to the driver each iteration.
+- assign step: argmin over k literal centroid arrays, evaluated JVM-side
+  per row (zip_with/aggregate — no UDF, no shuffle).
+- update step: posexplode(vec) -> groupBy(cluster, dim).avg — one
+  map-side-combinable shuffle of at most k*dim groups per iteration.
+At 100 TB this is exactly the MLlib KMeans dataflow, without the RDD
+legacy: iterations scan the (cached) input, shuffles are tiny.
+
+The final assignment powers semantic dedup / cluster-balanced sampling:
+keep-the-canonical-member-per-cluster (SemDeDup-style) falls out as a
+min(vec_id) over the assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _l2_sq(vec_col: F.Column, centroid: list[float]) -> F.Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, centroids: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, ties -> lowest cluster id):
+    adds ``cluster`` and ``dist_sq`` columns. Pure narrow map."""
+    scored = F.array(
+        *[
+            F.struct(_l2_sq(F.col(vec_col), c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)  # struct compare: (d, c) -> min dist, then min id
+    return emb.withColumn("cluster", best["c"]).withColumn("dist_sq", best["d"])
+
+
+def update_centroids(
+    assigned: DataFrame, k: int, dim: int, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Elementwise mean per cluster, computed distributed then collected
+    (k*dim rows). Empty clusters keep a zero centroid."""
+    means = (
+        assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    cents = [[0.0] * dim for _ in range(k)]
+    for r in means:
+        cents[r["cluster"]][r["dim"]] = r["m"]
+    return cents
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means with deterministic init (the k lowest-id vectors) and
+    a fixed iteration count — reproducible across runs and engines. Returns
+    (vec_id, cluster, dist_sq, keep) where ``keep`` marks the cluster's
+    canonical (lowest-id) member — the SemDeDup keep set."""
+    dim = len(emb.select(vec_col).head()[0])
+    init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    emb = emb.cache()
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(emb, centroids, id_col, vec_col)
+        centroids = update_centroids(assigned, k, dim, vec_col)
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.round(F.col("dist_sq"), 6).alias("dist_sq"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )

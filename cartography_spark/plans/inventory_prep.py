@@ -143,6 +143,60 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_temperature_weights",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+    w AS (SELECT lang, n, n / total AS p, pow(n / total, 0.3) AS pa FROM c CROSS JOIN t),
+    s AS (SELECT sum(pa) AS z FROM w)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(p, 6) AS p_raw,
+           ROUND(pa / z, 6) AS p_sampled,
+           ROUND((pa / z) / p, 6) AS upsample_factor
+    FROM w CROSS JOIN s
+    """,
+    doc="Temperature-resampled language weights (alpha=0.3, the XLM-R / "
+    "mC4 multilingual rebalancing): p^alpha renormalized, upsample factor "
+    "per language. One tiny post-aggregation window — the groupBy shuffle "
+    "is the only data-sized stage.",
+    tags=("llm", "sampling"),
+)
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(wall)
+    step = c.select("lang", "n_docs", p.alias("p"), F.pow(p, 0.3).alias("pa"))
+    z = F.sum("pa").over(wall)
+    return step.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("p"), 6).alias("p_raw"),
+        F.round(F.col("pa") / z, 6).alias("p_sampled"),
+        F.round((F.col("pa") / z) / F.col("p"), 6).alias("upsample_factor"),
+    )
+
+
+@query(
+    "embedding_kmeans",
+    oracle=None,  # iterative algorithm — rows-only check by design
+    doc="Distributed Lloyd k-means over the embeddings table (k=16, 2 "
+    "iterations, deterministic lowest-id init): per-vector cluster "
+    "assignment + SemDeDup-style canonical keep flag. Centroids (k x dim "
+    "floats) are the only driver round-trip; verified by property tests "
+    "(assignment optimality, inertia descent, label purity) instead of the "
+    "SQL oracle — float-mean reduction order differs across engines.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=16, iters=2)
+
+
+@query(
     "contamination_ngram_overlap",
     oracle=rf"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
