@@ -1,0 +1,59 @@
+"""As-of (point-in-time) join — the temporal operator Spark lacks as a
+built-in, expressed as a union-merge instead of a range join.
+
+For each left row, attach the latest right row with the same key and
+``right.ts <= left.ts`` (backward as-of). The naive formulations are a
+theta join (``r.ts <= l.ts`` — quadratic per key) or a windowed
+row_number over that join; both explode at scale. The union-merge trick
+is linear: interleave both sides into one stream ordered by (ts, side)
+within each key, then carry the right side's payload forward with
+``last(ignorenulls)`` — exactly the sorted-merge an ASOF join engine
+(e.g. kdb, DuckDB ASOF) performs, here as ONE hash shuffle on the key +
+a per-partition sort, no join node at all.
+
+Ties: a right row at exactly left.ts is visible (sorts first via the side
+flag); among right rows sharing (key, ts), the highest tie-column value
+wins (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: left columns + ``prefix+ts`` / ``prefix+c`` for
+    each payload column, null when no right row precedes the left row."""
+    lt = left.withColumn("__ts", F.col(ts)).withColumn("__side", F.lit(1)).withColumn(
+        "__tie", F.lit(0).cast("long")
+    )
+    rt = right.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tie_col) if tie_col else F.lit(0)).cast("long").alias("__tie"),
+        F.col(ts).alias(prefix + ts),
+        *[F.col(c).alias(prefix + c) for c in value_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
+        for c in (ts, *value_cols)
+    ]
+    return u.select(*left.columns, F.col("__side"), *carried).filter(F.col("__side") == 1).drop(
+        "__side"
+    )

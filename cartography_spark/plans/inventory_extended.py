@@ -659,3 +659,52 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
         )
     )
+
+
+@query(
+    "asof_join_attribution",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
+             v.ts AS view_ts, v.value AS view_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) AS rn
+      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+    )
+    SELECT click_id, user_id, click_ts, click_value, view_ts, view_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Backward as-of join (operators/asof.py): each click attributed to "
+    "the user's most recent view at-or-before it. Union-merge plan: ONE "
+    "hash shuffle on user_id + per-partition sort + last(ignorenulls) "
+    "carry-forward — linear, vs the oracle's quadratic theta-join + "
+    "row_number formulation.",
+    tags=("window", "temporal"),
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("click_value"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        clicks, views, by="user_id", ts="ts", value_cols=("value",), tie_col="event_id",
+        prefix="view_",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "click_value",
+        F.col("view_ts"),
+        F.col("view_value"),
+    )

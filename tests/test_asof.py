@@ -1,0 +1,51 @@
+"""Edge-semantics tests for the union-merge as-of join: equal-timestamp
+visibility, no-prior-row nulls, and deterministic tie-breaking among
+same-timestamp right rows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from cartography_spark.operators.asof import asof_join_backward
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_semantics(spark):
+    L = "lid long, k long, ts timestamp, lv double"
+    R = "event_id long, k long, ts timestamp, rv double"
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = _df(
+        spark,
+        [
+            (1, 7, t(10), 1.0),  # right rows at 5 and 10 precede; 10 is equal -> visible
+            (2, 7, t(4), 2.0),  # only the row at 3 precedes
+            (3, 7, t(2), 3.0),  # nothing precedes -> nulls
+            (4, 9, t(30), 4.0),  # different key, no right rows at all
+        ],
+        L,
+    )
+    right = _df(
+        spark,
+        [
+            (100, 7, t(3), 30.0),
+            (101, 7, t(5), 50.0),
+            (102, 7, t(10), 77.0),
+            (103, 7, t(10), 99.0),  # same ts as 102 -> higher event_id wins
+        ],
+        R,
+    )
+    out = {
+        r.lid: r
+        for r in asof_join_backward(
+            left, right, by="k", ts="ts", value_cols=("rv",), tie_col="event_id"
+        ).collect()
+    }
+    assert out[1].asof_rv == 99.0 and out[1].asof_ts == t(10)  # equal ts visible, tie -> max id
+    assert out[2].asof_rv == 30.0 and out[2].asof_ts == t(3)
+    assert out[3].asof_rv is None and out[3].asof_ts is None
+    assert out[4].asof_rv is None
+    # left columns all preserved
+    assert out[1].lv == 1.0 and set(out) == {1, 2, 3, 4}
