@@ -708,3 +708,64 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts"),
         F.col("view_value"),
     )
+
+
+@query(
+    "range_join_error_clicks",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clk AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT err.event_id AS error_id, err.user_id,
+           clk.event_id AS r_event_id, clk.value AS r_value
+    FROM err JOIN clk
+      ON err.user_id = clk.user_id
+     AND clk.ts <= err.ts
+     AND clk.ts >= err.ts - INTERVAL 2 HOUR
+    """,
+    doc="Range (interval) join (operators/rangejoin.py): every click within "
+    "the 2 hours before each same-user error. Bucketized rewrite — "
+    "equi-join on (user_id, 7200s epoch bucket) with a 2-bucket probe "
+    "explode + exact residual filter — a hash join, where the naive "
+    "theta-join degenerates to a per-key cross product.",
+    tags=("window", "temporal"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.rangejoin import interval_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = interval_join_backward(
+        errors, clicks, by="user_id", ts="ts", window_seconds=7200,
+        right_cols=("event_id", "value"),
+    )
+    return out.select("error_id", "user_id", "r_event_id", "r_value")
+
+
+@query(
+    "rollup_continuous_aggregate",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket,
+           count(*) AS n_events,
+           ROUND(sum(value), 2) AS total_value,
+           ROUND(min(value), 2) AS min_value,
+           ROUND(max(value), 2) AS max_value,
+           ROUND(sum(value) / count(*), 2) AS avg_value
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    doc="Hypertable-style continuous aggregate (operators/rollup.py): "
+    "day level REAGGREGATED from hour partials, hours from minute "
+    "partials, raw rows scanned exactly once; the oracle aggregates "
+    "directly from raw events, proving the mergeable-state hierarchy "
+    "(count/sum/min/max partials, avg derived at read time) is lossless.",
+    tags=("window", "agg"),
+)
+def q_rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.rollup import continuous_aggregate, finalize
+
+    e = load_table(spark, sf_dir, "events")
+    return finalize(continuous_aggregate(e)["day"])
