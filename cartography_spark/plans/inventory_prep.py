@@ -225,3 +225,81 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") < 20)
     return tp.contamination_overlap(docs, bench, n=5, threshold=0.2)
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM lineitem
+    ),
+    k AS (SELECT max(h) AS kth, count(*) AS got FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+    x AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+    SELECT 64 AS k,
+           CASE WHEN got < 64 THEN CAST(got AS DOUBLE)
+                ELSE ROUND(63.0 * 4294967296.0 / kth, 2) END AS estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM k CROSS JOIN x
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch over l_partkey: "
+    "k=64 smallest md5-32 hashes, estimate (k-1)*2^32/h_k. One hash "
+    "projection + global TakeOrdered(k) — no full shuffle; sketches merge "
+    "by union+re-take-k. md5 hashing makes the sketch bit-exact in the "
+    "oracle (n_exact included for the accuracy comparison).",
+    tags=("llm", "sketch"),
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import kmv_distinct_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = kmv_distinct_estimate(li, "l_partkey", k=64)
+    exact = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    true_c AS (SELECT tok, count(*) AS true_n FROM toks GROUP BY tok),
+    top AS (SELECT tok, true_n FROM true_c ORDER BY true_n DESC, tok LIMIT 10),
+    cells AS (
+      SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 16 AS b,
+             count(*) AS n
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+      GROUP BY r, b
+    ),
+    probes AS (
+      SELECT top.tok, top.true_n, r2.r,
+             ('0x' || substring(md5(CAST(r2.r AS VARCHAR) || ':' || top.tok), 1, 8))::BIGINT % 16 AS b
+      FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r2
+    )
+    SELECT p.tok, CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n
+    FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.tok, p.true_n
+    """,
+    doc="Count-Min frequency sketch (4 x 16 md5-bucketed counters) probed "
+    "for the true top-10 tokens: build is one map-side-combinable groupBy "
+    "to at most depth*width cells; estimate = min over rows, biased up by "
+    "collisions only. true_n alongside est_n exposes the sketch error "
+    "exactly; the oracle rebuilds the identical counter matrix.",
+    tags=("llm", "sketch"),
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import countmin_build, countmin_estimate
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    true_c = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("true_n"))
+    top = true_c.orderBy(F.col("true_n").desc(), F.col("tok")).limit(10)
+    sketch = countmin_build(toks, "tok", width=16, depth=4)
+    est = countmin_estimate(sketch, top.select("tok"), "tok", width=16, depth=4)
+    return top.join(est, "tok").select("tok", "true_n", "est_n")

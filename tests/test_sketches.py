@@ -1,0 +1,46 @@
+"""Sketch invariants: Count-Min never underestimates; KMV is exact below
+k and within theoretical error above it; both sketches merge associatively."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.sketches import (
+    countmin_build,
+    countmin_estimate,
+    kmv_distinct_estimate,
+)
+
+
+def test_countmin_never_underestimates(spark):
+    df = spark.createDataFrame([(f"v{i % 7}",) for i in range(200)], "x string")
+    true_c = df.groupBy("x").agg(F.count("*").alias("true_n"))
+    sketch = countmin_build(df, "x", width=4, depth=3)  # tiny width -> heavy collisions
+    est = countmin_estimate(sketch, true_c.select("x"), "x", width=4, depth=3)
+    rows = true_c.join(est, "x").collect()
+    assert len(rows) == 7
+    assert all(r.est_n >= r.true_n for r in rows)
+    # total mass in every sketch row equals the input size
+    per_row = sketch.groupBy("r").agg(F.sum("n").alias("m")).collect()
+    assert all(r.m == 200 for r in per_row)
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    small = spark.createDataFrame([(i % 10,) for i in range(100)], "x long")
+    est = kmv_distinct_estimate(small, "x", k=64).collect()[0]
+    assert est.estimate == 10.0  # fewer distincts than k -> exact
+    big = spark.createDataFrame([(i,) for i in range(5000)], "x long")
+    e = kmv_distinct_estimate(big, "x", k=64).collect()[0].estimate
+    assert abs(e - 5000) / 5000 < 0.5  # ~1/sqrt(k-1) expected error
+
+
+def test_countmin_merge_associative(spark):
+    a = spark.createDataFrame([(f"v{i % 5}",) for i in range(60)], "x string")
+    b = spark.createDataFrame([(f"v{i % 9}",) for i in range(40)], "x string")
+    merged = (
+        countmin_build(a, "x").unionByName(countmin_build(b, "x"))
+        .groupBy("r", "b")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    direct = countmin_build(a.unionByName(b), "x")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
