@@ -48,3 +48,39 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += w
     return df.withColumn("split", expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame, weight_col: Column, k: int, id_col: str = "doc_id", salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): per-row key = ln(u)/w with u derived from the salted
+    md5 hash, take the k largest keys. Inclusion probability is
+    proportional to weight, yet fully reproducible. Distributed cost: a
+    narrow projection + TakeOrdered(k) — no shuffle, merges across
+    partitions like any top-k."""
+    u = (portable_hash32(F.col(id_col), salt=salt) + 1) / F.lit(4294967296.0)
+    key = F.log(u) / weight_col
+    return (
+        df.select(F.col(id_col), weight_col.cast("bigint").alias("weight"), key.alias("__key"))
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("__key", 6).alias("sample_key"))
+    )
+
+
+def stratified_sample_topk(
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id", salt: str = "strat"
+) -> DataFrame:
+    """Exactly k rows per group (fewer if the group is smaller), chosen by
+    hash order — a deterministic stratified sample. One shuffle on the
+    group key; within each group the hash order is a uniform permutation."""
+    from pyspark.sql import Window
+
+    h = portable_hash32(F.col(id_col), salt=salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(group_col), F.col(id_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -303,3 +303,53 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = countmin_build(toks, "tok", width=16, depth=4)
     est = countmin_estimate(sketch, top.select("tok"), "tok", width=16, depth=4)
     return top.join(est, "tok").select("tok", "true_n", "est_n")
+
+
+@query(
+    "weighted_sample",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS wt,
+             (('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight, ROUND(ln(u) / wt, 6) AS sample_key
+    FROM w ORDER BY ln(u) / wt DESC, doc_id LIMIT 50
+    """,
+    doc="Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis): key = ln(u)/w from the salted md5, top-50 by key — "
+    "token-count-proportional inclusion, reproducible across engines. "
+    "Narrow projection + TakeOrdered, no shuffle.",
+    tags=("llm", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import weighted_sample_topk
+
+    docs = _docs(spark, sf_dir)
+    wt = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return weighted_sample_topk(docs, wt, k=50)
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               ('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+               doc_id ASC) AS rnk
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20
+    """,
+    doc="Stratified sampling: exactly 20 docs per language by salted-hash "
+    "order (a uniform deterministic permutation within each stratum) — "
+    "one shuffle on the group key.",
+    tags=("llm", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import stratified_sample_topk
+
+    return stratified_sample_topk(_docs(spark, sf_dir), group_col="lang", k=20)
