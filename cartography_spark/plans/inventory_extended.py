@@ -769,3 +769,33 @@ def q_rollup_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return finalize(continuous_aggregate(e)["day"])
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value AS state_value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SCD-2 history from a changelog: each per-user state change gets "
+    "[valid_from, valid_to) validity via lead() — one window shuffle on "
+    "the natural key, the standard warehouse temporal-table build (the "
+    "point-in-time lookup against it is the as-of join above).",
+    tags=("window", "temporal"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

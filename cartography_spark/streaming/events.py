@@ -130,3 +130,26 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def minute_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming front-end of the continuous-aggregate hierarchy
+    (operators/rollup.py): emits the same per-minute mergeable partials
+    (count/sum/min/max) the batch minute pass produces, with watermarked
+    state. Downstream hour/day levels are batch merges of this stream's
+    output table — the classic "streaming ingest, batch rollup" split
+    with no lambda-architecture divergence, because both paths share the
+    partial-state schema."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "n_events", "sum_value", "min_value", "max_value"
+        )
+    )

@@ -93,3 +93,27 @@ def test_stateful_totals_match_batch(spark, sf_dir):
         )
     )
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_streaming_rollup_feeds_batch_hierarchy(spark, sf_dir):
+    """Minute partials computed by the STREAM, merged to day level by the
+    BATCH rollup, must equal the all-batch continuous aggregate."""
+    from cartography_spark.operators.rollup import continuous_aggregate, finalize, rollup_level
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import minute_rollup_stream, read_events_stream
+
+    stream = minute_rollup_stream(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("minute_partials")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_minutes = spark.table("minute_partials")
+    day_via_stream = finalize(rollup_level(rollup_level(streamed_minutes, "hour"), "day"))
+    day_batch = finalize(continuous_aggregate(load_table(spark, sf_dir, "events"))["day"])
+    got = sorted(map(tuple, day_via_stream.collect()))
+    want = sorted(map(tuple, day_batch.collect()))
+    assert got == want
