@@ -12,6 +12,11 @@ verified end-to-end, not within-tolerance.
   The sketch build is one groupBy of (row, bucket) — map-side
   combinable, k*width cells regardless of input size; merging = cell-
   wise sum. Estimates are biased UP (collisions only add).
+- HyperLogLog distinct-count (p=8, 256 registers): bucket = first two
+  md5 hex digits; rho = 1 + leading-zero bits of the remaining 120
+  bits (computed from hex nibbles, capped at 32 so register terms are
+  exact BIGINTs). One pass, map-side-combinable max per register —
+  no distinct shuffle at all; merging sketches = register-wise max.
 
 Both are the associative/mergeable building blocks a 100 TB profiler
 needs: per-partition sketches merge without rescanning data.
@@ -43,6 +48,71 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
             "estimate"
         ),
     )
+
+
+_HLL_M = 256  # p=8: bucket is the first two md5 hex digits
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """Build the 256 HLL registers for ``col``: ``(b, mx)`` rows where
+    ``mx`` is the max rank (1 + leading-zero bits of the post-bucket
+    hash, capped at 32). One narrow projection + a 256-group map-side-
+    combinable max — duplicates are free (max is idempotent) so there
+    is NO distinct shuffle; registers from disjoint partitions merge
+    with ``hll_merge``."""
+    h = F.md5(F.col(col).cast("string"))
+    rest = F.substring(h, 3, 30)
+    stripped = F.regexp_replace(rest, "^0+", "")
+    nz = F.lit(30) - F.length(stripped)
+    v = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    extra = F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    rho = F.when(F.length(stripped) == 0, F.lit(32)).otherwise(
+        F.least(nz * 4 + extra + 1, F.lit(32))
+    )
+    return (
+        df.select(F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge HLL register sets: union + register-wise max (associative,
+    commutative, idempotent — the mergeable-sketch contract)."""
+    out = register_sets[0]
+    for other in register_sets[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("b").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Collapse registers to the cardinality estimate: harmonic-mean
+    raw estimate with linear-counting fallback for the small range.
+    Register terms 2^(32-mx) are exact integers, so the harmonic sum is
+    engine-portable (no float-summation order sensitivity)."""
+    m = _HLL_M
+    agg = regs.agg(
+        F.sum(F.expr("shiftleft(1L, 32 - mx)")).alias("s"),
+        F.count("*").alias("used"),
+    )
+    # literal chain mirrors the oracle SQL text exactly (same IEEE op order)
+    coef = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+    total = F.col("s") + (F.lit(m) - F.col("used")) * F.lit(4294967296)
+    raw = F.lit(coef) / total
+    linear = F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("used"))), 2)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("used").cast("bigint").alias("used_buckets"),
+        F.when((raw <= F.lit(2.5 * m)) & (F.col("used") < m), linear)
+        .otherwise(F.round(raw, 2))
+        .alias("estimate"),
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog cardinality estimate of ``col``: one row
+    ``(m, used_buckets, estimate)``."""
+    return hll_estimate_from_registers(hll_registers(df, col))
 
 
 def countmin_build(

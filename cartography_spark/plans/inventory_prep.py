@@ -259,6 +259,59 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
+    ),
+    r AS (
+      SELECT ('0x' || substring(hx, 1, 2))::BIGINT AS b,
+             regexp_replace(substring(hx, 3, 30), '^0+', '') AS st
+      FROM h
+    ),
+    rho AS (
+      SELECT b,
+             CASE WHEN st = '' THEN 32
+                  ELSE least((30 - length(st)) * 4 +
+                       CASE WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 8 THEN 0
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 4 THEN 1
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 2 THEN 2
+                            ELSE 3 END + 1, 32) END AS rho
+      FROM r
+    ),
+    regs AS (SELECT b, max(rho) AS mx FROM rho GROUP BY b),
+    agg AS (
+      SELECT CAST(sum(1::BIGINT << (32 - mx)) AS BIGINT) AS s, count(*) AS used FROM regs
+    ),
+    x AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+    SELECT 256 AS m, CAST(used AS BIGINT) AS used_buckets,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+                     / (s + (256 - used) * 4294967296) <= 640.0 AND used < 256
+                THEN ROUND(256.0 * ln(256.0 / (256 - used)), 2)
+                ELSE ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+                     / (s + (256 - used) * 4294967296), 2) END AS estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM agg CROSS JOIN x
+    """,
+    doc="HyperLogLog distinct-count sketch over l_orderkey (p=8, 256 "
+    "registers): bucket = first two md5 hex digits, rank = leading-zero "
+    "bits of the remaining 120 (from hex nibbles, capped at 32 so the "
+    "harmonic-sum terms are exact BIGINTs — engine-portable, no float-sum "
+    "order sensitivity). One pass, map-side-combinable 256-group max, NO "
+    "distinct shuffle; registers merge by pairwise max. Linear-counting "
+    "fallback below 2.5m. n_exact alongside exposes the sketch error.",
+    tags=("llm", "sketch"),
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import hll_distinct_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_distinct_estimate(li, "l_orderkey")
+    exact = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@query(
     "sketch_countmin_heavy_hitters",
     oracle=r"""
     WITH toks AS (

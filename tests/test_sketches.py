@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 from cartography_spark.operators.sketches import (
     countmin_build,
     countmin_estimate,
+    hll_distinct_estimate,
+    hll_estimate_from_registers,
+    hll_merge,
+    hll_registers,
     kmv_distinct_estimate,
 )
 
@@ -32,6 +36,32 @@ def test_kmv_exact_below_k_and_bounded_above(spark):
     big = spark.createDataFrame([(i,) for i in range(5000)], "x long")
     e = kmv_distinct_estimate(big, "x", k=64).collect()[0].estimate
     assert abs(e - 5000) / 5000 < 0.5  # ~1/sqrt(k-1) expected error
+
+
+def test_hll_accuracy_and_duplicate_insensitivity(spark):
+    big = spark.createDataFrame([(i,) for i in range(5000)], "x long")
+    est = hll_distinct_estimate(big, "x").collect()[0]
+    assert abs(est.estimate - 5000) / 5000 < 0.2  # ~1.04/sqrt(256) = 6.5% typical
+    # duplicating every row must not move the estimate at all (max is idempotent)
+    doubled = hll_distinct_estimate(big.unionByName(big), "x").collect()[0]
+    assert doubled.estimate == est.estimate
+
+
+def test_hll_linear_counting_small_range(spark):
+    small = spark.createDataFrame([(i,) for i in range(50)], "x long")
+    est = hll_distinct_estimate(small, "x").collect()[0]
+    assert est.used_buckets <= 50
+    assert abs(est.estimate - 50) / 50 < 0.15  # linear-counting regime
+
+
+def test_hll_merge_equals_direct(spark):
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "x long")  # overlap
+    merged = hll_estimate_from_registers(
+        hll_merge(hll_registers(a, "x"), hll_registers(b, "x"))
+    ).collect()[0]
+    direct = hll_distinct_estimate(a.unionByName(b), "x").collect()[0]
+    assert merged == direct
 
 
 def test_countmin_merge_associative(spark):
