@@ -50,6 +50,46 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     )
 
 
+def histogram_build(df: DataFrame, col: str, lo: float, hi: float, bins: int) -> DataFrame:
+    """Fixed-boundary histogram of ``col``: ``(bin, n)`` rows, at most
+    ``bins`` cells. One map-side-combinable groupBy regardless of input
+    size; out-of-range values clamp to the edge bins. Histograms over
+    disjoint partitions merge by cell-wise sum — the mergeable-sketch
+    contract (same as Count-Min)."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def histogram_quantile_estimates(
+    hist: DataFrame, lo: float, hi: float, bins: int, qs: tuple[float, ...]
+) -> DataFrame:
+    """Quantile estimates from a histogram: locate the bin holding each
+    target rank, linearly interpolate inside it. Everything after the
+    histogram build runs on <= ``bins`` rows (the single-partition
+    cumulative window is deliberate — the input is sketch-sized). Error
+    is bounded by one bin width. The interpolation arithmetic is written
+    in the exact operation order the DuckDB oracle uses, so estimates
+    are bit-identical across engines."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "n", F.sum("n").over(w).alias("cum"))
+    tot = hist.agg(F.sum("n").alias("total"))
+    qdf = hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    j = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qdf))
+    target = F.col("q") * F.col("total")
+    hit = j.filter((F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target))
+    est = F.lit(lo) + (
+        F.col("bin") + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+    ) * F.lit(width)
+    return hit.select("q", F.round(est, 6).alias("estimate"))
+
+
 _HLL_M = 256  # p=8: bucket is the first two md5 hex digits
 
 

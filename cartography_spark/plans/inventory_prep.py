@@ -406,3 +406,61 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.sampling import stratified_sample_topk
 
     return stratified_sample_topk(_docs(spark, sf_dir), group_col="lang", k=20)
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 1718.75), 0), 63) AS INT) AS bin,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+    t AS (SELECT sum(n) AS total FROM h),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+      SELECT q, bin, n, cum, total FROM c CROSS JOIN t CROSS JOIN qs
+      WHERE cum >= q * total AND (cum - n) < q * total
+    ),
+    x AS (SELECT quantile_cont(l_extendedprice, 0.5) AS e50,
+                 quantile_cont(l_extendedprice, 0.9) AS e90,
+                 quantile_cont(l_extendedprice, 0.99) AS e99 FROM lineitem)
+    SELECT q,
+           ROUND(0.0 + (bin + (q * total - (cum - n)) / n) * 1718.75, 6) AS estimate,
+           ROUND(CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END, 4) AS exact_value
+    FROM hit CROSS JOIN x
+    """,
+    doc="Mergeable histogram-quantile sketch over l_extendedprice: 64 "
+    "fixed [0, 110000) bins built in one map-side-combinable groupBy (at "
+    "most 64 cells shuffle, merging = cell-wise sum), then rank location + "
+    "linear interpolation on the sketch rows. Error bounded by one bin "
+    "width; exact_value (sort-based percentile) alongside exposes it. The "
+    "interpolation op order matches the oracle exactly — bit-identical "
+    "estimates.",
+    tags=("llm", "sketch"),
+)
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantile_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = histogram_build(li, "l_extendedprice", lo=0.0, hi=110000.0, bins=64)
+    est = histogram_quantile_estimates(hist, 0.0, 110000.0, 64, (0.5, 0.9, 0.99))
+    exact = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("e90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("e99"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "q",
+        "estimate",
+        F.round(
+            F.when(F.col("q") == 0.5, F.col("e50"))
+            .when(F.col("q") == 0.9, F.col("e90"))
+            .otherwise(F.col("e99")),
+            4,
+        ).alias("exact_value"),
+    )

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from cartography_spark.operators.sketches import (
     countmin_build,
     countmin_estimate,
+    histogram_build,
+    histogram_quantile_estimates,
     hll_distinct_estimate,
     hll_estimate_from_registers,
     hll_merge,
@@ -62,6 +64,27 @@ def test_hll_merge_equals_direct(spark):
     ).collect()[0]
     direct = hll_distinct_estimate(a.unionByName(b), "x").collect()[0]
     assert merged == direct
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(10000)], "x double")
+    hist = histogram_build(df, "x", lo=0.0, hi=10000.0, bins=100)  # bin width 100
+    est = {
+        r.q: r.estimate
+        for r in histogram_quantile_estimates(hist, 0.0, 10000.0, 100, (0.5, 0.9)).collect()
+    }
+    assert abs(est[0.5] - 5000) <= 100 and abs(est[0.9] - 9000) <= 100
+
+
+def test_histogram_clamps_out_of_range_and_merges(spark):
+    a = spark.createDataFrame([(-5.0,), (50.0,)], "x double")
+    b = spark.createDataFrame([(99999.0,), (60.0,)], "x double")
+    ha, hb = histogram_build(a, "x", 0.0, 100.0, 10), histogram_build(b, "x", 0.0, 100.0, 10)
+    merged = ha.unionByName(hb).groupBy("bin").agg(F.sum("n").cast("bigint").alias("n"))
+    direct = histogram_build(a.unionByName(b), "x", 0.0, 100.0, 10)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    bins = dict(map(tuple, direct.collect()))
+    assert bins[0] == 1 and bins[9] == 1  # clamped low / high
 
 
 def test_countmin_merge_associative(spark):
