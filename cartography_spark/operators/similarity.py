@@ -189,3 +189,67 @@ def pandas_cosine_topk(
     schema = f"{id_col} long, cosine double"
     scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sparse_token_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_div: int = 10,
+    min_cos: float = 0.5,
+    k: int = 20,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over word-bigram count vectors
+    via an INVERTED-INDEX join — the set-based sparse analogue of the
+    dense embedding paths above:
+
+      tf(doc, gram) -> prune grams with df < min_df (can't pair) or
+      df > N/max_df_div (stopword-like grams, the df-cap that bounds the
+      per-gram pair fan-out to df^2 — the standard sparse-similarity
+      scalability lever) -> self-join on gram -> sum(tf_a*tf_b) -> dot.
+
+    Dot products and norms are INTEGER sums (order-free, engine-exact);
+    the only float ops are one sqrt+multiply+divide per surviving pair,
+    so results are bit-identical in the DuckDB oracle. At 100 TB the
+    df-cap plus a MinHash-LSH prefilter (dedup_minhash_lsh) bound the
+    pair explosion; the join partitions by gram, the final aggregate by
+    (doc_a, doc_b).
+    """
+    from cartography_spark.operators.textprep import _tokens, _word_ngrams
+
+    sc = docs.sparkSession.sparkContext
+    grams = docs.repartition(sc.defaultParallelism).select(
+        F.col(id_col).alias("doc"), F.explode(_word_ngrams(_tokens(text_col), 2)).alias("g")
+    )
+    tf = grams.groupBy("doc", "g").agg(F.count("*").cast("bigint").alias("tf"))
+    norms = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    total = docs.agg(F.count("*").alias("total"))
+    dfk = (
+        tf.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(total))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= F.floor(F.col("total") / max_df_div)))
+        .select("g")
+    )
+    kept = tf.join(F.broadcast(dfk), "g")
+    a = kept.select(F.col("g"), F.col("doc").alias("doc_a"), F.col("tf").alias("ta"))
+    b = kept.select(F.col("g"), F.col("doc").alias("doc_b"), F.col("tf").alias("tb"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("c"))
+        .filter(F.col("c") >= min_cos)
+        .orderBy(F.col("c").desc(), "doc_a", "doc_b")
+        .limit(k)
+        .select("doc_a", "doc_b", F.round(F.col("c"), 6).alias("cosine"))
+    )

@@ -625,3 +625,46 @@ def q_permission_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pattern string, effect string",
     )
     return evaluate_policy_grid(names, statements)
+
+
+@query(
+    "similarity_token_cosine_pairs",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id AS doc,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS g
+      FROM t
+    ),
+    tf AS (SELECT doc, g, count(*) AS tf FROM g GROUP BY doc, g),
+    nrm AS (SELECT doc, sum(tf * tf) AS nrm FROM tf GROUP BY doc),
+    tot AS (SELECT count(*) AS total FROM documents),
+    dfk AS (
+      SELECT g FROM (SELECT g, count(*) AS df FROM tf GROUP BY g) CROSS JOIN tot
+      WHERE df >= 2 AND df <= floor(total / 10)
+    ),
+    kept AS (SELECT tf.* FROM tf JOIN dfk USING (g)),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.tf * b.tf) AS dot
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT doc_a, doc_b, dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS c
+      FROM dots JOIN nrm na ON na.doc = doc_a JOIN nrm nb ON nb.doc = doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(c, 6) AS cosine FROM cos WHERE c >= 0.5
+    ORDER BY c DESC, doc_a, doc_b LIMIT 20
+    """,
+    doc="All-pairs sparse cosine over word-bigram count vectors via an "
+    "inverted-index self-join (operators/similarity.py): df-capped grams "
+    "(df in [2, N/10] — bounds per-gram fan-out, drops stopword grams), "
+    "integer dot products and norms (order-free, engine-exact), one "
+    "sqrt/divide per surviving pair. The sparse counterpart to the dense "
+    "embedding ANN paths; pairs with cosine >= 0.5, top 20.",
+    tags=("llm", "similarity"),
+)
+def q_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sim.sparse_token_cosine_pairs(docs)

@@ -88,3 +88,20 @@ def test_wildcard_translation(spark):
     rows = df.withColumn("got", wildcard_match(F.col("name"), F.col("pattern"))).collect()
     for r in rows:
         assert r.got == r.expect, f"{r.name} ~ {r.pattern}: got {r.got}"
+
+
+def test_sparse_token_cosine_pairs(spark):
+    from cartography_spark.operators.similarity import sparse_token_cosine_pairs
+
+    rows = (
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]  # identical
+        + [(3, "alpha beta zeta eta"), (4, "one two three four")]
+        + [(i, f"unique{i} filler{i} pad{i} text{i}") for i in range(10, 40)]  # df=1 grams
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # N=34 -> df cap = 3; shared grams of docs 1-3 have df 2..3, all kept
+    out = sparse_token_cosine_pairs(docs, min_cos=0.2, k=10)
+    got = {(r.doc_a, r.doc_b): r.cosine for r in out.collect()}
+    assert got[(1, 2)] == 1.0  # identical bigram vectors
+    assert (1, 3) in got and got[(1, 3)] < 1.0  # one shared bigram of three
+    assert all(4 not in pair for pair in got)  # no shared grams -> no pair
