@@ -1,0 +1,145 @@
+"""Distributed graph algorithms over edge DataFrames.
+
+The reference models its catalog as a property graph and leans on Neo4j
+for traversals (SURVEY §2.3; cartography/graph/querybuilder.py builds the
+MATCH patterns). Beyond the fixed-pattern joins the inventory already
+covers, these are the *whole-graph* algorithms an analytics engine needs
+at scale — each expressed as iterated DataFrame joins/aggregations so
+Catalyst plans every step and the dataflow is a sequence of hash
+shuffles, never a driver-side traversal.
+
+Scale notes (100 TB / 1000 executors):
+
+- ``pagerank_exact``: per iteration = one join (edges ⋈ ranks on src) +
+  one groupBy(dst). Edges are cached pre-joined with out-degrees so the
+  static side is scanned once. All arithmetic is *integer* (rank scaled
+  by 1e12, floor division) so results are bit-exact across engines —
+  which is what lets a DuckDB oracle verify a distributed iterative
+  algorithm exactly.
+- ``triangle_count``: degree-ordered orientation — each undirected edge
+  points from the (degree, id)-smaller endpoint to the larger. Max
+  out-degree becomes O(sqrt(m)), bounding the wedge join at O(m^1.5)
+  total work regardless of skew (the standard MapReduce triangle bound;
+  cf. Suri & Vassilvitskii, WWW'11). Orientation changes the join sizes
+  only — the triangle COUNT is orientation-invariant, so the oracle can
+  use plain id-ordering.
+- ``connected_components``: min-label propagation with path-halving
+  (each round also jumps labels through their parent's label), so chains
+  converge in O(log diameter) rounds instead of O(diameter). Each round
+  is two hash joins + one aggregation; the convergence check is a
+  count() action per round (at cluster scale an accumulator serves the
+  same purpose without a separate job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list -> both directions, distinct."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def pagerank_exact(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Integer-exact PageRank (damping 0.85) over a directed edge list
+    in which every node has out-degree >= 1 (symmetrize() guarantees it).
+
+    rank0 = SCALE // N;  base = 15*SCALE // (100*N)
+    rank'[u] = base + 85 * sum_{v->u}(rank[v] // deg[v]) // 100
+
+    Floor division at every step makes the fixed point identical in any
+    engine — no float summation order to disagree on.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Static side of every iteration: edges annotated with out-degree.
+    e = edges.join(deg, "src").select("src", "dst", "deg")
+    e.persist()
+    n = deg.count()  # also materializes the cache's input
+    base = (15 * PR_SCALE) // (100 * n)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE // n).alias("r"))
+    for _ in range(iterations):
+        ranks = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr(f"(85 * inflow) div 100")).alias("r"),
+            )
+        )
+    return ranks
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge {a,b} (given canonically as a<b) from
+    the (degree, id)-smaller endpoint to the larger."""
+    sym = symmetrize(edges, "u", "v")
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
+    e = (
+        edges.join(deg.withColumnRenamed("d", "du").withColumnRenamed("n", "u"), "u")
+        .join(deg.withColumnRenamed("d", "dv").withColumnRenamed("n", "v"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given as canonical (u<v)
+    distinct edges. Returns a 1-row DataFrame (n_triangles, n_edges)."""
+    o = orient_by_degree(edges)
+    o.persist()
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("a"), F.col("e2.dst").alias("b"))
+    )
+    closed = wedges.join(o.alias("e3"), (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst")))
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    return tri.crossJoin(edges.agg(F.count("*").alias("n_edges")))
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Min-label propagation with path-halving over an undirected graph
+    (canonical u<v edges). Returns (node, component) where component is
+    the minimum node id reachable. Converges in O(log diameter) rounds."""
+    sym = symmetrize(edges, "u", "v")
+    sym.persist()
+    labels = sym.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("comp"))
+    for _ in range(max_iterations):
+        # Min over neighbours' labels (and own).
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+            .select(F.col("dst").alias("node"), "nmin")
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
+        )
+        # Path-halving: jump each label through its parent's label.
+        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        halved = (
+            stepped.join(parent, stepped.comp == parent.p_node, "left")
+            .select("node", F.least("comp", F.coalesce("p_comp", "comp")).alias("comp"))
+        )
+        halved = halved.localCheckpoint(eager=True)  # truncate 2-join/round lineage
+        changed = (
+            halved.alias("h")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("h.comp") != F.col("l.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = halved
+        if changed == 0:
+            break
+    return labels

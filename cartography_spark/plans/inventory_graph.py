@@ -1,0 +1,235 @@
+"""Whole-graph + event-sequence analytics inventory.
+
+The reference's graph lives in Neo4j and its traversals are fixed MATCH
+patterns (SURVEY §2.3); whole-graph algorithms (PageRank, components,
+triangles) are what a user would reach for next on the same data, so we
+provide them Spark-native (operators/graph.py) and oracle-verify each
+one exactly:
+
+- ``graph_pagerank``: integer fixed-point arithmetic makes an iterative
+  float algorithm bit-exact — the DuckDB oracle unrolls the same 5
+  iterations as chained CTEs.
+- ``graph_triangle_count``: Spark uses degree-ordered orientation (the
+  O(m^1.5) skew-proof plan); the oracle uses naive id-orientation —
+  counts are orientation-invariant, so agreement proves the optimized
+  plan correct.
+- ``graph_connected_components``: Spark runs log-round path-halving
+  label propagation; the oracle materializes the full reachability
+  closure with WITH RECURSIVE and takes min per node.
+- ``events_funnel``: staged view->click->purchase conversion over the
+  events table — two window passes on ONE user_id partitioning (no
+  extra shuffle between stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.graph import (
+    PR_SCALE,
+    connected_components,
+    pagerank_exact,
+    symmetrize,
+    triangle_count,
+)
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table as T
+
+# Customer<->supplier trade graph: distinct (customer, supplier) pairs that
+# appear in any order. Supplier ids offset by 100000 into a shared id space.
+_TRADE_EDGES_SQL = """
+      SELECT DISTINCT c_custkey AS a, 100000 + l_suppkey AS b
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cust = T(spark, sf_dir, "customer")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_custkey").alias("a"), (F.lit(100000) + F.col("l_suppkey")).alias("b"))
+        .distinct()
+    )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    parts = [
+        f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
+        "e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        "p AS (SELECT count(*) AS n FROM d),",
+        f"r0 AS (SELECT src AS node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM d, p),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""r{k} AS (
+      SELECT e.dst AS node,
+             CAST((SELECT (15 * {PR_SCALE}) // (100 * n) FROM p)
+                  + (85 * CAST(sum(r.r // d.deg) AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM e JOIN r{k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+      GROUP BY e.dst
+    ),"""
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"""{body}
+    SELECT node, r AS rank FROM r{iterations} ORDER BY rank DESC, node ASC LIMIT 20"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Integer-exact PageRank (operators/graph.py:pagerank_exact), 5 "
+    "iterations over the symmetrized customer-supplier trade graph; top-20 "
+    "nodes. Fixed-point floor arithmetic = bit-exact vs the oracle's "
+    "unrolled-CTE iteration. Per iteration: one hash join + one groupBy — "
+    "two shuffles, static edge side cached. Reference's graph analytics "
+    "delegate to Neo4j (SURVEY §2.3; graph/querybuilder.py); this is the "
+    "whole-graph equivalent Spark-native.",
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    ranks = pagerank_exact(edges, iterations=5)
+    return ranks.select("node", F.col("r").alias("rank")).orderBy(
+        F.desc("rank"), F.asc("node")
+    ).limit(20)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 3 = 0
+    )
+    SELECT (SELECT count(*) FROM pairs e1
+            JOIN pairs e2 ON e1.v = e2.u
+            JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles,
+           (SELECT count(*) FROM pairs) AS n_edges
+    """,
+    doc="Triangle count (operators/graph.py:triangle_count) on the part "
+    "co-purchase graph (parts sharing an order, 1/3 of orders). Spark plan "
+    "uses degree-ordered orientation (max out-degree O(sqrt m), wedge join "
+    "bounded O(m^1.5) under skew — Suri & Vassilvitskii WWW'11); the oracle "
+    "counts with naive id-orientation. Counts are orientation-invariant, so "
+    "the match proves the optimized plan.",
+    tags=("graph",),
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok2) & (a.u < b.v))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT c_custkey AS node, c_nationkey AS g FROM customer WHERE c_custkey % 2 = 0
+    ),
+    e0 AS (SELECT node AS a, lead(node) OVER (PARTITION BY g ORDER BY node) AS b FROM nodes),
+    base_e AS (SELECT a, b FROM e0 WHERE b IS NOT NULL),
+    e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),
+    n2 AS (SELECT DISTINCT src AS node FROM e),
+    reach(node, r) AS (
+      SELECT node, node FROM n2
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+    doc="Connected components (operators/graph.py:connected_components) on "
+    "per-nation customer chains (consecutive even custkeys) — long paths "
+    "that defeat 1-hop propagation. Spark: min-label propagation with "
+    "path-halving, O(log diameter) rounds, 2 joins + 1 agg per round. "
+    "Oracle: full WITH RECURSIVE reachability closure + min per node.",
+    tags=("graph", "iterative"),
+)
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = cust.select(
+        F.col("c_custkey").alias("u"), F.lead("c_custkey").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    return connected_components(chain).select("node", F.col("comp").alias("component"))
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'click' AND e.ts > f.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM f WHERE t_view IS NOT NULL) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    doc="Ordered conversion funnel view->click->purchase per user over "
+    "events. Spark plan: ONE hash partition by user_id carries two window "
+    "passes (stage-2 min depends on stage-1 min, same partitioning — no "
+    "second Exchange), then a global aggregate. The oracle re-derives each "
+    "stage with joins.",
+    tags=("window", "sequence"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    staged = staged.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )

@@ -1,0 +1,70 @@
+"""Graph algorithms on hand-checkable graphs: the oracle gate proves
+engine-vs-engine agreement at data scale; these prove the absolute
+semantics on graphs small enough to verify by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.graph import (
+    PR_SCALE,
+    connected_components,
+    orient_by_degree,
+    pagerank_exact,
+    symmetrize,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs, cols=("u", "v")):
+    return spark.createDataFrame(pairs, list(cols))
+
+
+def test_triangle_count_k4(spark):
+    # K4 has exactly C(4,3)=4 triangles and 6 edges.
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    row = triangle_count(k4).collect()[0]
+    assert row.n_triangles == 4 and row.n_edges == 6
+
+
+def test_triangle_count_none_in_bipartite(spark):
+    # Bipartite graphs are triangle-free.
+    bip = _edges(spark, [(a, b) for a in (0, 1, 2) for b in (10, 11)])
+    assert triangle_count(bip).collect()[0].n_triangles == 0
+
+
+def test_orientation_preserves_edge_count(spark):
+    star = _edges(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+    assert orient_by_degree(star).count() == star.count()
+
+
+def test_connected_components_two_chains(spark):
+    # Chain 1-2-3-4 and chain 10-11; component = min node id.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r.node: r.comp for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    # 40-node path: path-halving must finish well under max_iterations.
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    comps = {r.comp for r in connected_components(e, max_iterations=15).collect()}
+    assert comps == {0}
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    # Two nodes with one symmetric edge: rank stays at the fixed point
+    # base + 85% of the other's full rank share = SCALE/2 (mod flooring).
+    e = symmetrize(_edges(spark, [(1, 2)]), "u", "v")
+    rows = {r.node: r.r for r in pagerank_exact(e, iterations=3).collect()}
+    assert rows[1] == rows[2]
+    assert abs(rows[1] - PR_SCALE // 2) <= 2  # flooring loss only
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # Star graph: the hub accumulates every leaf's full contribution.
+    e = symmetrize(_edges(spark, [(0, i) for i in range(1, 6)]), "u", "v")
+    rows = {r.node: r.r for r in pagerank_exact(e, iterations=5).collect()}
+    assert rows[0] > max(v for k, v in rows.items() if k != 0)
+    leaf_ranks = {v for k, v in rows.items() if k != 0}
+    assert len(leaf_ranks) == 1  # symmetry: all leaves identical
