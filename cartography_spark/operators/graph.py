@@ -106,6 +106,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.crossJoin(edges.agg(F.count("*").alias("n_edges")))
 
 
+def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFrame:
+    """Unweighted shortest-path distances (BFS levels) from ``source``
+    over a directed edge list, capped at ``max_depth`` hops. Returns
+    (node, distance) for every node reached.
+
+    Frontier iteration: each level is one join (frontier ⋈ edges on src)
+    + one anti-join against the visited set — the distributed BFS
+    dataflow. ``max_depth`` is both the recursion cap and what makes the
+    DuckDB WITH RECURSIVE oracle's search space finite.
+    """
+    labels = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node BIGINT, distance BIGINT"
+    )
+    frontier = labels.select("node")
+    for d in range(1, max_depth + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(labels, "node", "left_anti").select(
+            "node", F.lit(d).cast("long").alias("distance")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        labels = labels.unionByName(new)
+        frontier = new.select("node")
+    return labels
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Min-label propagation with path-halving over an undirected graph
     (canonical u<v edges). Returns (node, component) where component is

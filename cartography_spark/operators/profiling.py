@@ -1,0 +1,94 @@
+"""Data profiling + multi-dimensional layout — catalog-engine utilities.
+
+The reference IS an asset inventory: its value is knowing what exists and
+what changed (SURVEY §1; cartography/sync.py stages). ``profile_table``
+is that idea applied to tabular assets — per-column null/distinct/range
+stats in ONE scan. ``zorder_key`` is the layout side: interleave the bits
+of two clustering dimensions so a sort by the key co-locates rows close
+in BOTH dimensions, making parquet min/max file skipping effective for
+either predicate (the Delta/Iceberg OPTIMIZE ZORDER technique, built
+from plain integer arithmetic so any engine reproduces it exactly).
+
+Scale notes: profile_table computes every aggregate in one pass; the
+multiple count-distincts compile to a single Expand (row multiplier =
+#columns) — at petabyte scale swap in approx_count_distinct per column
+to drop the Expand. zorder_key is pure per-row arithmetic (no shuffle);
+the sort it feeds is Spark's range-partitioned global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16
+
+
+def zorder_key(x: str | Column, y: str | Column) -> Column:
+    """Morton (z-order) interleave of the low 16 bits of two non-negative
+    integer columns: bit i of x lands at position 2i, bit i of y at
+    2i+1. Plain floor-div/mod arithmetic — bit-identical in any engine."""
+    x, y = F.col(x) if isinstance(x, str) else x, F.col(y) if isinstance(y, str) else y
+    z = F.lit(0).cast("long")
+    for i in range(ZBITS):
+        z = (
+            z
+            + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_sql(x: str, y: str) -> str:
+    """The identical Morton key as ANSI SQL (for oracles / other engines)."""
+    terms = [
+        f"(({x} // {1 << i}) % 2) * {1 << (2 * i)} + (({y} // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZBITS)
+    ]
+    return " + ".join(terms)
+
+
+def profile_table(
+    df: DataFrame, numeric_cols: list[str], string_cols: list[str]
+) -> DataFrame:
+    """One-scan column profile: (col_name, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str) per profiled column. Numeric ranges as
+    DOUBLE, string ranges as-is; the other pair is NULL."""
+    aggs: list[Column] = []
+    for c in numeric_cols + string_cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+    for c in string_cols:
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_num"),
+            F.col(f"{c}__max").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in numeric_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in string_cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

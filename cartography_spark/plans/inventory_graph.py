@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from cartography_spark.operators.graph import (
     PR_SCALE,
+    bfs_distances,
     connected_components,
     pagerank_exact,
     symmetrize,
@@ -166,6 +167,31 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("u"), F.lead("c_custkey").over(w).alias("v")
     ).filter(F.col("v").isNotNull())
     return connected_components(chain).select("node", F.col("comp").alias("component"))
+
+
+@query(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE base_e AS ({_TRADE_EDGES_SQL}),
+    e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),
+    reach(node, d) AS (
+      SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.dst, reach.d + 1 FROM reach JOIN e ON e.src = reach.node
+      WHERE reach.d < 6
+    )
+    SELECT node, min(d) AS distance FROM reach GROUP BY node
+    """,
+    doc="BFS shortest-path levels (operators/graph.py:bfs_distances) from "
+    "customer 1 over the symmetrized trade graph, 6-hop cap. Spark runs "
+    "frontier iteration (join + anti-join per level, O(diameter) rounds); "
+    "the oracle explores every (node, depth<=6) pair with WITH RECURSIVE "
+    "and takes min depth — same levels, exponentially different work.",
+    tags=("graph", "iterative"),
+)
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    return bfs_distances(edges, source=1, max_depth=6)
 
 
 @query(
