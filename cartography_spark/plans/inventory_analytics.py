@@ -1,0 +1,274 @@
+"""Analytics-breadth inventory: the OLAP / time-series / text-scoring
+surface a warehouse user expects beyond SURVEY §2's literal rows.
+
+- ``cube_pricing``: CUBE grouping sets (completes ROLLUP/pivot already
+  in §2.4 coverage) — one Expand feeds every grouping, single scan.
+- ``window_ntile_quartiles``: ntile ranking windows.
+- ``correlated_subquery_above_avg``: correlated scalar subquery that
+  Catalyst decorrelates into an aggregate + join (no per-row re-scan).
+- ``join_null_safe``: null-safe equality (<=> / IS NOT DISTINCT FROM) —
+  NULL keys match each other instead of vanishing.
+- ``timeseries_gap_fill``: hour spine per user (sequence + explode) +
+  forward fill (last ignorenulls) — the hypertable 'locf/gap-fill'
+  operation; one window shuffle, spine generated without a join.
+- ``retention_cohorts``: first-touch day cohort x activity day counts.
+- ``tfidf_quantized``: TF-IDF with integer-scaled idf ((N*1e6)//df) so
+  an inherently-float scoring pipeline is bit-exact for the oracle;
+  top-3 terms per document by (score, term) total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table as T
+
+
+@query(
+    "cube_pricing",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over orders: all 4 grouping combinations from "
+    "ONE scan via Expand (vs 4 unioned scans). GROUPING() flags "
+    "disambiguate 'ALL' rows from literal values.",
+    tags=("aggregation", "olap"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+    FROM customer WHERE c_nationkey < 5
+    """,
+    doc="ntile(4) balance quartiles within each nation — rank-family "
+    "window completing §2.5 (row_number/lag already covered). One hash "
+    "partition by nation, per-partition sort.",
+    tags=("window",),
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@query(
+    "correlated_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="Correlated scalar subquery (customers above their nation's mean "
+    "balance). Catalyst decorrelates to one aggregate + one join — the "
+    "plan scans customer twice, never once per row.",
+    tags=("subquery", "join"),
+)
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS k FROM customer WHERE c_nationkey IN (2, 3)),
+         s AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS k FROM supplier WHERE s_nationkey IN (2, 3))
+    SELECT coalesce(CAST(c.k AS VARCHAR), 'NULL') AS join_key, count(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY 1
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping out — still hash-partitionable "
+    "(NULL is one partition key), unlike a theta-join workaround.",
+    tags=("join",),
+)
+def q_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(2, 3))
+        .select("c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(2, 3))
+        .select("s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk"))
+    )
+    return (
+        c.join(s, c.ck.eqNullSafe(s.sk))
+        .groupBy(F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("join_key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ROUND(sum(value), 2) AS s
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM e GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    )
+    SELECT spine.user_id, spine.h,
+           last_value(hourly.s IGNORE NULLS)
+             OVER (PARTITION BY spine.user_id ORDER BY spine.h) AS filled_sum
+    FROM spine LEFT JOIN hourly ON spine.user_id = hourly.user_id AND spine.h = hourly.h
+    """,
+    doc="Hypertable-style gap fill + locf: dense hour spine per user "
+    "generated with sequence()+explode (no join against a calendar "
+    "table), hourly sums left-joined on, gaps forward-filled with "
+    "last(ignorenulls). One window shuffle on user_id.",
+    tags=("window", "temporal"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("s"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = Window.partitionBy("user_id").orderBy("h")
+    return joined.select(
+        "user_id", "h", F.last("s", ignorenulls=True).over(w).alias("filled_sum")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_touch AS (
+      SELECT user_id, CAST(CAST(date_trunc('day', min(ts)) AS DATE) AS VARCHAR) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day, CAST(CAST(date_trunc('day', e.ts) AS DATE) AS VARCHAR) AS activity_day,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_touch f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-touch day, "
+    "distinct-user counts per activity day. First-touch derived with one "
+    "aggregation and joined back (both shuffles share the user_id key).",
+    tags=("aggregation", "temporal"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").cast("string").alias("cohort_day")
+    )
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("activity_day"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "tfidf_quantized",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST((SELECT n FROM n) * 1000000 // df.df AS BIGINT) AS score
+      FROM tf JOIN df ON tf.term = df.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3
+    """,
+    doc="Quantized TF-IDF: idf = (N*1e6)//df in integer arithmetic, so "
+    "the classically-float scoring pipeline is bit-exact cross-engine. "
+    "Top-3 terms per doc by the (score desc, term) total order. Shuffles: "
+    "tf groupBy, df groupBy (broadcast back — df table is vocabulary-"
+    "sized), one window.",
+    tags=("text", "llm-data"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr("(n * 1000000) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+    )
