@@ -137,6 +137,35 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFram
     return labels
 
 
+def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:
+    """Hop-bounded cheapest-path costs from ``source`` over a directed
+    weighted edge list (src, dst, w) with non-negative integer weights:
+    exactly ``rounds`` Bellman-Ford relaxations, so the result is the
+    minimum cost over paths of <= ``rounds`` hops — the hop-constrained
+    routing semantics, and bit-exact for an oracle that unrolls the same
+    rounds. Each round = one join + one groupBy (two shuffles); the edge
+    side is cached once.
+
+    Returns (node, cost) for nodes reachable within the hop bound.
+    """
+    edges.persist().count()
+    dist = edges.sparkSession.createDataFrame([(source, 0)], "node BIGINT, cost BIGINT")
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        # dist feeds BOTH branches of next round's union: without lineage
+        # truncation the plan doubles per round (exponential task binaries).
+        dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Min-label propagation with path-halving over an undirected graph
     (canonical u<v edges). Returns (node, component) where component is

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from cartography_spark.operators.graph import (
     PR_SCALE,
+    bellman_ford,
     bfs_distances,
     connected_components,
     pagerank_exact,
@@ -192,6 +193,47 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
     return bfs_distances(edges, source=1, max_depth=6)
+
+
+def _bellman_oracle(rounds: int = 8) -> str:
+    parts = [
+        f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
+        "eu AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
+        "e AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM eu),",
+        "d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.cost + e.w AS cost FROM d{k - 1} d JOIN e ON e.src = d.node
+      ) GROUP BY node
+    ),"""
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"{body}\n    SELECT node, cost FROM d{rounds}"
+
+
+@query(
+    "graph_shortest_path_weighted",
+    oracle=_bellman_oracle(),
+    doc="Hop-bounded weighted shortest path (operators/graph.py:"
+    "bellman_ford): 8 Bellman-Ford relaxation rounds from customer 1 over "
+    "the symmetrized trade graph with deterministic integer weights "
+    "1+(src+dst)%5. Integer arithmetic + fixed round count = bit-exact vs "
+    "the oracle's 8 unrolled relaxation CTEs. Per round: one join + one "
+    "min-groupBy; never enumerates paths (the naive recursive formulation "
+    "is exponential).",
+    tags=("graph", "iterative"),
+)
+def q_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    weighted = sym.select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).alias("w")
+    )
+    return bellman_ford(weighted, source=1, rounds=8)
 
 
 @query(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from cartography_spark.operators.graph import (
     PR_SCALE,
+    bellman_ford,
     connected_components,
     orient_by_degree,
     pagerank_exact,
@@ -50,6 +51,24 @@ def test_connected_components_long_path_converges(spark):
     e = _edges(spark, [(i, i + 1) for i in range(40)])
     comps = {r.comp for r in connected_components(e, max_iterations=15).collect()}
     assert comps == {0}
+
+
+def test_bellman_ford_prefers_cheap_detour(spark):
+    # 1->2 costs 10 direct, but 1->3->2 costs 1+1=2; node 4 via 2.
+    e = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1), (2, 4, 1)], "src LONG, dst LONG, w LONG"
+    )
+    got = {r.node: r.cost for r in bellman_ford(e, source=1, rounds=4).collect()}
+    assert got == {1: 0, 2: 2, 3: 1, 4: 3}
+
+
+def test_bellman_ford_hop_bound_semantics(spark):
+    # With rounds=1 only the direct (expensive) edge is visible.
+    e = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1)], "src LONG, dst LONG, w LONG"
+    )
+    got = {r.node: r.cost for r in bellman_ford(e, source=1, rounds=1).collect()}
+    assert got[2] == 10 and got[3] == 1
 
 
 def test_pagerank_symmetric_pair_is_uniform(spark):
