@@ -261,10 +261,10 @@ def q_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM p) AS n_view_click_purchase
     """,
     doc="Ordered conversion funnel view->click->purchase per user over "
-    "events. Spark plan: ONE hash partition by user_id carries two window "
-    "passes (stage-2 min depends on stage-1 min, same partitioning — no "
-    "second Exchange), then a global aggregate. The oracle re-derives each "
-    "stage with joins.",
+    "events. Spark plan: ONE hash partition by user_id carries all three "
+    "window passes (each stage's min depends on the previous stage's, "
+    "same partitioning — no extra Exchange), then a global aggregate. "
+    "The oracle re-derives each stage with joins.",
     tags=("window", "sequence"),
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
