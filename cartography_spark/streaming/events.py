@@ -153,3 +153,31 @@ def minute_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             F.col("w.start").alias("bucket"), "n_events", "sum_value", "min_value", "max_value"
         )
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame, views: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: every click joined to the same user's
+    views from the preceding ``horizon``. Both sides carry watermarks and
+    the join condition bounds event time on BOTH streams, so each side's
+    join state is evictable: a buffered view can be dropped once the click
+    watermark passes view_ts + horizon (state ∝ watermark x rate, not
+    stream lifetime). This is the streaming form of the batch as-of/range
+    join family (operators/asof.py, operators/rangejoin.py)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"interval {horizon}")),
+    ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts")

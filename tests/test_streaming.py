@@ -117,3 +117,37 @@ def test_streaming_rollup_feeds_batch_hierarchy(spark, sf_dir):
     got = sorted(map(tuple, day_via_stream.collect()))
     want = sorted(map(tuple, day_batch.collect()))
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (clicks x views within 1h per user)
+    must produce exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import stream_stream_attribution
+
+    s1 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks_s = s1.filter(F.col("event_type") == "click")
+    s2 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    views_s = s2.filter(F.col("event_type") == "view")
+    got = run_available_now(
+        stream_stream_attribution(clicks_s, views_s), "ssj_test", output_mode="append"
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("view_ts")
+    )
+    expect = c.join(
+        v,
+        (c.user_id == v.vu)
+        & (v.view_ts <= c.click_ts)
+        & (v.view_ts >= c.click_ts - F.expr("interval 1 hour")),
+    ).select("click_id", "view_id")
+    assert {(r.click_id, r.view_id) for r in got.collect()} == {
+        (r.click_id, r.view_id) for r in expect.collect()
+    }
