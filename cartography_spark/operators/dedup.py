@@ -82,13 +82,21 @@ def ngram_jaccard_pairs(
     # materialize: consumed by freq, prefix, and the verification sets
     sh = sh.localCheckpoint(eager=True)
 
-    # global rarity order; shingle-space for char n-grams is bounded, so the
-    # frequency table broadcasts
+    # Global rarity order + dense shingle id. Char n-gram vocab is bounded
+    # (alphabet^n, tens of thousands in practice even at 100 TB) so the
+    # vocab table broadcasts; the single-partition window that assigns the
+    # dense id only touches that small table, never the corpus.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    w = Window.partitionBy(id_col, *block_cols).orderBy("__df", "shingle")
+    vocab = freq.withColumn(
+        "__sid", F.row_number().over(Window.orderBy("__df", "shingle")) - 1
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    vocab_size = vocab.count()
+
+    w = Window.partitionBy(id_col, *block_cols).orderBy("__sid")
     wsz = Window.partitionBy(id_col, *block_cols)
     ranked = (
-        sh.join(F.broadcast(freq), "shingle")
+        sh.join(F.broadcast(vocab), "shingle")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__sz", F.count("*").over(wsz))
     )
@@ -96,23 +104,63 @@ def ngram_jaccard_pairs(
         F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
     )
 
+    # Candidates join on the 4-byte dense id, not the shingle string, with
+    # the exact PPJoin length filter applied inside the join itself:
+    # J(A,B) >= t  =>  min|A|,|B| >= t * max|A|,|B| — kills
+    # size-incompatible pairs before they reach the distinct.
     a = prefix.select(
-        F.col(id_col).alias("a"), "shingle", *[F.col(c).alias(f"__ba_{c}") for c in block_cols]
+        F.col(id_col).alias("a"), "__sid", F.col("__sz").alias("__sza"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
     )
     b = prefix.select(
-        F.col(id_col).alias("b"), "shingle", *[F.col(c).alias(f"__bb_{c}") for c in block_cols]
+        F.col(id_col).alias("b"), "__sid", F.col("__sz").alias("__szb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
     )
-    on = a.shingle == b.shingle
+    on = a["__sid"] == b["__sid"]
     for c in block_cols:
         on = on & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
-    cand = a.join(b, on & (F.col("a") < F.col("b"))).select("a", "b").distinct()
+    size_ok = F.least("__sza", "__szb") >= F.lit(threshold) * F.greatest("__sza", "__szb")
+    cand = a.join(b, on & (F.col("a") < F.col("b")) & size_ok).select("a", "b").distinct()
 
-    sets = sh.groupBy(id_col, *block_cols).agg(
-        F.collect_set("shingle").alias("__set"), F.count("*").alias("__sz")
-    )
+    ided = sh.join(F.broadcast(vocab.select("shingle", "__sid")), "shingle")
+    # Verification: |A∩B| per candidate pair. Two physical encodings of the
+    # same exact set-intersection (identical output):
+    #  - small vocab: fixed-width BITMAP (array<bigint>, one bit per dense
+    #    id); intersect = sum of bit_count(a&b) over vocab_size/64 words —
+    #    ~100x cheaper than hashing 100+ strings per pair.
+    #  - large vocab: sorted int-id arrays + array_intersect (bitmaps would
+    #    waste vocab_size/8 bytes per doc).
+    if vocab_size <= 65536:
+        nwords = (vocab_size + 63) // 64
+        word_bits = ided.groupBy(id_col, *block_cols, (F.col("__sid") / 64).cast("int").alias("__w")).agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__sid % 64 AS INT))")).alias("__bits"),
+            F.count("*").alias("__n"),
+        )
+        sets = word_bits.groupBy(id_col, *block_cols).agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m"),
+            F.sum("__n").alias("__sz"),
+        ).select(
+            id_col,
+            *block_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("bigint")),
+            ).alias("__set"),
+            "__sz",
+        )
+        inter = F.aggregate(
+            F.zip_with("__seta", "__setb", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+    else:
+        sets = ided.groupBy(id_col, *block_cols).agg(
+            F.collect_set("__sid").alias("__set"), F.count("*").alias("__sz")
+        )
+        inter = F.size(F.array_intersect("__seta", "__setb")).cast("bigint")
+
     sa = sets.select(F.col(id_col).alias("a"), F.col("__set").alias("__seta"), F.col("__sz").alias("sza"))
     sb = sets.select(F.col(id_col).alias("b"), F.col("__set").alias("__setb"), F.col("__sz").alias("szb"))
-    inter = F.size(F.array_intersect("__seta", "__setb"))
     return (
         cand.join(sa, "a")
         .join(sb, "b")
@@ -138,8 +186,11 @@ def doc_shingles(
     # task. Hash-repartition the PRE-explode rows (cheap) so the heavy work
     # spreads across the cluster; since we key on id, the downstream
     # groupBy(id) reuses this partitioning instead of shuffling the
-    # much larger post-explode rowset.
-    rows = rows.repartition(F.col(id_col))
+    # much larger post-explode rowset. The partition count must be explicit:
+    # with `repartition(col)` alone AQE sees a few-MB exchange and coalesces
+    # it back to ONE partition, serializing the explode+md5 (observed 6x
+    # slowdown at sf0.1).
+    rows = rows.repartition(rows.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
     # shorter than n must yield no shingles (matches generate_series/oracle)
     grams = F.when(
@@ -306,9 +357,9 @@ def simhash(
     toks = docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
     # same parallelism guard as doc_shingles: spread the token x bit
     # explosion before it happens, keyed so downstream groupBys don't
-    # re-shuffle the exploded rows
+    # re-shuffle the exploded rows (explicit count, or AQE re-coalesces)
     toks = (
-        toks.repartition(F.col(id_col))
+        toks.repartition(toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col), F.explode(F.split(F.col("__t"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
     )
