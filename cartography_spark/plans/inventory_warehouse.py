@@ -1,0 +1,357 @@
+"""Warehouse-workload inventory: the classic decision-support query shapes
+(TPC-H-style) a user of any analytics engine runs daily, expressed over the
+driver tables. None of these exist verbatim in the reference (its read
+surface is rule Facts — SURVEY §3.2); they prove the query surface is a
+complete warehouse engine, not just the reference's operator list:
+
+- ``order_count_distribution`` (TPC-H Q13 shape): LEFT join + conditional
+  count + histogram of the counts — two aggregations, the second over the
+  first's output (tiny).
+- ``big_spender_orders`` (Q18 shape): groupBy HAVING over integer cents
+  (exact at any scale; float sums would make the HAVING boundary
+  engine-dependent).
+- ``supplier_wait_chain`` (Q21 shape): EXISTS + NOT EXISTS correlated
+  subqueries against the same fact table — planned as one left-semi and
+  one left-anti join, no per-row re-scan.
+- ``idle_rich_customers`` (Q22 shape): scalar AVG subquery + NOT EXISTS
+  anti-join.
+- ``promo_parts_share`` (Q14 shape): conditional aggregation; numerator
+  and denominator reported as exact cents instead of a float ratio.
+- ``top_supplied_parts_nested_in`` (Q20 shape): two nested IN subqueries
+  with a HAVING-gated inner aggregate.
+- ``window_percent_rank``: percent_rank + cume_dist (rank-family
+  completion).
+- ``grouping_sets_revenue``: explicit GROUPING SETS (CUBE/ROLLUP already
+  covered) with grouping_id disambiguation.
+- ``window_range_frame``: RANGE frame (2-hour trailing sum) over event
+  time in integer cents — time-based frames, not row-based.
+- ``median_value_by_type``: exact median over integer cents (interpolated
+  midpoints of ints are exact doubles in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table as T
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS n_custs
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: orders-per-customer histogram including "
+    "zero-order customers (LEFT join keeps them; the filter rides the "
+    "join condition, not a WHERE, so unmatched customers survive). "
+    "Second aggregation input is |customers| rows — trivial shuffle.",
+    tags=("join", "aggregation", "warehouse"),
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+@query(
+    "big_spender_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) > 100000000
+    """,
+    doc="TPC-H Q18 shape: HAVING over a grouped sum. Summed in integer "
+    "cents so the HAVING boundary is exact — a float sum's last-ulp "
+    "noise would make >10^8 engine- and partition-order-dependent.",
+    tags=("aggregation", "warehouse"),
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(cents).alias("spend_cents"), F.count("*").alias("n_orders"))
+        .filter(F.col("spend_cents") > 100000000)
+    )
+
+
+@query(
+    "supplier_wait_chain",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: the last-to-ship supplier per finished "
+    "multi-supplier order. EXISTS -> left-semi join, NOT EXISTS -> "
+    "left-anti join, both on l_orderkey — Catalyst runs them as two "
+    "hash joins against the same shuffled fact, never a per-row probe.",
+    tags=("subquery", "join", "warehouse"),
+)
+def q_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    for t in ("supplier", "lineitem"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    o.createOrReplaceTempView("orders_f_v")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier_v s
+        JOIN lineitem_v l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_f_v o ON o.o_orderkey = l1.l_orderkey
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        """
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no large orders. "
+    "The scalar AVG subquery becomes a broadcast scalar; NOT EXISTS a "
+    "left-anti join on o_custkey. Balance totals in exact cents.",
+    tags=("subquery", "warehouse"),
+)
+def q_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n_custs,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM customer_v c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                             WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
+    "promo_parts_share",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one ship month. "
+    "Conditional aggregation reported as exact (numerator, denominator) "
+    "cents — the ratio is one driver-side division away, and the exact "
+    "integers stay engine-portable where a float percentage would not. "
+    "Ship-date filter pushes to the parquet scan.",
+    tags=("aggregation", "warehouse"),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev_cents).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "top_supplied_parts_nested_in",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 's%')
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 2500
+    )
+    """,
+    doc="TPC-H Q20 shape: two nested IN subqueries, the inner one "
+    "aggregate-gated (HAVING). Both collapse to semi-joins; the part "
+    "filter prunes before the lineitem aggregation. l_quantity is "
+    "integral in the data so the HAVING boundary is exact.",
+    tags=("subquery", "warehouse"),
+)
+def q_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "part"):
+        T(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier_v s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey FROM lineitem_v l
+          WHERE l.l_partkey IN (SELECT p.p_partkey FROM part_v p WHERE p.p_name LIKE 's%')
+          GROUP BY l.l_suppkey
+          HAVING sum(l.l_quantity) > 2500
+        )
+        """
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WHERE c_nationkey < 3
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="percent_rank + cume_dist: the remaining rank-family windows "
+    "(row_number/lag/ntile already covered). Same (rank-1)/(n-1) and "
+    "rank/n formulas in every engine — rounded at 6 to absorb nothing "
+    "but display formatting.",
+    tags=("window", "warehouse"),
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS — the irregular grouping combination "
+    "CUBE/ROLLUP can't express ((status), (priority), () but never "
+    "(status, priority)). One Expand over one scan; grouping_id "
+    "distinguishes a literal 'ALL' value from a rolled-up row.",
+    tags=("aggregation", "olap", "warehouse"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                   RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_2h_cents
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="Time-based RANGE frame: per-user trailing-2-hour value sum, "
+    "ordered by event time in epoch seconds. RANGE frames bound by VALUE "
+    "distance (7200 s), not row count — the sliding-aggregate shape "
+    "row-based frames can't express; one user_id shuffle + sort.",
+    tags=("window", "temporal", "warehouse"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("trailing_2h_cents")
+    )
+
+
+@query(
+    "median_value_by_type",
+    oracle="""
+    SELECT event_type,
+           median(CAST(round(value * 100) AS BIGINT)) AS median_cents,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact (interpolating) median per group, computed over integer "
+    "cents: the even-count midpoint of two bigints is an exact double in "
+    "any engine, where interpolating raw floats would differ in the last "
+    "ulp between lower+(upper-lower)/2 and (lower+upper)/2 formulations. "
+    "Spark plans exact percentiles as a single sort-based aggregate.",
+    tags=("aggregation", "warehouse"),
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.median(cents).alias("median_cents"), F.count("*").alias("n")
+    )
