@@ -203,3 +203,39 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         if changed == 0:
             break
     return labels
+
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded synchronous k-core peeling over an undirected edge list
+    (u, v): each round drops every node of degree < k simultaneously, then
+    removes edges touching dropped nodes. After ``rounds`` rounds the
+    final degrees are filtered once more, so the result is the exact
+    k-core whenever peeling converges within ``rounds`` synchronous
+    rounds — and deterministic (round-for-round reproducible by an
+    unrolled-CTE oracle) either way.
+
+    Each round = one degree aggregation + two semi-join-shaped edge
+    filters, all hash-partitioned on the endpoint — no driver-side
+    state. Peeling is the standard distributed k-core shape
+    (Montresor et al.-style synchronous rounds); converged rounds are
+    no-ops, so over-provisioning ``rounds`` costs only empty shuffles.
+    Returns (node, deg) for nodes in the core with their in-core degree.
+    """
+    sym = symmetrize(edges, "u", "v").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        sym = (
+            sym.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+        # the filtered edge set feeds next round's degree AND both join
+        # sides — truncate lineage or the plan doubles per round
+        sym = sym.localCheckpoint(eager=True)
+    return (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
+    )

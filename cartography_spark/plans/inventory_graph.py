@@ -301,3 +301,43 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_view_click_purchase"),
     )
+
+
+def _kcore_oracle(k: int = 45, rounds: int = 4) -> str:
+    parts = [
+        f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
+        "e0 AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (SELECT src, count(*) AS deg FROM e{r} GROUP BY src),
+    k{r} AS (SELECT src FROM d{r} WHERE deg >= {k}),
+    e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+                 JOIN k{r} s ON e.src = s.src
+                 JOIN k{r} t ON e.dst = t.src),"""
+        )
+    parts.append(
+        f"""df AS (SELECT src, count(*) AS deg FROM e{rounds} GROUP BY src)
+    SELECT src AS node, CAST(deg AS BIGINT) AS deg FROM df WHERE deg >= {k}"""
+    )
+    return "\n    ".join(parts)
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (k=45) of the customer-supplier trade graph "
+    "by bounded synchronous peeling (operators/graph.py kcore): 4 rounds "
+    "of degree-filter + edge-prune, each one aggregation and two "
+    "endpoint-keyed hash joins. The oracle unrolls the identical rounds "
+    "as chained CTEs, so the distributed peel is verified "
+    "round-for-round, including the no-op rounds after convergence.",
+    tags=("graph",),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import kcore
+
+    edges = _trade_edges(spark, sf_dir).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    return kcore(edges, k=45, rounds=4)

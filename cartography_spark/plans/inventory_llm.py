@@ -668,3 +668,118 @@ def q_permission_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sim.sparse_token_cosine_pairs(docs)
+
+
+@query(
+    "segment_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             md5(array_to_string(list_slice(ws, i * 12 + 1, (i + 1) * 12), ' ')) AS h
+      FROM words CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, CAST((len(ws) + 11) // 12 AS INT) - 1)) AS i
+      )
+    )
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) = 1 AS keep
+    FROM segs
+    """,
+    doc="CCNet-style segment-level exact dedup: documents are cut into "
+    "consecutive 12-word segments, each segment hashed, and only the "
+    "first corpus-wide occurrence (by doc order, then position) is kept "
+    "— removing boilerplate repeated ACROSS documents that doc-level "
+    "dedup can't see. One shuffle on the segment hash; the explode is "
+    "spread by the doc_shingles parallelism-guard pattern.",
+    tags=("llm", "dedup"),
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"))
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    segs = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("ws") / F.lit(12)).cast("int") - 1)
+        ).alias("seg_idx"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.md5(
+            F.array_join(F.slice("ws", F.col("seg_idx") * 12 + 1, F.lit(12)), " ")
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    return segs.select(
+        "doc_id", "seg_idx", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+_MINHASH_SQL = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p,
+             CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
+                       + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p % 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY p) AS bsig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_MINHASH_SQL}
+    SELECT p.a, p.b,
+           CAST(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM pairs p
+    JOIN mh ma ON ma.doc_id = p.a
+    JOIN mh mb ON mb.doc_id = p.b AND mb.p = ma.p
+    GROUP BY p.a, p.b
+    """,
+    doc="MinHash Jaccard ESTIMATION on the LSH candidate pairs: n_agree "
+    "of 16 signature components agree, so est-J = n_agree/16 — the "
+    "cheap filter between LSH candidate generation and exact "
+    "verification in a production dedup pipeline. Signatures ride the "
+    "wide (doc, mh0..mh15) row, so the estimate is 16 comparisons per "
+    "pair with no extra shuffle beyond the candidate join itself.",
+    tags=("llm", "dedup"),
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = dd.minhash_wide(_docs(spark, sf_dir), num_perm=16, n=3)
+    wide = wide.localCheckpoint(eager=True)
+    pairs = dd.lsh_candidate_pairs(wide, bands=4, wide=True)
+    wa = wide.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)])
+    wb = wide.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    return (
+        pairs.join(wa, "a")
+        .join(wb, "b")
+        .select("a", "b", agree.cast("long").alias("n_agree"))
+    )

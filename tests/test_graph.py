@@ -87,3 +87,27 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert rows[0] > max(v for k, v in rows.items() if k != 0)
     leaf_ranks = {v for k, v in rows.items() if k != 0}
     assert len(leaf_ranks) == 1  # symmetry: all leaves identical
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    # 4-clique (nodes 1-4, degree 3 each) with a pendant chain 4-5-6.
+    # k=2: node 6 (deg 1) peels in round 1, which drops 5 to deg 1 and it
+    # peels in round 2 — the cascade the synchronous rounds must capture.
+    from cartography_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(clique + [(4, 5), (5, 6)], "u LONG, v LONG")
+    got = {r.node: r.deg for r in kcore(e, k=2, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_insufficient_rounds_is_deterministic_superset(spark):
+    # With rounds=1 the 5-6 chain cascade is cut short: 5 survives round 1
+    # (deg 2) and only the final filter applies — deterministic bounded
+    # semantics, matching what an unrolled oracle computes.
+    from cartography_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(clique + [(4, 5), (5, 6)], "u LONG, v LONG")
+    got = {r.node: r.deg for r in kcore(e, k=2, rounds=1).collect()}
+    assert set(got) == {1, 2, 3, 4}  # 5 drops in the final degree filter
