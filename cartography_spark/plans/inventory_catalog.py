@@ -140,3 +140,61 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("zval"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'totalprice_nonnegative', CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'discount_in_unit_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+    doc="Data-quality expectation suite in ONE submitted job: uniqueness, "
+    "null-rate, two referential-integrity (anti-join) checks, and two "
+    "range checks, unioned into a (check_name, n_violations) report. "
+    "Each check is an independent scan/anti-join branch, so Spark "
+    "schedules them concurrently; the anti-joins broadcast the key side. "
+    "The batch analogue of the reference's drift/consistency checking "
+    "(driftdetect/) applied to ingest validation.",
+    tags=("quality", "catalog"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+
+    def row(name: str, val):
+        return val.select(F.lit(name).alias("check_name"), F.col("n").cast("long").alias("n_violations"))
+
+    uniq = o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("n"))
+    nn = o.agg(F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n"))
+    fk_o = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count("*").alias("n"))
+    price = o.agg(F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("n"))
+    fk_l = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(F.count("*").alias("n"))
+    disc = li.agg(
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("n")
+    )
+    return (
+        row("orderkey_unique", uniq)
+        .unionByName(row("custkey_not_null", nn))
+        .unionByName(row("orders_fk_customer", fk_o))
+        .unionByName(row("totalprice_nonnegative", price))
+        .unionByName(row("lineitem_fk_orders", fk_l))
+        .unionByName(row("discount_in_unit_range", disc))
+    )

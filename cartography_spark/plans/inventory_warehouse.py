@@ -355,3 +355,73 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.median(cents).alias("median_cents"), F.count("*").alias("n")
     )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_tax
+               FROM lineitem WHERE l_orderkey < 100)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+    doc="UNPIVOT / melt: wide metric columns to long (row, metric, value) "
+    "form — the inverse of the pivot already covered. Spark plans it as "
+    "an Expand (4 output rows per input row, one scan, zero shuffles); "
+    "values pass through untouched so no rounding semantics are in play.",
+    tags=("reshape", "warehouse"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                  "l_discount", "l_tax")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="v",
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.round("v", 2).alias("val"))
+    )
+
+
+@query(
+    "outlier_zscore_exact",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type, CAST(round(value) AS BIGINT) AS x FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM u GROUP BY event_type
+    )
+    SELECT u.event_id, u.event_type
+    FROM u JOIN s ON u.event_type = s.event_type
+    WHERE (s.n * u.x - s.sx) * (s.n * u.x - s.sx) > 4 * (s.n * s.sxx - s.sx * s.sx)
+    """,
+    doc="Integer-exact z-score outlier flags (|z| > 2 per event_type): "
+    "the float inequality (x-mean)/sigma > k cross-multiplies to "
+    "(n*x - S)^2 > k^2*(n*Sxx - S^2) over integer units — no float "
+    "mean/stddev, so the outlier set is bit-reproducible across engines "
+    "and partition orders. One aggregation + one broadcast join back; "
+    "bigint-safe while n*max(x) < 3e9 (values <=561 here: past sf100).",
+    tags=("aggregation", "quality", "warehouse"),
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value").cast("bigint").alias("x")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx")
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return j.filter(dev * dev > 4 * var_num).select("event_id", "event_type")
