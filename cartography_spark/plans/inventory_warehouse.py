@@ -425,3 +425,76 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("n") * F.col("x") - F.col("sx")
     var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return j.filter(dev * dev > 4 * var_num).select("event_id", "event_type")
+
+
+@query(
+    "linear_trend_exact",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) - floor(epoch(TIMESTAMP '2024-01-01') / 3600) AS BIGINT) AS x,
+             CAST(round(value) AS BIGINT) AS y
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+    FROM u GROUP BY event_type
+    """,
+    doc="Exact least-squares trend per event_type: the OLS slope "
+    "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) reported as its exact integer "
+    "numerator/denominator over (hour-index, integer-unit) pairs — the "
+    "float division is one driver-side op away, while the distributed "
+    "aggregation stays bit-reproducible. One map-side-combined "
+    "aggregation, no joins; bigint-safe to ~sf10 for this data shape.",
+    tags=("aggregation", "warehouse"),
+)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    anchor = F.floor(F.unix_timestamp(F.lit("2024-01-01").cast("timestamp")) / 3600)
+    u = e.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) - anchor).cast("bigint").alias("x"),
+        F.round("value").cast("bigint").alias("y"),
+    )
+    return u.groupBy("event_type").agg(
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+@query(
+    "throttle_dedup",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id < 50
+    )
+    SELECT event_id FROM ordered
+    WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300
+    """,
+    doc="Event throttling / rate-limit dedup: keep an event only if the "
+    "previous event of the same (user, type) is more than 5 minutes "
+    "older — the batch twin of the streaming "
+    "dropDuplicatesWithinWatermark path (streaming/events.py). One "
+    "window shuffle on (user_id, event_type); ties broken by event_id "
+    "so the kept set is deterministic.",
+    tags=("window", "dedup", "warehouse"),
+)
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("event_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 300)
+        )
+        .select("event_id")
+    )
