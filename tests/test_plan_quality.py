@@ -45,19 +45,64 @@ def test_small_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_no_accidental_cartesian(spark):
-    """Everything except the explicit cartesian-link operator must avoid
-    CartesianProduct / BroadcastNestedLoopJoin-without-condition plans."""
+# Queries whose SEMANTICS are a theta/cross join (documented in their
+# registry docstrings): the reference's cartesian-link operator, fuzzy
+# CONTAINS matchers, and blocked similarity joins whose residual condition
+# is non-equi by design. Everything else must hash-join.
+_NESTED_LOOP_ALLOWED = {
+    "cartesian_product_link",       # reference semantics: every src x dst
+    "fuzzy_contains_join",          # CONTAINS theta join (querybuilder.py:712-714)
+    "matchlink_scoped_cleanup",     # scoped matchlink includes a fuzzy mode
+    "entity_resolution_fuzzy",      # blocked levenshtein (non-equi residual)
+    "permission_wildcard_eval",     # principals x resources wildcard match
+    "permission_statement_eval",
+    "similarity_cosine_topk",       # brute-force baseline (documented O(n))
+    "pandas_cosine_topk",
+}
+
+# BroadcastNestedLoopJoin with a SCALAR/bounded build side: the standard
+# plan for crossJoin(broadcast(one_row_aggregate)) — attaching a global
+# count/total/threshold, or probing a constant-size spec table (IVF
+# centroids, quantile specs, Bloom probes). Build side is O(1) rows by
+# construction, so the "nested loop" is one broadcast variable read per
+# row — scale-safe. Verified per query; new BNLs must justify themselves
+# here or be fixed.
+_SCALAR_ATTACH = {
+    "tfidf_quantized",              # x broadcast(1-row corpus size N)
+    "sketch_kmv_distinct",          # x broadcast(1-row exact count)
+    "sketch_hll_distinct",          # x broadcast(1-row exact count)
+    "sketch_countmin_heavy_hitters",  # x broadcast(1-row total)
+    "sketch_histogram_quantiles",   # x broadcast(1-row total, 3-row q spec)
+    "graph_triangle_count",         # x broadcast(1-row edge count)
+    "similarity_ann_ivf",           # probe x broadcast(constant centroid table)
+    "similarity_token_cosine_pairs",  # x broadcast(1-row norm total)
+    "bloom_prefilter_join",         # x broadcast(1-row bitset scalar)
+    "cleanup_rel_only",             # x broadcast(1-row update-tag scalar)
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """EVERY registry query must avoid CartesianProduct plans, and
+    BroadcastNestedLoopJoin is allowed only for declared theta joins and
+    scalar/bounded broadcast attaches — the single cheapest way a
+    refactor can destroy 100-TB viability is an accidental cross
+    product."""
     reg = _registry()
-    for name in [
-        "multihop_join_revenue",
-        "exists_semijoin",
-        "one_to_many_membership_join",
-        "dedup_minhash_lsh",
-        "dedup_embedding_cosine",
-    ]:
-        plan = _plan(reg[name].spark(spark, SF_SMOKE))
-        assert "CartesianProduct" not in plan, name
+    offenders = {}
+    for name, spec in reg.items():
+        plan = _plan(spec.spark(spark, SF_SMOKE))
+        hits = []
+        if "CartesianProduct" in plan and name not in _NESTED_LOOP_ALLOWED:
+            hits.append("CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _NESTED_LOOP_ALLOWED
+            and name not in _SCALAR_ATTACH
+        ):
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
 
 
 def test_semijoin_planned_for_exists(spark):
