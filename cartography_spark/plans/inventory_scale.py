@@ -1,0 +1,237 @@
+"""Scale-path inventory: operators whose whole point is the 100 TB shape.
+
+- ``incremental_agg_maintenance``: maintain a group-by summary from a delta
+  batch without rescanning the base (mergeable partials; cost ∝ |delta| +
+  |summary|). The reference recomputes everything per sync
+  (/root/reference/cartography/sync.py:494-496) — this is the incremental
+  alternative a large deployment needs.
+- ``table_checksum_blocks``: block-level md5 fingerprints for cross-engine /
+  cross-snapshot table reconciliation — compare 64 block rows instead of
+  re-diffing the full table (the set-based twin of the reference's drift
+  detect, /root/reference/cartography/driftdetect/detect_deviations.py:92-117).
+- ``event_transition_matrix``: per-user Markov transition counts over the
+  event stream (lag window + two aggregates sharing one shuffle).
+- ``argmax_mergeable_top1``: top-1-per-group via the ``max_by`` aggregate —
+  a mergeable partial aggregate instead of a window sort, so it map-side
+  combines and never materializes per-group orderings (the scale path for
+  the top1_per_group shape).
+- ``interval_overlap_pairs``: interval self-overlap join, bucketed by
+  fixed-width time bins so the plan is an equi-join on bucket + exact
+  residual filter — never the quadratic theta join the naive form implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.incremental import cents, merge_partials, partial_aggregate
+from cartography_spark.plans.registry import query
+from cartography_spark.sources.parquet import load_table as T
+
+_KEYS = ["l_returnflag", "l_linestatus"]
+_METRICS = ["l_quantity", "l_extendedprice"]
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS l_quantity_sum_cents,
+           min(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_min_cents,
+           max(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_max_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS l_extendedprice_sum_cents,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS l_extendedprice_min_cents,
+           max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS l_extendedprice_max_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Incremental summary maintenance: partial-aggregate a 90% base and a "
+    "10% delta batch separately, then merge the partials (operators/"
+    "incremental.py). The oracle is the full recompute — the merged summary "
+    "must be bit-identical (bigint cents, no float reorder error). At scale "
+    "only the delta is scanned; merge cost is independent of base size.",
+    tags=("scale", "lifecycle"),
+)
+def q_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    summary = partial_aggregate(base, _KEYS, _METRICS)
+    delta_partial = partial_aggregate(delta, _KEYS, _METRICS)
+    return merge_partials([summary, delta_partial], _KEYS, _METRICS)
+
+
+@query(
+    "table_checksum_blocks",
+    oracle="""
+    WITH fp AS (
+      SELECT (l_orderkey * 10 + l_linenumber) % 64 AS block_id,
+             ('0x' || substring(md5(concat_ws('|',
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+                CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR),
+                CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+                l_returnflag, l_linestatus,
+                CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 8))::BIGINT AS fp
+      FROM lineitem
+    )
+    SELECT block_id, count(*) AS n_rows,
+           CAST(sum(fp) % 2147483647 AS BIGINT) AS checksum
+    FROM fp GROUP BY block_id
+    """,
+    doc="Block-level reconciliation fingerprints: 64 rows of (count, md5-sum "
+    "checksum) keyed on a portable id-derived block, so two snapshots or two "
+    "engines compare 64 rows to localize divergence instead of re-diffing "
+    "the table (drift detect at 100 TB). Sum-of-hashes is order-independent "
+    "and map-side combines; the mod keeps the partial sums bigint-safe.",
+    tags=("scale", "drift"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        cents("l_quantity").cast("string"),
+        cents("l_extendedprice").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate").cast("date").cast("string"),
+    )
+    fp = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
+    return (
+        li.select(((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 64).alias("block_id"), fp.alias("fp"))
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), (F.sum("fp") % 2147483647).alias("checksum"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from_prev
+    FROM pairs
+    """,
+    doc="Per-user Markov transition counts: one lag window (partitioned on "
+    "user_id — the natural even key), then a 25-row pair aggregate; the "
+    "denominator reuses the tiny aggregate with a second window instead of "
+    "a self-join. Integer counts only, so exact across engines.",
+    tags=("scale", "events"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.withColumn(
+        "n_from_prev", F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    )
+
+
+@query(
+    "argmax_mergeable_top1",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, o_orderkey AS top_orderkey, ROUND(o_totalprice, 2) AS top_price
+    FROM j WHERE rn = 1
+    """,
+    doc="Top-1 per group WITHOUT a window sort: max_by over a (price, key) "
+    "struct is a mergeable aggregate — map-side combine keeps one candidate "
+    "per group per partition, so no per-group ordering is ever "
+    "materialized. The window form (top1_per_group) shuffles every row; "
+    "this shuffles one row per group per partition. Tie-break is total "
+    "(struct order), so it is deterministic and oracle-exact.",
+    tags=("scale", "window"),
+)
+def q_argmax_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+_BUCKET_US = 300_000_000  # 5-minute interval width and bucket size, microseconds
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    GROUP BY a.user_id, b.user_id
+    """,
+    doc="Interval self-overlap join (5-minute error windows overlapping "
+    "across users). The oracle states the naive quadratic theta join; the "
+    "Spark plan buckets each interval into the <=2 fixed 5-minute bins it "
+    "touches and equi-joins on bin + residual overlap filter + pair "
+    "distinct — candidate pairs are bin-local, so cost scales with "
+    "events-per-bin, not events^2. Same blocking discipline as the LSH "
+    "dedup family.",
+    tags=("scale", "events", "join"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    s = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("st"),
+        (F.unix_micros("ts") + F.lit(_BUCKET_US)).alias("en"),
+    )
+    bucketed = s.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("st") / _BUCKET_US), F.floor(F.col("en") / _BUCKET_US))),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.st") <= F.col("b.en"))
+            & (F.col("b.st") <= F.col("a.en")),
+        )
+        # an overlapping pair can share both of its bins — dedup before counting
+        .select(
+            F.col("a.event_id").alias("ea"),
+            F.col("b.event_id").alias("eb"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_overlaps"))

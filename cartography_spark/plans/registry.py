@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import cartography_spark.plans.inventory_catalog  # noqa: F401
     import cartography_spark.plans.inventory_analytics  # noqa: F401
     import cartography_spark.plans.inventory_warehouse  # noqa: F401
+    import cartography_spark.plans.inventory_scale  # noqa: F401
 
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
