@@ -36,6 +36,8 @@ HEADLINE = [
     "similarity_ann_ivf",
     "events_session_window",
     "text_token_stats",
+    "incremental_agg_maintenance",
+    "interval_overlap_pairs",
 ]
 
 
