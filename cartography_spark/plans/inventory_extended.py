@@ -858,3 +858,40 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n))
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    """,
+    doc="Stream-stream interval join (streaming/events.py "
+    "stream_stream_attribution): clicks joined to the same user's views in "
+    "the preceding hour, both sides watermarked so join state is evictable "
+    "(state ∝ watermark x rate, not stream lifetime). Run to completion "
+    "with Trigger.AvailableNow; on bounded input the append-mode result "
+    "equals the batch interval join, which is the oracle.",
+    tags=("streaming", "join"),
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_attribution,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(
+        stream_stream_attribution(clicks, views), name, output_mode="append"
+    )
+    return out.select("click_id", "user_id", "click_ts", "view_id", "view_ts")
