@@ -197,6 +197,78 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_kmeans_exact",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, d, qv AS c FROM q WHERE vec_id < 4),
+    d1 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
+    d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+    c2 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+    d3 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
+    a3 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d3) WHERE rn = 1)
+    SELECT vec_id, cid AS cluster FROM a3
+    """,
+    doc="Integer-exact Lloyd k-means (k=4, 3 rounds): embeddings quantized "
+    "to bigint micro-units, centroid updates by portable floor-division, "
+    "assignment tie-break total on (dist, cid) — so the ENTIRE iterative "
+    "algorithm is bit-identical to the unrolled-CTE oracle, unlike the "
+    "float variant above (rows-only by necessity). Per round: one "
+    "broadcast of the k x dim centroid table, one (vec, cid) distance "
+    "aggregate, one min_by argmin (mergeable, no window sort), one "
+    "centroid rebuild; localCheckpoint truncates the per-round lineage "
+    "doubling (same discipline as the iterative graph operators).",
+    tags=("llm", "similarity"),
+)
+def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    q = q.localCheckpoint(eager=True)  # feeds every round's distance + update
+    c = q.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("cid"), "d", F.col("qv").alias("c"))
+    assign = None
+    for r in range(3):
+        diff = F.col("qv") - F.col("c")
+        dist = (
+            q.join(F.broadcast(c), "d")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = dist.groupBy("vec_id").agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+        if r < 2:
+            c = (
+                q.join(assign, "vec_id")
+                .groupBy("cid", "d")
+                .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("bigint").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+    return assign.select("vec_id", F.col("cid").alias("cluster"))
+
+
+@query(
     "contamination_ngram_overlap",
     oracle=rf"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
