@@ -57,3 +57,49 @@ def asof_join_backward(
     return u.select(*left.columns, F.col("__side"), *carried).filter(F.col("__side") == 1).drop(
         "__side"
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with the same key
+    and ``right.ts >= left.ts`` (the "next event" direction kdb calls aj0's
+    mirror). Same union-merge plan as the backward form — one shuffle on the
+    key, per-partition sort, zero join nodes — with the sort reversed: the
+    stream runs in DESCENDING ts, so ``last(ignorenulls)`` carries the
+    nearest following right row backward onto each left row.
+
+    Ties: a right row at exactly left.ts is visible; among right rows
+    sharing (key, ts), the LOWEST tie-column value wins (deterministic
+    mirror of the backward form's highest-wins).
+    """
+    lt = left.withColumn("__ts", F.col(ts)).withColumn("__side", F.lit(1)).withColumn(
+        "__tie", F.lit(0).cast("long")
+    )
+    rt = right.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tie_col) if tie_col else F.lit(0)).cast("long").alias("__tie"),
+        F.col(ts).alias(prefix + ts),
+        *[F.col(c).alias(prefix + c) for c in value_cols],
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
+        for c in (ts, *value_cols)
+    ]
+    return u.select(*left.columns, F.col("__side"), *carried).filter(F.col("__side") == 1).drop(
+        "__side"
+    )

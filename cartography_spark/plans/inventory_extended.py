@@ -895,3 +895,52 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
         stream_stream_attribution(clicks, views), name, output_mode="append"
     )
     return out.select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+
+
+@query(
+    "asof_join_forward_next",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts, v.value AS view_value,
+             p.ts AS purchase_ts, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts ASC NULLS LAST, p.event_id ASC) AS rn
+      FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+    )
+    SELECT view_id, user_id, view_ts, view_value, purchase_ts, purchase_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Forward as-of join (operators/asof.py asof_join_forward): each "
+    "view attributed to the user's NEXT purchase at-or-after it — the "
+    "mirror direction of asof_join_attribution, same union-merge plan with "
+    "the per-partition sort reversed (descending ts). One shuffle, no join "
+    "node, vs the oracle's theta-join + row_number.",
+    tags=("window", "temporal"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join_forward(
+        views, purchases, by="user_id", ts="ts", value_cols=("value",), tie_col="event_id",
+        prefix="purchase_",
+    )
+    return out.select(
+        "view_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        "view_value",
+        F.col("purchase_ts"),
+        F.col("purchase_value"),
+    )

@@ -49,3 +49,42 @@ def test_asof_backward_semantics(spark):
     assert out[4].asof_rv is None
     # left columns all preserved
     assert out[1].lv == 1.0 and set(out) == {1, 2, 3, 4}
+
+
+def test_asof_forward_semantics(spark):
+    from cartography_spark.operators.asof import asof_join_forward
+
+    L = "lid long, k long, ts timestamp, lv double"
+    R = "event_id long, k long, ts timestamp, rv double"
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = _df(
+        spark,
+        [
+            (1, 7, t(10), 1.0),  # rows at 10 (equal -> visible) and 12 follow
+            (2, 7, t(11), 2.0),  # only the row at 12 follows
+            (3, 7, t(13), 3.0),  # nothing follows -> nulls
+            (4, 9, t(0), 4.0),  # different key, no right rows at all
+        ],
+        L,
+    )
+    right = _df(
+        spark,
+        [
+            (100, 7, t(3), 30.0),
+            (101, 7, t(12), 50.0),
+            (102, 7, t(10), 77.0),
+            (103, 7, t(10), 99.0),  # same ts as 102 -> LOWER event_id wins (forward mirror)
+        ],
+        R,
+    )
+    out = {
+        r.lid: r
+        for r in asof_join_forward(
+            left, right, by="k", ts="ts", value_cols=("rv",), tie_col="event_id"
+        ).collect()
+    }
+    assert out[1].asof_rv == 77.0 and out[1].asof_ts == t(10)  # equal ts visible, tie -> min id
+    assert out[2].asof_rv == 50.0 and out[2].asof_ts == t(12)
+    assert out[3].asof_rv is None and out[3].asof_ts is None
+    assert out[4].asof_rv is None
+    assert out[1].lv == 1.0 and set(out) == {1, 2, 3, 4}
