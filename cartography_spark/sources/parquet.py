@@ -35,7 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # already a physical timestamp (possibly NTZ); session tz is UTC so
+        # the cast is value-preserving and gives downstream windows/watermarks
+        # the TimestampType they expect
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,8 +27,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # probe the physical type with a batch read so the stream schema matches
+    # whichever generation of the fixture is on disk (bigint nanos vs
+    # timestamp[us])
+    probe = spark.read.parquet(path)
+    ts_type = dict(probe.dtypes)["ts"]
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
         "value double, props string"
     )
     if os.path.isfile(path):
@@ -38,7 +43,9 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     raw = spark.readStream.schema(schema).format("parquet").load(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
