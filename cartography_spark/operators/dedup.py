@@ -466,3 +466,79 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, id_col: st
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def substring_span_stats(
+    docs: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication statistics (the suffix-array-free scale
+    path of "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021): hash every stride-1 ``window``-token span, flag spans
+    whose hash occurs more than once in the corpus, and report per document
+    how many tokens sit inside at least one duplicated span.
+
+    Plan shape: one explode (guarded by the doc_shingles repartition
+    pattern), one groupBy on the span hash (map-side combinable count),
+    one join back, then a per-doc interval-union computed with a single
+    running-max window — never a self-join over spans. At 100 TB the span
+    hash is the only wide key; everything downstream is per-doc.
+
+    Output: (doc_id, n_tokens, dup_windows, dup_tokens, dup_permille) —
+    all integers, so the DuckDB oracle matches bit-exactly.
+
+    Reference analogue: cartography has no corpus operators; this extends
+    the dedup family required by the LLM-data north-star.
+    """
+    from pyspark.sql import Window as W
+
+    rows = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    rows = rows.repartition(rows.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    base = rows.select(F.col(id_col), F.size("__ws").cast("long").alias("n_tokens"))
+    # sequence(1, 0) would DESCEND in Spark — docs shorter than the window
+    # must produce no spans, hence the explicit size filter.
+    wins = (
+        rows.filter(F.size("__ws") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.size("__ws") - (window - 1))).alias("i"),
+            F.col("__ws"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("i"),
+            F.md5(F.array_join(F.slice("__ws", F.col("i"), F.lit(window)), " ")).alias("h"),
+        )
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("__cnt")).filter(F.col("__cnt") > 1)
+    dup = wins.join(dup_h, "h").select(F.col(id_col), F.col("i"))
+    prior = W.partitionBy(id_col).orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    cov = (
+        dup.withColumn("__end", F.col("i") + (window - 1))
+        .withColumn("__prev_end", F.coalesce(F.max("__end").over(prior), F.lit(0)))
+        .withColumn(
+            "__covered",
+            F.greatest(
+                F.lit(0), F.col("__end") - F.greatest(F.col("__prev_end"), F.col("i") - 1)
+            ),
+        )
+    )
+    per_doc = cov.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("dup_windows"),
+        F.sum("__covered").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("CAST((dup_tokens * 1000) DIV n_tokens AS BIGINT)"),
+        )
+    )

@@ -102,3 +102,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     md5. Robust to whitespace/punctuation-only edits."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram language-model quality score, integer-exact.
+
+    Classic LM-perplexity filtering (CCNet-style) scores each document by
+    the average negative log-probability of its tokens under a corpus
+    unigram model. Floating-point log/sum ordering differs across engines,
+    so we quantize the surprisal of a token with corpus count c out of T
+    total tokens to floor(log2(T / c)) = length(bin(T DIV c)) - 1 bits —
+    pure integer arithmetic any engine reproduces bit-exactly.
+
+    Plan shape: one explode, one token-frequency groupBy (map-side
+    combinable), a one-row total broadcast, one join back on token, one
+    per-doc groupBy. The token-frequency relation is the classic
+    "dictionary" side — at 100 TB it stays millions of rows (vocabulary),
+    so AQE broadcast-joins it against the exploded tokens.
+
+    Output: (doc_id, n_tokens, total_bits, mean_millibits) — higher
+    mean_millibits = rarer tokens = more surprising text.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("bits", F.length(F.bin(F.expr("t DIV c"))).cast("long") - 1)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias("mean_millibits"),
+    )

@@ -783,3 +783,78 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(wb, "b")
         .select("a", "b", agree.cast("long").alias("n_agree"))
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+    wins AS (
+      SELECT doc_id, i, md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS h
+      FROM words CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 9)) AS i
+      )
+      WHERE len(ws) >= 10
+    ),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+    dup AS (SELECT doc_id, i FROM wins JOIN duph USING (h)),
+    cov AS (
+      SELECT doc_id, i, i + 9 AS endpos,
+             coalesce(max(i + 9) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+      FROM dup
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dup_windows,
+             sum(greatest(0, endpos - greatest(prev_end, i - 1))) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST((coalesce(p.dup_tokens, 0) * 1000) // len(w.ws) AS BIGINT) AS dup_permille
+    FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+    """,
+    doc="Exact-substring duplication spans (Lee et al. 2021, the "
+    "suffix-array-free scale path): every stride-1 10-token span is "
+    "hashed; spans occurring >1x corpus-wide are duplicates; per-doc "
+    "duplicated-token coverage is an interval union computed with one "
+    "running-max window — no span self-join. operators/dedup.py:"
+    "substring_span_stats. All-integer output, bit-exact vs the oracle.",
+    tags=("llm", "dedup"),
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.substring_span_stats(_docs_with_dupes(spark, sf_dir), window=10)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+    scored AS (
+      SELECT doc_id, length(bin(CAST(t // c AS BIGINT))) - 1 AS bits
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-unigram LM quality score (CCNet-style perplexity "
+    "filtering), integer-quantized: token surprisal = floor(log2(T/c)) "
+    "computed as length(bin(T DIV c)) - 1 — engine-portable integers, "
+    "no float log. operators/textstats.py:unigram_surprisal. The "
+    "vocabulary relation broadcasts against the exploded tokens at "
+    "scale; one explode + two groupBys total.",
+    tags=("llm", "text"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.unigram_surprisal(_docs(spark, sf_dir))

@@ -105,3 +105,46 @@ def test_sparse_token_cosine_pairs(spark):
     assert got[(1, 2)] == 1.0  # identical bigram vectors
     assert (1, 3) in got and got[(1, 3)] < 1.0  # one shared bigram of three
     assert all(4 not in pair for pair in got)  # no shared grams -> no pair
+
+
+def test_substring_span_stats_hand_computed(spark):
+    """Interval-union coverage: overlapping dup spans merge, cross-doc
+    repeats count, short docs yield zero windows."""
+    from cartography_spark.operators.dedup import substring_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x x"),          # self-repeating: every window dup
+            (2, "a b c q r s a b c"),  # "a b c" twice within one doc
+            (3, "u v"),                # shorter than the window
+            (4, "p q r"),              # cross-doc dup with doc 5
+            (5, "p q r"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.dup_tokens, r.dup_permille)
+        for r in substring_span_stats(docs, window=3).collect()
+    }
+    assert got == {
+        1: (5, 3, 5, 1000),
+        2: (9, 2, 6, 666),
+        3: (2, 0, 0, 0),
+        4: (3, 1, 3, 1000),
+        5: (3, 1, 3, 1000),
+    }
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """bits(tok) = floor(log2(T // c)) over the corpus unigram model."""
+    from cartography_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.total_bits, r.mean_millibits)
+        for r in unigram_surprisal(docs).collect()
+    }
+    # T=5; c(a)=2 -> floor(log2(2))=1; c(b)=2 -> 1; c(c)=1 -> floor(log2(5))=2
+    assert got == {1: (3, 3, 1000), 2: (2, 3, 1500)}
