@@ -257,3 +257,81 @@ def sparse_token_cosine_pairs(
         .limit(k)
         .select("doc_a", "doc_b", F.round(F.col("c"), 6).alias("cosine"))
     )
+
+
+def int8_quantize(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar-quantize float vectors to [0, 254] integers per dimension
+    (the int8 compression path every 100 TB vector store ships: 4x less
+    I/O and integer dot products instead of float).
+
+    Per-dim min/max come from one posexplode + 64-key groupBy (map-side
+    combinable), folded into a single broadcast row of (mins, maxs)
+    arrays; quantization itself is a JVM-side ``transform`` — no Python,
+    no second shuffle. q = floor((v - mn) * 254 / (mx - mn)), clamped,
+    constant dims -> 0. All arithmetic is IEEE-double then integer, so
+    any engine reproduces the codes bit-exactly.
+    """
+    pos = embeddings.select(F.posexplode(F.col(vec_col)).alias("pos", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    stats = pos.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    row = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__mxs"),
+    )
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            F.get("__mxs", i) > F.get("__mns", i),
+            F.least(
+                F.floor(
+                    (v.cast("double") - F.get("__mns", i))
+                    * F.lit(254.0)
+                    / (F.get("__mxs", i) - F.get("__mns", i))
+                ),
+                F.lit(254).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(row))
+        .select(F.col(id_col), qvec.alias("qvec"))
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors by integer dot product over int8-quantized vectors.
+
+    The scan side never materializes floats: one pass over the quantized
+    codes, a broadcast 1-row query vector, an integer zip_with/aggregate
+    dot, then TakeOrdered(k) — order (qdot DESC, id ASC) is total, so
+    the cut is deterministic.
+    """
+    q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
+    qv = q.filter(F.col(id_col) == query_id).select(F.col("qvec").alias("__qq"))
+    dot = F.aggregate(
+        F.zip_with("qvec", "__qq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        q.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), dot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(k)
+    )

@@ -858,3 +858,43 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.unigram_surprisal(_docs(spark, sf_dir))
+
+
+@query(
+    "similarity_int8_scan",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+      ) GROUP BY pos
+    ),
+    mm AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+    q AS (
+      SELECT vec_id,
+             [CASE WHEN mxs[i] > mns[i]
+                   THEN least(CAST(floor((v[i] - mns[i]) * 254.0 / (mxs[i] - mns[i])) AS BIGINT), 254)
+                   ELSE 0 END
+              FOR i IN generate_series(1, len(v))] AS qvec
+      FROM e CROSS JOIN mm
+    ),
+    qq AS (SELECT qvec AS qv FROM q WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(list_sum([qvec[i] * qv[i] FOR i IN generate_series(1, len(qvec))]) AS BIGINT) AS qdot
+    FROM q CROSS JOIN qq
+    WHERE vec_id <> 0
+    ORDER BY qdot DESC, vec_id ASC
+    LIMIT 20
+    """,
+    doc="Int8 scalar-quantized similarity scan (operators/similarity.py:"
+    "int8_quantize/int8_topk): per-dim min/max from one 64-key groupBy, "
+    "codes = floor((v-mn)*254/(mx-mn)) via a JVM-side transform, top-20 "
+    "by integer dot product against the broadcast query vector. The 4x-"
+    "compression scan path for 100 TB vector stores — quantization "
+    "arithmetic is IEEE-double-then-integer, bit-exact vs the oracle.",
+    tags=("llm", "similarity"),
+)
+def q_int8_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.int8_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=20)

@@ -148,3 +148,18 @@ def test_unigram_surprisal_hand_computed(spark):
     }
     # T=5; c(a)=2 -> floor(log2(2))=1; c(b)=2 -> 1; c(c)=1 -> floor(log2(5))=2
     assert got == {1: (3, 3, 1000), 2: (2, 3, 1500)}
+
+
+def test_int8_quantize_and_topk_hand_computed(spark):
+    """Codes hit the [0, 254] corners at the per-dim extremes; the scan
+    ranks by integer dot product with a total (qdot, id) order."""
+    from cartography_spark.operators.similarity import int8_quantize, int8_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [1.0, 0.0]), (2, [0.5, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    codes = {r.vec_id: list(r.qvec) for r in int8_quantize(emb).collect()}
+    assert codes == {0: [0, 254], 1: [254, 0], 2: [127, 127]}
+    top = [(r.vec_id, r.qdot) for r in int8_topk(emb, query_id=0, k=2).collect()]
+    assert top == [(2, 254 * 127), (1, 0)]
