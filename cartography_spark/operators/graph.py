@@ -239,3 +239,42 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .filter(F.col("deg") >= k)
         .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("deg"))
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Deterministic synchronous label-propagation community detection
+    over an already-symmetrized directed edge list (every node appears as
+    a src). label0(v) = v; each round every node adopts the most frequent
+    label among its neighbours, ties broken by the smallest label — a
+    total order, so the result is reproducible in any engine.
+
+    Per round: one hash join (static edge side persisted) + a two-level
+    aggregation. The argmax is ``max_by(label, (cnt, -label))`` — a
+    mergeable aggregate with map-side combine — instead of a
+    row_number window, so no per-group sort materializes. Lineage is
+    truncated per round with localCheckpoint (iterative-plan pattern
+    shared with connected_components above).
+    """
+    e = edges.select("src", "dst")
+    e.persist()
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(rounds):
+        counts = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    return labels

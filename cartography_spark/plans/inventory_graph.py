@@ -341,3 +341,46 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("u"), F.col("b").alias("v")
     )
     return kcore(edges, k=45, rounds=4)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    parts = [
+        f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
+        "e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT e.src, l.label, count(*) AS cnt
+      FROM e JOIN l{k - 1} l ON e.dst = l.node GROUP BY e.src, l.label
+    ),
+    l{k} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    ),"""
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"{body}\n    SELECT node, label FROM l{rounds}"
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Synchronous label-propagation community detection (operators/"
+    "graph.py:label_propagation), 3 rounds over the symmetrized "
+    "customer-supplier trade graph. Deterministic: most-frequent "
+    "neighbour label, smallest label on count ties. Spark computes the "
+    "argmax as a mergeable max_by(label, (cnt, -label)) aggregate (map-"
+    "side combine, no per-group sort); the oracle uses the naive "
+    "row_number window — agreement proves the sort-free plan correct.",
+    tags=("graph", "iterative"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import label_propagation
+
+    edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    return label_propagation(edges, rounds=3)

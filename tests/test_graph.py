@@ -111,3 +111,19 @@ def test_kcore_insufficient_rounds_is_deterministic_superset(spark):
     e = spark.createDataFrame(clique + [(4, 5), (5, 6)], "u LONG, v LONG")
     got = {r.node: r.deg for r in kcore(e, k=2, rounds=1).collect()}
     assert set(got) == {1, 2, 3, 4}  # 5 drops in the final degree filter
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by a bridge resolve into two communities;
+    deterministic min-label tie-breaks at every step."""
+    from cartography_spark.operators.graph import label_propagation, symmetrize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(symmetrize(edges, "a", "b"), rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
