@@ -93,13 +93,10 @@ def histogram_quantile_estimates(
 _HLL_M = 256  # p=8: bucket is the first two md5 hex digits
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """Build the 256 HLL registers for ``col``: ``(b, mx)`` rows where
-    ``mx`` is the max rank (1 + leading-zero bits of the post-bucket
-    hash, capped at 32). One narrow projection + a 256-group map-side-
-    combinable max — duplicates are free (max is idempotent) so there
-    is NO distinct shuffle; registers from disjoint partitions merge
-    with ``hll_merge``."""
+def hll_bucket_rho(col: str) -> tuple[F.Column, F.Column]:
+    """The (bucket, rho) projection pair for one value of ``col`` —
+    the per-row part of the HLL sketch, shared by the batch builder and
+    the streaming register maintenance (streaming/events.py)."""
     h = F.md5(F.col(col).cast("string"))
     rest = F.substring(h, 3, 30)
     stripped = F.regexp_replace(rest, "^0+", "")
@@ -109,8 +106,19 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     rho = F.when(F.length(stripped) == 0, F.lit(32)).otherwise(
         F.least(nz * 4 + extra + 1, F.lit(32))
     )
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), rho
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """Build the 256 HLL registers for ``col``: ``(b, mx)`` rows where
+    ``mx`` is the max rank (1 + leading-zero bits of the post-bucket
+    hash, capped at 32). One narrow projection + a 256-group map-side-
+    combinable max — duplicates are free (max is idempotent) so there
+    is NO distinct shuffle; registers from disjoint partitions merge
+    with ``hll_merge``."""
+    b, rho = hll_bucket_rho(col)
     return (
-        df.select(F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("b"), rho.alias("rho"))
+        df.select(b.alias("b"), rho.alias("rho"))
         .groupBy("b")
         .agg(F.max("rho").alias("mx"))
     )

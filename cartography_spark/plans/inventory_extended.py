@@ -944,3 +944,77 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts"),
         F.col("purchase_value"),
     )
+
+
+@query(
+    "streaming_hll_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    r AS (
+      SELECT ('0x' || substring(hx, 1, 2))::BIGINT AS b,
+             regexp_replace(substring(hx, 3, 30), '^0+', '') AS st
+      FROM h
+    ),
+    rho AS (
+      SELECT b,
+             CASE WHEN st = '' THEN 32
+                  ELSE least((30 - length(st)) * 4 +
+                       CASE WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 8 THEN 0
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 4 THEN 1
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 2 THEN 2
+                            ELSE 3 END + 1, 32) END AS rho
+      FROM r
+    ),
+    regs AS (SELECT b, max(rho) AS mx FROM rho GROUP BY b),
+    agg AS (
+      SELECT CAST(sum(1::BIGINT << (32 - mx)) AS BIGINT) AS s, count(*) AS used FROM regs
+    ),
+    x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+    SELECT 256 AS m, CAST(used AS BIGINT) AS used_buckets,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+                     / (s + (256 - used) * 4294967296) <= 640.0 AND used < 256
+                THEN ROUND(256.0 * ln(256.0 / (256 - used)), 2)
+                ELSE ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0
+                     / (s + (256 - used) * 4294967296), 2) END AS estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM agg CROSS JOIN x
+    """,
+    doc="Streaming sketch maintenance: HyperLogLog registers of "
+    "events.user_id kept per event-time hour by a watermarked streaming "
+    "max aggregation (streaming/events.py:hll_register_stream — ONE "
+    "state row per (window, bucket), bounded and watermark-evicted), "
+    "then merged register-wise (sketches.py:hll_merge) and collapsed to "
+    "the estimate. Because max is mergeable, the stream's per-window "
+    "partials reproduce the batch registers EXACTLY — the oracle runs "
+    "the batch HLL over all events and matches bit-for-bit: streaming "
+    "distinct-count with no lambda-architecture divergence.",
+    tags=("streaming", "sketch"),
+)
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+    )
+    from cartography_spark.sources.parquet import load_table as _lt
+    from cartography_spark.streaming.events import (
+        hll_register_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    per_window = run_available_now(
+        hll_register_stream(stream), name, output_mode="append"
+    )
+    regs = hll_merge(per_window.select("b", "mx"))
+    est = hll_estimate_from_registers(regs)
+    exact = (
+        _lt(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -188,3 +188,32 @@ def stream_stream_attribution(
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"interval {horizon}")),
     ).select("click_id", F.col("c_user").alias("user_id"), "click_ts", "view_id", "view_ts")
+
+
+def hll_register_stream(
+    events: DataFrame,
+    col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Maintain HyperLogLog registers incrementally on a stream: per
+    event-time window, the 256 (bucket, max-rank) registers of ``col``.
+
+    max() is associative/commutative/idempotent, so Spark keeps ONE row
+    of state per (window, bucket) — bounded state, evicted by the
+    watermark — and the emitted per-window register sets merge into the
+    exact same registers a batch pass over all data would build
+    (operators/sketches.py:hll_merge). That is the mergeable-sketch
+    contract running under Structured Streaming: distinct-count at
+    100 TB/day without ever shuffling a distinct.
+    """
+    from cartography_spark.operators.sketches import hll_bucket_rho
+
+    b, rho = hll_bucket_rho(col)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.col("ts"), b.alias("b"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("win"), F.col("b"))
+        .agg(F.max("rho").alias("mx"))
+        .select(F.col("win.start").alias("window_start"), "b", "mx")
+    )

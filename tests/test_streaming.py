@@ -151,3 +151,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     assert {(r.click_id, r.view_id) for r in got.collect()} == {
         (r.click_id, r.view_id) for r in expect.collect()
     }
+
+
+def test_streaming_hll_registers_equal_batch(spark, sf_dir):
+    """Merged per-window streaming HLL registers == the batch registers:
+    the mergeable-sketch contract holds under Structured Streaming."""
+    from cartography_spark.operators.sketches import hll_merge, hll_registers
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import (
+        hll_register_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    per_window = run_available_now(
+        hll_register_stream(stream), "hll_regs_test", output_mode="append"
+    )
+    merged = hll_merge(per_window.select("b", "mx"))
+    batch = hll_registers(load_table(spark, sf_dir, "events"), "user_id")
+    assert {(r.b, r.mx) for r in merged.collect()} == {
+        (r.b, r.mx) for r in batch.collect()
+    }
