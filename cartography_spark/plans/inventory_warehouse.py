@@ -498,3 +498,61 @@ def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id")
     )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        AS revenue_micros
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19-shape disjunctive join predicate: OR of AND-groups "
+    "mixing build-side (brand/size) and probe-side (quantity) columns. "
+    "Catalyst extracts the common conjuncts per side and pushes the "
+    "derivable disjunctions (brand IN set, size <= 35, quantity <= 30) "
+    "below the join as scan-level PushedFilters, so the join probes a "
+    "pre-filtered fraction of both inputs — the classic OR-predicate "
+    "pushdown test. Revenue accumulated as price_cents x (100 - "
+    "discount_pct) integer micros: order-free, bit-exact in any engine.",
+    tags=("warehouse", "join"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(grp)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(cents * disc).cast("bigint").alias("revenue_micros"),
+        )
+    )
