@@ -335,3 +335,83 @@ def int8_topk(
         .orderBy(F.desc("qdot"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    dim: int,
+    query_id: int = 0,
+    k: int = 20,
+    n_sub: int = 4,
+    codebook_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ADC (asymmetric distance computation) top-k.
+
+    The standard 100 TB ANN compression ladder past int8: vectors are
+    split into ``n_sub`` subspaces, each sub-vector replaced by the id of
+    its nearest codebook centroid (ties -> smallest id), so a 64-dim
+    vector stores as 4 small codes. A query never decodes the database:
+    it builds a ``n_sub x K`` lookup table of exact subspace distances
+    and scores every stored vector with ``n_sub`` table lookups.
+
+    Codebooks here are deterministic samples (the int8-quantized vectors
+    of ``codebook_ids``) — centroid TRAINING is the k-means operator
+    demonstrated elsewhere (operators/clustering.py); this operator owns
+    the encode/ADC machinery. Everything runs on the int8 codes from
+    int8_quantize, so encoding, LUT, and scan are exact BIGINT
+    arithmetic any engine reproduces.
+
+    Plan: quantized vectors localCheckpointed once; codebook and LUT are
+    1-row broadcasts; encode + scan are JVM higher-order expressions on
+    the single pass over the codes; TakeOrdered(k) with the total order
+    (adist ASC, id ASC).
+    """
+    dsub = dim // n_sub
+    q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
+    q = q.localCheckpoint(eager=True)
+    cb = q.filter(F.col(id_col).isin(list(codebook_ids))).groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("qvec")))),
+            lambda s: s["qvec"],
+        ).alias("__cb")
+    )
+    with_cb = q.crossJoin(F.broadcast(cb))
+
+    def sub_dists(m: int) -> Column:
+        mine = F.slice("qvec", m * dsub + 1, dsub)
+        return F.transform(
+            F.col("__cb"), lambda c: _sq_dist(mine, F.slice(c, m * dsub + 1, dsub))
+        )
+
+    codes = F.array(
+        *[
+            (F.array_position(sub_dists(m), F.array_min(sub_dists(m))) - 1).cast("int")
+            for m in range(n_sub)
+        ]
+    )
+    lut_row = (
+        with_cb.filter(F.col(id_col) == query_id)
+        .select(F.array(*[sub_dists(m) for m in range(n_sub)]).alias("__lut"))
+    )
+    encoded = with_cb.select(F.col(id_col), codes.alias("__codes"))
+    adist = sum(
+        F.get(F.get("__lut", m), F.get("__codes", F.lit(m))) for m in range(n_sub)
+    )
+    return (
+        encoded.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(lut_row))
+        .select(F.col(id_col), adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -898,3 +898,64 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_int8_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.int8_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=20)
+
+
+@query(
+    "similarity_pq_adc",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+      ) GROUP BY pos
+    ),
+    mm AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+    q AS (
+      SELECT vec_id,
+             [CASE WHEN mxs[i] > mns[i]
+                   THEN least(CAST(floor((v[i] - mns[i]) * 254.0 / (mxs[i] - mns[i])) AS BIGINT), 254)
+                   ELSE 0 END
+              FOR i IN generate_series(1, len(v))] AS qvec
+      FROM e CROSS JOIN mm
+    ),
+    cents AS (SELECT vec_id - 1 AS j, qvec AS cvec FROM q WHERE vec_id BETWEEN 1 AND 8),
+    sub AS (
+      SELECT q.vec_id, mc.m, c.j,
+             list_sum([(q.qvec[mc.m * 16 + i] - c.cvec[mc.m * 16 + i])
+                       * (q.qvec[mc.m * 16 + i] - c.cvec[mc.m * 16 + i])
+                       FOR i IN generate_series(1, 16)]) AS d
+      FROM q
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) mc
+      CROSS JOIN cents c
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    lut AS (SELECT m, j, d FROM sub WHERE vec_id = 0)
+    SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+    FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.j
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+    ORDER BY adist ASC, vec_id ASC
+    LIMIT 20
+    """,
+    doc="Product-quantization ADC scan (operators/similarity.py:"
+    "pq_adc_topk): 64-dim int8 codes split into 4 subspaces, each "
+    "encoded as its nearest of 8 deterministic codebook centroids "
+    "(ties -> smallest id); the query builds a 4x8 exact-distance "
+    "lookup table and scores every vector with 4 table lookups — the "
+    "compression ladder past int8 for 100 TB vector stores. Spark "
+    "encodes with JVM higher-order expressions and two 1-row "
+    "broadcasts; the oracle re-derives codes with a naive "
+    "(vec, subspace, centroid) row expansion + row_number argmin — "
+    "agreement proves the expression-based encode correct.",
+    tags=("llm", "similarity"),
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_adc_topk(load_table(spark, sf_dir, "embeddings"), dim=64, query_id=0, k=20)

@@ -163,3 +163,27 @@ def test_int8_quantize_and_topk_hand_computed(spark):
     assert codes == {0: [0, 254], 1: [254, 0], 2: [127, 127]}
     top = [(r.vec_id, r.qdot) for r in int8_topk(emb, query_id=0, k=2).collect()]
     assert top == [(2, 254 * 127), (1, 0)]
+
+
+def test_pq_adc_hand_computed(spark):
+    """Encode/LUT/ADC arithmetic on a 4-dim, 2-subspace toy: identical
+    vector scores 0, tie-broken codes pick the smallest centroid id."""
+    from cartography_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [10.0, 10.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 10.0, 10.0]),
+            (3, [10.0, 0.0, 0.0, 10.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = [
+        (r.vec_id, r.adist)
+        for r in pq_adc_topk(
+            emb, dim=4, query_id=0, k=3, n_sub=2, codebook_ids=(1, 2)
+        ).collect()
+    ]
+    d = 254 * 254 * 2  # squared distance between opposite subspace corners
+    assert got == [(2, 0), (1, d * 2), (3, d * 2)]
