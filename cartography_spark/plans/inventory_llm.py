@@ -959,3 +959,33 @@ def q_int8_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(load_table(spark, sf_dir, "embeddings"), dim=64, query_id=0, k=20)
+
+
+@query(
+    "similarity_ann_multiprobe",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sigs AS (
+      SELECT e.vec_id, e.embedding, {_SIG_SQL.format(vec='e.embedding')} AS sig
+      FROM embeddings e
+    ),
+    qsig AS (SELECT {_SIG_SQL.format(vec='q.qv')} AS sig FROM q)
+    SELECT e.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine
+    FROM sigs e CROSS JOIN q CROSS JOIN qsig
+    WHERE bit_count(xor(e.sig, qsig.sig)) <= 1
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+    doc="Multi-probe LSH ANN (operators/similarity.py:"
+    "multiprobe_lsh_ann_topk): probe the query bucket plus every "
+    "1-bit-flip neighbour (9/256 buckets) via a single "
+    "bit_count(sig XOR qsig) <= 1 scan predicate, then exact cosine "
+    "re-rank — the recall lever over single-bucket LSH "
+    "(similarity_ann_lsh) with no extra hash tables and no bucket "
+    "explosion join.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.multiprobe_lsh_ann_topk(
+        emb, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=8, max_hamming=1
+    )

@@ -235,3 +235,50 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey, c_name AS name, 1 AS seq, 'I' AS op FROM customer
+      UNION ALL
+      SELECT c_custkey, upper(c_name), 2, 'U' FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, 'D' FROM customer WHERE c_custkey % 5 = 0
+    ),
+    latest AS (
+      SELECT c_custkey, name, op FROM (
+        SELECT c_custkey, name, op,
+               row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, name FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC changelog apply (operators/incremental.py:cdc_apply): "
+    "replay an I/U/D log into the current snapshot — latest seq per key "
+    "wins, 'D' tombstones drop the key. Spark picks the winner with one "
+    "mergeable max_by(payload, seq) aggregate (map-side combine, no "
+    "window sort, cost ∝ |changelog|); the oracle uses the naive "
+    "row_number-desc form. The incremental-sync scale path next to "
+    "incremental_agg_maintenance.",
+    tags=("scale", "lifecycle"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.incremental import cdc_apply
+
+    c = T(spark, sf_dir, "customer")
+    ins = c.select(
+        "c_custkey", F.col("c_name").alias("name"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper("c_name").alias("name"), F.lit(2).alias("seq"), F.lit("U").alias("op")
+    )
+    dele = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    return cdc_apply(ins.unionByName(upd).unionByName(dele), ["c_custkey"])

@@ -187,3 +187,16 @@ def test_pq_adc_hand_computed(spark):
     ]
     d = 254 * 254 * 2  # squared distance between opposite subspace corners
     assert got == [(2, 0), (1, d * 2), (3, d * 2)]
+
+
+def test_multiprobe_superset_of_single_bucket(spark, sf_dir):
+    """Hamming<=1 probing can only widen the single-bucket candidate set,
+    and every returned cosine matches the brute-force score."""
+    q = _qvec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    single = {r.vec_id for r in sim.lsh_ann_topk(emb, q, dim=64, k=500).collect()}
+    mp_rows = sim.multiprobe_lsh_ann_topk(emb, q, dim=64, k=500).collect()
+    mp = {r.vec_id for r in mp_rows}
+    assert single <= mp and len(mp) >= len(single)
+    exact = {r.vec_id: r.cosine for r in sim.cosine_topk(emb, q, k=500).collect()}
+    assert all(exact[r.vec_id] == r.cosine for r in mp_rows if r.vec_id in exact)

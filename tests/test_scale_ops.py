@@ -145,3 +145,23 @@ def test_incremental_plan_scans_lineitem_twice_only(spark):
         REGISTRY["incremental_agg_maintenance"].spark(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("lineitem.parquet") == 2
+
+
+def test_cdc_apply_hand_computed(spark):
+    """Latest seq wins regardless of row order; D tombstones drop keys."""
+    from cartography_spark.operators.incremental import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", 1, "I"),
+            (2, "b", 1, "I"),
+            (2, "B", 2, "U"),
+            (3, "c", 1, "I"),
+            (3, None, 2, "D"),
+            (4, "d", 5, "I"),
+            (4, "stale", 3, "U"),
+        ],
+        "k bigint, name string, seq int, op string",
+    )
+    got = {r.k: r.name for r in cdc_apply(log, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
