@@ -38,6 +38,9 @@ HEADLINE = [
     "text_token_stats",
     "incremental_agg_maintenance",
     "interval_overlap_pairs",
+    "dedup_substring_spans",
+    "similarity_pq_adc",
+    "cdc_apply_changelog",
 ]
 
 
