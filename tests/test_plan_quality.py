@@ -78,6 +78,10 @@ _SCALAR_ATTACH = {
     "similarity_token_cosine_pairs",  # x broadcast(1-row norm total)
     "bloom_prefilter_join",         # x broadcast(1-row bitset scalar)
     "cleanup_rel_only",             # x broadcast(1-row update-tag scalar)
+    "text_unigram_logprob",         # x broadcast(1-row corpus token total)
+    "similarity_int8_scan",         # x broadcast(1-row min/max arrays + 1-row query vec)
+    "similarity_pq_adc",            # x broadcast(1-row codebook + 1-row query LUT)
+    "streaming_hll_distinct",       # x broadcast(1-row exact count)
 }
 
 
