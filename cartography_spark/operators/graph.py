@@ -278,3 +278,37 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         labels = labels.localCheckpoint(eager=True)
     e.unpersist()
     return labels
+
+
+def neighbor_jaccard_pairs(
+    rel: DataFrame, id_col: str, item_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Node-similarity by neighborhood Jaccard over a bipartite relation
+    (id, item): pairs of ids whose item sets overlap by >= threshold —
+    the co-occurrence/recommendation primitive ("customers who share
+    suppliers"). Inverted-index self-join on the ITEM side, so the pair
+    space is sum-over-items of postings^2, never |ids|^2; the hot-item
+    skew guard at scale is capping or salting the posting lists (cf.
+    similarity.sparse_token_cosine_pairs' df-cap).
+
+    |A∩B| from the item join, |A∪B| = |A| + |B| - |A∩B|.
+    """
+    r = rel.select(F.col(id_col).alias("__id"), F.col(item_col).alias("__item")).distinct()
+    sizes = r.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a = r.select(F.col("__id").alias("a"), "__item")
+    b = r.select(F.col("__id").alias("b"), "__item")
+    inter = (
+        a.join(b, "__item")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col("__id").alias("b"), F.col("__sz").alias("__szb"))
+    jac = F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -384,3 +384,40 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
     return label_propagation(edges, rounds=3)
+
+
+@query(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH nb AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 300
+    ),
+    sizes AS (SELECT c, count(*) AS sz FROM nb GROUP BY c),
+    inter AS (
+      SELECT a.c AS a, b.c AS b, count(*) AS i
+      FROM nb a JOIN nb b ON a.s = b.s AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.c = a JOIN sizes sb ON sb.c = b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.4
+    """,
+    doc="Graph node similarity: neighborhood Jaccard between customers "
+    "over their supplier sets (operators/graph.py:neighbor_jaccard_pairs) "
+    "— inverted-index self-join on the supplier side so the pair space "
+    "is postings^2 per supplier, never customers^2. The co-occurrence "
+    "primitive behind 'similar assets' / recommendation queries the "
+    "reference would hand to Neo4j GDS nodeSimilarity.",
+    tags=("graph", "similarity"),
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import neighbor_jaccard_pairs
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    li = T(spark, sf_dir, "lineitem")
+    rel = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    return neighbor_jaccard_pairs(rel, "c", "s", threshold=0.4)

@@ -127,3 +127,17 @@ def test_label_propagation_two_triangles(spark):
         for r in label_propagation(symmetrize(edges, "a", "b"), rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    """|A∩B|/|A∪B| over item sets; pairs below threshold are dropped."""
+    from cartography_spark.operators.graph import neighbor_jaccard_pairs
+
+    rel = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"), (3, "z"), (3, "w")],
+        "id bigint, item string",
+    )
+    got = {(r.a, r.b): r.jaccard for r in
+           neighbor_jaccard_pairs(rel, "id", "item", threshold=0.5).collect()}
+    # J(1,2) = 2/3, J(1,3) = 1/4 (dropped), J(2,3) = 0 (no shared item row)
+    assert got == {(1, 2): round(2 / 3, 6)}
