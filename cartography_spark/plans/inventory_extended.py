@@ -1008,8 +1008,11 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    # complete mode: the final batch emits ALL window state — append would
+    # withhold windows newer than the terminal watermark, silently dropping
+    # the last watermark-width of data from the merged sketch
     per_window = run_available_now(
-        hll_register_stream(stream), name, output_mode="append"
+        hll_register_stream(stream), name, output_mode="complete"
     )
     regs = hll_merge(per_window.select("b", "mx"))
     est = hll_estimate_from_registers(regs)
@@ -1018,3 +1021,59 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "streaming_countmin_counts",
+    oracle="""
+    WITH cells AS (
+      SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 16 AS b,
+             count(*) AS n
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+      GROUP BY r, b
+    ),
+    true_c AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY event_type),
+    probes AS (
+      SELECT event_type, true_n, r,
+             ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || event_type), 1, 8))::BIGINT % 16 AS b
+      FROM true_c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+    )
+    SELECT p.event_type, CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_n
+    FROM probes p LEFT JOIN cells c ON p.r = c.r AND p.b = c.b
+    GROUP BY p.event_type, p.true_n
+    """,
+    doc="Streaming Count-Min maintenance (streaming/events.py:"
+    "countmin_cell_stream): 4x16 counter cells per event-time hour from "
+    "a watermarked streaming count — the ADDITIVE half of the mergeable-"
+    "sketch contract (streaming_hll_distinct is the idempotent-max "
+    "half): per-window cells SUM into exactly the batch sketch, so "
+    "frequency estimates computed from the merged stream output match "
+    "the batch Count-Min oracle bit-for-bit (true counts alongside "
+    "expose the overestimate-only error).",
+    tags=("streaming", "sketch"),
+)
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.operators.sketches import countmin_estimate
+    from cartography_spark.sources.parquet import load_table as _lt
+    from cartography_spark.streaming.events import (
+        countmin_cell_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"cm_stream_{uuid.uuid4().hex[:8]}"
+    # complete mode — see streaming_hll_distinct: append withholds the
+    # terminal watermark-width of windows, which for an ADDITIVE sketch
+    # shows up immediately as undercounts
+    per_window = run_available_now(
+        countmin_cell_stream(stream), name, output_mode="complete"
+    )
+    sketch = per_window.groupBy("r", "b").agg(F.sum("n").cast("bigint").alias("n"))
+    batch = _lt(spark, sf_dir, "events")
+    truth = batch.groupBy("event_type").agg(F.count("*").cast("bigint").alias("true_n"))
+    est = countmin_estimate(sketch, truth.select("event_type"), "event_type")
+    return truth.join(est, "event_type").select("event_type", "true_n", "est_n")

@@ -217,3 +217,37 @@ def hll_register_stream(
         .agg(F.max("rho").alias("mx"))
         .select(F.col("win.start").alias("window_start"), "b", "mx")
     )
+
+
+def countmin_cell_stream(
+    events: DataFrame,
+    col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    width: int = 16,
+    depth: int = 4,
+) -> DataFrame:
+    """Maintain Count-Min counters incrementally on a stream: per
+    event-time window, the depth x width counter cells of ``col``.
+
+    count() partials merge by SUM — the additive half of the mergeable-
+    sketch contract (hll_register_stream above is the max/idempotent
+    half) — so per-window cells emitted by the stream sum into exactly
+    the cells a batch pass would build. State is bounded at
+    depth*width rows per open window and watermark-evicted.
+    """
+    from cartography_spark.operators.sketches import _h32
+
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    cells = events.withWatermark("ts", watermark).select(
+        F.col("ts"), F.col(col).alias("__x"), rows
+    ).select(
+        "ts",
+        "r",
+        (_h32(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__x"))) % width).alias("b"),
+    )
+    return (
+        cells.groupBy(F.window("ts", window).alias("win"), "r", "b")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "r", "b", "n")
+    )

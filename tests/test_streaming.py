@@ -165,11 +165,36 @@ def test_streaming_hll_registers_equal_batch(spark, sf_dir):
     )
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # complete: append withholds windows above the terminal watermark
     per_window = run_available_now(
-        hll_register_stream(stream), "hll_regs_test", output_mode="append"
+        hll_register_stream(stream), "hll_regs_test", output_mode="complete"
     )
     merged = hll_merge(per_window.select("b", "mx"))
     batch = hll_registers(load_table(spark, sf_dir, "events"), "user_id")
     assert {(r.b, r.mx) for r in merged.collect()} == {
         (r.b, r.mx) for r in batch.collect()
+    }
+
+
+def test_streaming_countmin_cells_equal_batch(spark, sf_dir):
+    """Summed per-window streaming Count-Min cells == the batch cells:
+    the additive mergeable-sketch contract under Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.sketches import countmin_build
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import (
+        countmin_cell_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    per_window = run_available_now(
+        countmin_cell_stream(stream), "cm_cells_test", output_mode="complete"
+    )
+    merged = per_window.groupBy("r", "b").agg(F.sum("n").cast("bigint").alias("n"))
+    batch = countmin_build(load_table(spark, sf_dir, "events"), "event_type")
+    assert {(x.r, x.b, x.n) for x in merged.collect()} == {
+        (x.r, x.b, x.n) for x in batch.collect()
     }
