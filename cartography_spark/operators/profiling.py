@@ -18,7 +18,7 @@ the sort it feeds is Spark's range-partitioned global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ZBITS = 16
@@ -92,3 +92,48 @@ def profile_table(
         for c in string_cols
     ]
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def lower_median(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Exact lower median (percentile_disc(0.5)) per group: the value at
+    sorted row floor((n+1)/2). Integer inputs give integer medians — no
+    interpolation, so downstream arithmetic stays engine-exact."""
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wc))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(F.col(group_col), F.col(val_col).alias("med"))
+    )
+
+
+def mad_outlier_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Robust outlier statistics per group: median + MAD (median absolute
+    deviation) over integer cents, flagging rows with |x - med| > 3*MAD.
+    Unlike the mean/stddev z-score (outlier_zscore_exact), a few extreme
+    rows cannot drag the threshold — the robust-statistics standard.
+
+    All order statistics are lower medians on BIGINT cents, so every
+    intermediate is an exact integer. Cost: two per-group sorts (the
+    exact path); the sketch path at 100 TB is histogram_quantile_estimates
+    over the same cents with merge-by-sum bins.
+    """
+    cents = df.select(
+        F.col(group_col), F.round(F.col(value_col) * 100).cast("long").alias("__c")
+    )
+    med = lower_median(cents, group_col, "__c")
+    with_dev = cents.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col("__c") - F.col("med"))
+    )
+    mad = lower_median(with_dev, group_col, "__dev").withColumnRenamed("med", "mad")
+    return (
+        with_dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("med").cast("long").alias("med_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum((F.col("__dev") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+    )

@@ -556,3 +556,54 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents * disc).cast("bigint").alias("revenue_micros"),
         )
     )
+
+
+@query(
+    "outlier_mad_robust",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    med AS (
+      SELECT g, c AS med FROM (
+        SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM cents
+      ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT cents.g, c, med, abs(c - med) AS d FROM cents JOIN med USING (g)
+    ),
+    mad AS (
+      SELECT g, d AS mad FROM (
+        SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM dev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(med) AS BIGINT) AS med_cents,
+           CAST(max(mad) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (g)
+    GROUP BY dev.g
+    """,
+    doc="Robust outlier flags via median + MAD on integer cents "
+    "(operators/profiling.py:mad_outlier_stats): |x - med| > 3*MAD, "
+    "the breakdown-resistant complement to outlier_zscore_exact — a few "
+    "extreme rows cannot drag a median-based threshold. Lower medians "
+    "are exact order statistics (row_number at floor((n+1)/2)), so "
+    "every intermediate is an exact BIGINT; the 100 TB path swaps the "
+    "two per-group sorts for the mergeable histogram sketch.",
+    tags=("warehouse", "quality"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import mad_outlier_stats
+
+    li = T(spark, sf_dir, "lineitem")
+    return mad_outlier_stats(
+        li.select(F.col("l_returnflag"), F.col("l_extendedprice")),
+        "l_returnflag",
+        "l_extendedprice",
+    )

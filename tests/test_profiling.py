@@ -53,3 +53,18 @@ def test_bfs_depth_cap(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(10)], "src LONG, dst LONG")
     got = bfs_distances(e, source=0, max_depth=3).collect()
     assert max(r.distance for r in got) == 3 and len(got) == 4
+
+
+def test_mad_outlier_hand_computed(spark):
+    """Lower medians and the 3*MAD gate on a tiny group: values 1..5
+    plus an extreme 1000 — the z-score would move with the outlier, the
+    median/MAD threshold does not."""
+    from cartography_spark.operators.profiling import mad_outlier_stats
+
+    rows = [("A", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outlier_stats(df, "g", "v").collect()[0]
+    # cents: 100..500, 100000; lower median of 6 = 3rd value = 300
+    # devs: 200,100,0,100,200,99700 -> sorted 0,100,100,200,200,99700; lower med = 100
+    # 3*MAD = 300: only the 99700 deviation exceeds it
+    assert (r.g, r.n, r.med_cents, r.mad_cents, r.n_outliers) == ("A", 6, 300, 100, 1)
