@@ -494,7 +494,12 @@ def substring_span_stats(
     """
     from pyspark.sql import Window as W
 
-    rows = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    # null text -> '' so size() is 1, never -1 (Spark's size(NULL)); keeps
+    # n_tokens/dup_permille aligned with engines where len(split(NULL)) is
+    # NULL-propagated instead
+    rows = docs.select(
+        F.col(id_col), F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__ws")
+    )
     rows = rows.repartition(rows.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     base = rows.select(F.col(id_col), F.size("__ws").cast("long").alias("n_tokens"))
     # sequence(1, 0) would DESCEND in Spark — docs shorter than the window

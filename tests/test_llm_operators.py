@@ -200,3 +200,16 @@ def test_multiprobe_superset_of_single_bucket(spark, sf_dir):
     assert single <= mp and len(mp) >= len(single)
     exact = {r.vec_id: r.cosine for r in sim.cosine_topk(emb, q, k=500).collect()}
     assert all(exact[r.vec_id] == r.cosine for r in mp_rows if r.vec_id in exact)
+
+
+def test_substring_span_stats_null_text(spark):
+    """A null text behaves as empty: one token, zero windows — never the
+    size(NULL) = -1 trap."""
+    from cartography_spark.operators.dedup import substring_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.dup_windows, r.dup_permille)
+           for r in substring_span_stats(docs, window=3).collect()}
+    assert got == {1: (1, 0, 0), 2: (3, 0, 0)}
