@@ -91,3 +91,56 @@ def kmeans(
         F.round(F.col("dist_sq"), 6).alias("dist_sq"),
         (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
+
+
+def kcenter_diverse(
+    embeddings: DataFrame,
+    k: int = 5,
+    seed_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diverse subset selection — the
+    coverage-maximizing counterpart to SemDeDup-style near-dup pruning in
+    a training-data pipeline: pick the point farthest from everything
+    selected so far, k-1 times, starting from ``seed_id``.
+
+    Runs on int8-quantized codes (similarity.int8_quantize) so every
+    distance is an exact BIGINT and the greedy argmax (ties -> smallest
+    id) is engine-reproducible. Per round: ONE scan of the running
+    min-distance relation — `least(dmin, sqdist(qvec, new))` — and a
+    TakeOrdered(1); the only driver-side state is the k selected code
+    vectors (the same bounded-state contract as kmeans above). Lineage
+    is truncated per round with localCheckpoint.
+
+    Returns (sel_order, vec_id, dmin) with dmin the point's distance to
+    the previously-selected set at selection time (0 for the seed).
+    """
+    from cartography_spark.operators.similarity import _sq_dist, int8_quantize
+
+    q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
+    q = q.localCheckpoint(eager=True)
+    seed = q.filter(F.col(id_col) == seed_id).first()
+    cur = q.select(
+        F.col(id_col),
+        F.col("qvec"),
+        _sq_dist(F.col("qvec"), F.lit(list(seed["qvec"])).cast("array<long>")).alias("dmin"),
+    ).localCheckpoint(eager=True)
+    selected: list[tuple[int, int, int]] = [(0, seed[id_col], 0)]
+    for r in range(1, k):
+        chosen = (
+            cur.filter(~F.col(id_col).isin([s[1] for s in selected]))
+            .orderBy(F.desc("dmin"), F.asc(id_col))
+            .limit(1)
+            .first()
+        )
+        selected.append((r, chosen[id_col], chosen["dmin"]))
+        newv = F.lit(list(chosen["qvec"])).cast("array<long>")
+        cur = cur.select(
+            F.col(id_col),
+            F.col("qvec"),
+            F.least(F.col("dmin"), _sq_dist(F.col("qvec"), newv)).alias("dmin"),
+        ).localCheckpoint(eager=True)
+    return embeddings.sparkSession.createDataFrame(
+        selected, "sel_order int, " + id_col + " bigint, dmin bigint"
+    )

@@ -989,3 +989,81 @@ def q_similarity_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.multiprobe_lsh_ann_topk(
         emb, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=8, max_hamming=1
     )
+
+
+_INT8_Q_SQL = """
+    e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+      ) GROUP BY pos
+    ),
+    mm AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+    q AS (
+      SELECT vec_id,
+             [CASE WHEN mxs[i] > mns[i]
+                   THEN least(CAST(floor((v[i] - mns[i]) * 254.0 / (mxs[i] - mns[i])) AS BIGINT), 254)
+                   ELSE 0 END
+              FOR i IN generate_series(1, len(v))] AS qvec
+      FROM e CROSS JOIN mm
+    )
+"""
+
+
+def _sqd64(a: str, b: str) -> str:
+    return (
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        "FOR i IN generate_series(1, 64)])"
+    )
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    parts = [f"WITH {_INT8_Q_SQL},"]
+    parts.append(
+        f"d1 AS (SELECT p.vec_id, {_sqd64('p.qvec', 's.qvec')} AS dmin"
+        " FROM q p JOIN q s ON s.vec_id = 0),"
+    )
+    prev_ids = "SELECT CAST(0 AS BIGINT) AS vec_id"
+    finals = ["SELECT 0 AS sel_order, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dmin"]
+    for r in range(1, k):
+        parts.append(
+            f"p{r} AS (SELECT vec_id, dmin FROM d{r}"
+            f" WHERE vec_id NOT IN ({prev_ids})"
+            " ORDER BY dmin DESC, vec_id LIMIT 1),"
+        )
+        prev_ids += f" UNION SELECT vec_id FROM p{r}"
+        finals.append(
+            f"SELECT {r} AS sel_order, CAST(vec_id AS BIGINT) AS vec_id,"
+            f" CAST(dmin AS BIGINT) AS dmin FROM p{r}"
+        )
+        if r < k - 1:
+            parts.append(
+                f"d{r + 1} AS (SELECT d{r}.vec_id,"
+                f" least(d{r}.dmin, {_sqd64('p.qvec', 'sv.qvec')}) AS dmin"
+                f" FROM d{r} JOIN q p ON p.vec_id = d{r}.vec_id"
+                f" JOIN q sv ON sv.vec_id = (SELECT vec_id FROM p{r})),"
+            )
+    body = "\n    ".join(parts).rstrip(",")
+    return body + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query(
+    "sampling_kcenter_diverse",
+    oracle=_kcenter_oracle(5),
+    doc="Greedy k-center diverse subset selection (operators/"
+    "clustering.py:kcenter_diverse): 5 farthest-point picks over the "
+    "int8-quantized embeddings, ties to the smallest id — the coverage-"
+    "maximizing sampler next to SemDeDup near-dup pruning in a "
+    "training-data pipeline. Per round one scan updates the running "
+    "min-distance with least(dmin, sqdist(p, new)) + a TakeOrdered(1); "
+    "driver state is just the k selected code vectors. Exact BIGINT "
+    "distances make the greedy trajectory bit-reproducible — the "
+    "oracle unrolls the same 4 rounds as chained CTEs.",
+    tags=("llm", "sampling"),
+)
+def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import kcenter_diverse
+
+    return kcenter_diverse(load_table(spark, sf_dir, "embeddings"), k=5, seed_id=0)

@@ -64,3 +64,22 @@ def test_kmeans_beats_random_label_purity(spark):
     )
     n_labels = emb.select("label").distinct().count()
     assert purity > 1.5 / n_labels, f"purity {purity} vs random {1 / n_labels}"
+
+
+def test_kcenter_diverse_hand_computed(spark):
+    """Greedy trajectory on a 2-dim toy: farthest first, running min
+    updates push near-duplicates of selected points to the back."""
+    from cartography_spark.operators.clustering import kcenter_diverse
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [5.0, 5.0]),
+            (3, [9.0, 9.0]),  # near-dup of 1: never picked at k=3
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = [(r.sel_order, r.vec_id, r.dmin)
+           for r in kcenter_diverse(emb, k=3, seed_id=0).collect()]
+    assert got == [(0, 0, 0), (1, 1, 2 * 254 * 254), (2, 2, 2 * 127 * 127)]
