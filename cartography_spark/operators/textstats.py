@@ -143,3 +143,45 @@ def unigram_surprisal(
         F.sum("bits").cast("long").alias("total_bits"),
         F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias("mean_millibits"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram conditional LM score, integer-exact: each token after
+    the first is charged floor(log2(c(prev) / c(prev, tok))) bits — the
+    quantized -log2 P(tok | prev) under the corpus bigram model. The
+    conditional model penalizes improbable CONTINUATIONS, catching
+    shuffled/garbled text that unigram_surprisal (above) scores as
+    normal.
+
+    Plan: one posexplode, one lag window per doc (the only per-doc sort),
+    bigram + unigram frequency groupBys (both map-side combinable,
+    vocabulary-bounded), two dictionary joins, one per-doc groupBy.
+    bin()-length arithmetic as in unigram_surprisal — no float log.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    uni = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(bi, ["prev", "tok"])
+        .join(uni, "prev")
+        .withColumn("bits", F.length(F.bin(F.expr("c1 DIV c2"))).cast("long") - 1)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias("mean_millibits"),
+    )

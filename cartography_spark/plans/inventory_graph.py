@@ -343,7 +343,9 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=45, rounds=4)
 
 
-def _lpa_oracle(rounds: int = 3) -> str:
+def _lpa_cte(rounds: int = 3) -> str:
+    """The shared unrolled-LPA CTE chain (ends with l<rounds>, no final
+    SELECT) — used by both the LPA oracle and the modularity oracle."""
     parts = [
         f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
         "e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
@@ -363,7 +365,11 @@ def _lpa_oracle(rounds: int = 3) -> str:
       ) WHERE rn = 1
     ),"""
         )
-    body = "\n    ".join(parts).rstrip(",")
+    return "\n    ".join(parts)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    body = _lpa_cte(rounds).rstrip(",")
     return f"{body}\n    SELECT node, label FROM l{rounds}"
 
 
@@ -421,3 +427,44 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
     return neighbor_jaccard_pairs(rel, "c", "s", threshold=0.4)
+
+
+def _modularity_oracle(rounds: int = 3) -> str:
+    body = _lpa_cte(rounds)
+    return f"""{body}
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM e),
+    intra AS (
+      SELECT CAST(sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS BIGINT) AS intra2
+      FROM e JOIN l{rounds} ls ON e.src = ls.node JOIN l{rounds} ld ON e.dst = ld.node
+    ),
+    dc2 AS (
+      SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dc2 FROM (
+        SELECT l.label, sum(d) AS dc
+        FROM deg JOIN l{rounds} l ON deg.src = l.node GROUP BY l.label
+      )
+    )
+    SELECT two_m, intra2,
+           CAST(two_m * intra2 - sum_dc2 AS BIGINT) AS q_num,
+           CAST(((two_m * intra2 - sum_dc2) * 1000000) // (two_m * two_m) AS BIGINT) AS q_micro
+    FROM tm CROSS JOIN intra CROSS JOIN dc2"""
+
+
+@query(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    doc="Exact Newman modularity of the 3-round label-propagation "
+    "communities (operators/graph.py:modularity_exact): Q*(2m)^2 = "
+    "2m*intra2 - sum_c D_c^2 — all integer aggregates, no pairwise "
+    "null-model term ever materialized (the d_i*d_j sum collapses to "
+    "per-community degree totals squared). The objective LPA/Louvain "
+    "optimize, evaluated bit-exactly; q_micro is the floor-scaled Q.",
+    tags=("graph", "quality"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import label_propagation, modularity_exact
+
+    edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    edges.persist()
+    labels = label_propagation(edges, rounds=3)
+    return modularity_exact(edges, labels)

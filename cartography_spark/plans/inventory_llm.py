@@ -1067,3 +1067,39 @@ def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.clustering import kcenter_diverse
 
     return kcenter_diverse(load_table(spark, sf_dir, "embeddings"), k=5, seed_id=0)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM words CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    pairs AS (
+      SELECT * FROM (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        FROM toks
+      ) WHERE prev IS NOT NULL
+    ),
+    uni AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev),
+    bi AS (SELECT prev, tok, count(*) AS c2 FROM pairs GROUP BY prev, tok),
+    scored AS (
+      SELECT doc_id, length(bin(CAST(c1 // c2 AS BIGINT))) - 1 AS bits
+      FROM pairs JOIN bi USING (prev, tok) JOIN uni USING (prev)
+    )
+    SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-bigram conditional LM score (operators/textstats.py:"
+    "bigram_surprisal): quantized -log2 P(tok|prev) = floor(log2(c(prev)"
+    "/c(prev,tok))) bits via bin()-length integer arithmetic — the "
+    "continuation-probability signal that catches shuffled/garbled text "
+    "unigram surprisal misses. One lag window per doc + two vocabulary-"
+    "bounded dictionary groupBys/joins.",
+    tags=("llm", "text"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.bigram_surprisal(_docs(spark, sf_dir))

@@ -607,3 +607,40 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_extendedprice",
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           count(*) OVER w AS n_orders,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / last_value / nth_value over an explicit unbounded "
+    "ROWS frame (the frame makes last/nth see the WHOLE partition — the "
+    "default running frame silently truncates them): per customer, the "
+    "first, last, and second order in (date, key) order; second_key is "
+    "NULL for single-order customers. One window sort on o_custkey; "
+    "completes the analytic-function surface next to "
+    "lag/ntile/percent_rank/range-frame coverage.",
+    tags=("warehouse", "window"),
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.count("*").over(w).alias("n_orders"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    ).distinct()

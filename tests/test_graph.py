@@ -141,3 +141,21 @@ def test_neighbor_jaccard_hand_computed(spark):
            neighbor_jaccard_pairs(rel, "id", "item", threshold=0.5).collect()}
     # J(1,2) = 2/3, J(1,3) = 1/4 (dropped), J(2,3) = 0 (no shared item row)
     assert got == {(1, 2): round(2 / 3, 6)}
+
+
+def test_modularity_hand_computed(spark):
+    """Two triangles + bridge with the LPA communities: 2m=14, intra2=12,
+    D_c = 7 each -> Q*(2m)^2 = 14*12 - 98 = 70, Q ~ 0.357."""
+    from cartography_spark.operators.graph import (
+        label_propagation,
+        modularity_exact,
+        symmetrize,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    sym = symmetrize(edges, "a", "b")
+    r = modularity_exact(sym, label_propagation(sym, rounds=3)).collect()[0]
+    assert (r.two_m, r.intra2, r.q_num, r.q_micro) == (14, 12, 70, 70 * 1000000 // 196)
