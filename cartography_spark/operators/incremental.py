@@ -93,3 +93,30 @@ def cdc_apply(
     return latest.filter(F.col(f"__last.{op_col}") != "D").select(
         *key_cols, *[F.col(f"__last.{c}").alias(c) for c in payload]
     )
+
+
+def delta_join(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental JOIN maintenance: the delta of an equi-join when both
+    inputs receive inserts —
+
+        delta(A JOIN B) = dA JOIN B  UNION ALL  A JOIN dB
+                          UNION ALL  dA JOIN dB
+
+    Appending this to the stored join result M = A JOIN B reproduces
+    (A+dA) JOIN (B+dB) exactly, without rejoining the base relations:
+    the three delta joins each have one delta-sized side, so maintaining
+    a 100 TB join under a 0.1% daily delta costs ~0.1% of the full join
+    (the view-maintenance identity behind every IVM system; the
+    aggregate analogue is partial_aggregate/merge_partials above).
+    """
+    return (
+        delta_a.join(base_b, on)
+        .unionByName(base_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )

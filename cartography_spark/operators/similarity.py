@@ -446,3 +446,87 @@ def multiprobe_lsh_ann_topk(
         F.col(id_col), F.round(cosine_similarity(v, q), round_digits).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    dim: int,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    codebook_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout — a coarse quantizer prunes the
+    scan to ``n_probe`` of ``n_centroids`` cells, product-quantization
+    ADC scores the survivors with ``n_sub`` table lookups each. Combines
+    ivf_ann_topk's pruning with pq_adc_topk's compression; both stages
+    run on the int8 codes with exact BIGINT distances (coarse argmin and
+    probe selection tie-break on the smaller centroid id), so the full
+    two-stage trajectory is oracle-reproducible.
+
+    Plan: one localCheckpointed pass builds codes; coarse centroids,
+    PQ codebook, query LUT and probe list are all 1-row broadcasts; cell
+    pruning is an ``array_contains`` scan predicate (no join); scoring
+    is 4 lookups/row; TakeOrdered(k) on the total (adist, id) order.
+    """
+    dsub = dim // n_sub
+    q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
+    q = q.localCheckpoint(eager=True)
+
+    def one_row_codebook(src: DataFrame, alias: str) -> DataFrame:
+        return src.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("qvec")))),
+                lambda s: s["qvec"],
+            ).alias(alias)
+        )
+
+    coarse = one_row_codebook(q.filter(F.col(id_col) < n_centroids), "__cc")
+    cb = one_row_codebook(q.filter(F.col(id_col).isin(list(codebook_ids))), "__cb")
+    enc = q.crossJoin(F.broadcast(coarse)).crossJoin(F.broadcast(cb))
+
+    cdists = F.transform(F.col("__cc"), lambda c: _sq_dist(F.col("qvec"), c))
+    cell = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
+
+    def sub_dists(m: int) -> Column:
+        mine = F.slice("qvec", m * dsub + 1, dsub)
+        return F.transform(
+            F.col("__cb"), lambda c: _sq_dist(mine, F.slice(c, m * dsub + 1, dsub))
+        )
+
+    codes = F.array(
+        *[
+            (F.array_position(sub_dists(m), F.array_min(sub_dists(m))) - 1).cast("int")
+            for m in range(n_sub)
+        ]
+    )
+    probe_structs = F.array_sort(
+        F.zip_with(
+            cdists,
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+        )
+    )
+    probes = F.transform(F.slice(probe_structs, 1, n_probe), lambda s: s["cid"].cast("int"))
+    qrow = enc.filter(F.col(id_col) == query_id).select(
+        F.array(*[sub_dists(m) for m in range(n_sub)]).alias("__lut"),
+        probes.alias("__probes"),
+    )
+    scan = (
+        enc.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), cell.alias("__cell"), codes.alias("__codes"))
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.array_contains("__probes", F.col("__cell")))
+    )
+    adist = sum(
+        F.get(F.get("__lut", m), F.get("__codes", F.lit(m))) for m in range(n_sub)
+    )
+    return (
+        scan.select(F.col(id_col), adist.cast("long").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

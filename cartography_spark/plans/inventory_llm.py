@@ -1103,3 +1103,70 @@ def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.bigram_surprisal(_docs(spark, sf_dir))
+
+
+def _sqd16(a: str, b: str, m: str) -> str:
+    return (
+        f"list_sum([({a}[{m} * 16 + i] - {b}[{m} * 16 + i])"
+        f" * ({a}[{m} * 16 + i] - {b}[{m} * 16 + i])"
+        " FOR i IN generate_series(1, 16)])"
+    )
+
+
+@query(
+    "similarity_ivf_pq",
+    oracle=f"""
+    WITH {_INT8_Q_SQL},
+    cents AS (SELECT vec_id AS cid, qvec AS cvec FROM q WHERE vec_id < 16),
+    cd AS (
+      SELECT q.vec_id, c.cid, {_sqd64('q.qvec', 'c.cvec')} AS d
+      FROM q CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    probes AS (SELECT cid FROM cd WHERE vec_id = 0 ORDER BY d, cid LIMIT 4),
+    cb AS (SELECT vec_id - 1 AS j, qvec AS cvec FROM q WHERE vec_id BETWEEN 1 AND 8),
+    cand AS (
+      SELECT q.vec_id, q.qvec FROM q
+      JOIN assign USING (vec_id) JOIN probes USING (cid)
+      WHERE q.vec_id <> 0
+      UNION ALL
+      SELECT vec_id, qvec FROM q WHERE vec_id = 0
+    ),
+    sub AS (
+      SELECT v.vec_id, mc.m, c.j, {_sqd16('v.qvec', 'c.cvec', 'mc.m')} AS d
+      FROM cand v
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) mc
+      CROSS JOIN cb c
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    lut AS (SELECT m, j, d FROM sub WHERE vec_id = 0)
+    SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+    FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.j
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id
+    ORDER BY adist ASC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="IVF-PQ composite ANN (operators/similarity.py:ivf_pq_topk): "
+    "integer coarse quantizer prunes to the query's 4 of 16 cells via "
+    "an array_contains scan predicate (no join), then PQ ADC scores "
+    "survivors with 4 LUT lookups each — the production vector-store "
+    "layout (prune + compress) as ONE single-pass Spark plan with four "
+    "1-row broadcasts. Exact BIGINT arithmetic end-to-end; the oracle "
+    "re-derives both stages with naive row expansions + row_number "
+    "argmins.",
+    tags=("llm", "similarity"),
+)
+def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"), dim=64, query_id=0, k=10)

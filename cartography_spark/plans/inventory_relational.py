@@ -900,3 +900,39 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
     )
+
+
+@query(
+    "scalar_array_functions",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+    SELECT p_partkey,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           array_to_string(list_sort(ws), '-') AS sorted_str,
+           array_to_string(list_slice(list_sort(ws), 1, 2), '-') AS first_two_str,
+           list_sort(ws)[-1] AS last_word,
+           CAST(len(list_distinct(list_intersect(ws, ['green', 'blue']))) AS BIGINT) AS n_colors,
+           CAST(len(list_distinct(list_concat(ws, ['tape', 'green']))) AS BIGINT) AS n_union
+    FROM w
+    """,
+    doc="Array scalar-function surface in one pass: split, size, "
+    "sort_array, slice, array_join, element_at(-1), array_intersect "
+    "against a constant set, array_union — the Spark list-function "
+    "family mapped onto DuckDB's list_* equivalents (SURVEY §2.9 list "
+    "row, extended past the reference's size/head/last/collect usage). "
+    "Pure projection: zero shuffles, whole-stage codegen.",
+    tags=("scalar",),
+)
+def q_scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    ws = F.split("p_name", " ")
+    srt = F.sort_array(ws)
+    return p.select(
+        "p_partkey",
+        F.size(ws).cast("long").alias("n_words"),
+        F.array_join(srt, "-").alias("sorted_str"),
+        F.array_join(F.slice(srt, 1, 2), "-").alias("first_two_str"),
+        F.element_at(srt, -1).alias("last_word"),
+        F.size(F.array_intersect(ws, F.lit(["green", "blue"]))).cast("long").alias("n_colors"),
+        F.size(F.array_union(ws, F.lit(["tape", "green"]))).cast("long").alias("n_union"),
+    )

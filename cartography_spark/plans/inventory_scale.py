@@ -282,3 +282,41 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("D").alias("op"),
     )
     return cdc_apply(ins.unionByName(upd).unionByName(dele), ["c_custkey"])
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental join maintenance (operators/incremental.py:"
+    "delta_join): orders/lineitem are each split base + delta (10%/14% "
+    "synthetic insert batches); Spark computes M = baseA JOIN baseB "
+    "plus the three delta joins (dA JOIN B, A JOIN dB, dA JOIN dB — "
+    "every delta join has one tiny side, so maintenance cost tracks "
+    "the delta, not the base) and aggregates their union; the oracle "
+    "joins the full relations directly. Agreement proves the IVM "
+    "decomposition exact — integer-cents totals, order-free.",
+    tags=("scale", "lifecycle"),
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.incremental import delta_join
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice").withColumnRenamed("l_orderkey", "o_orderkey")
+    base_a, delta_a = o.filter(o.o_orderkey % 10 != 0), o.filter(o.o_orderkey % 10 == 0)
+    base_b, delta_b = li.filter(li.o_orderkey % 7 != 0), li.filter(li.o_orderkey % 7 == 0)
+    m = base_a.join(base_b, ["o_orderkey"])
+    dm = delta_join(base_a, delta_a, base_b, delta_b, ["o_orderkey"])
+    return (
+        m.unionByName(dm)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("bigint").alias("price_cents"),
+        )
+    )

@@ -213,3 +213,13 @@ def test_substring_span_stats_null_text(spark):
     got = {r.doc_id: (r.n_tokens, r.dup_windows, r.dup_permille)
            for r in substring_span_stats(docs, window=3).collect()}
     assert got == {1: (1, 0, 0), 2: (3, 0, 0)}
+
+
+def test_ivf_pq_consistent_with_pq_adc(spark, sf_dir):
+    """IVF-PQ is PQ-ADC restricted to probed cells: every returned
+    (id, adist) must appear identically in the unpruned ADC ranking."""
+    emb = _emb(spark, sf_dir)
+    full = {r.vec_id: r.adist
+            for r in sim.pq_adc_topk(emb, dim=64, query_id=0, k=10_000).collect()}
+    pruned = sim.ivf_pq_topk(emb, dim=64, query_id=0, k=10).collect()
+    assert pruned and all(full[r.vec_id] == r.adist for r in pruned)

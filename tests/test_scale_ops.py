@@ -165,3 +165,19 @@ def test_cdc_apply_hand_computed(spark):
     )
     got = {r.k: r.name for r in cdc_apply(log, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_delta_join_decomposition(spark):
+    """M + delta(M) == (A+dA) JOIN (B+dB), including the dAxdB corner
+    (a key present ONLY in both deltas)."""
+    from cartography_spark.operators.incremental import delta_join
+
+    base_a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k bigint, av string")
+    delta_a = spark.createDataFrame([(3, "a3")], "k bigint, av string")
+    base_b = spark.createDataFrame([(1, "b1"), (3, "b3x")], "k bigint, bv string")
+    delta_b = spark.createDataFrame([(2, "b2"), (3, "b3y")], "k bigint, bv string")
+    m = base_a.join(base_b, ["k"])
+    dm = delta_join(base_a, delta_a, base_b, delta_b, ["k"])
+    got = sorted(tuple(r) for r in m.unionByName(dm).collect())
+    full = base_a.unionByName(delta_a).join(base_b.unionByName(delta_b), ["k"])
+    assert got == sorted(tuple(r) for r in full.collect())
