@@ -103,3 +103,37 @@ def asof_join_forward(
     return u.select(*left.columns, F.col("__side"), *carried).filter(F.col("__side") == 1).drop(
         "__side"
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+    left_id: str,
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Nearest as-of join: attach whichever same-key right row is closer
+    in time, looking BOTH directions; exact-distance ties go to the
+    backward (at-or-before) match — kdb's aj "nearest" variant. Composes
+    the two union-merge passes above (one shuffle each) with a final
+    equi-join on ``left_id``; per-direction tie rules are inherited, so
+    the result stays fully deterministic.
+    """
+    b = asof_join_backward(left, right, by, ts, value_cols, tie_col, prefix="__b_")
+    f = asof_join_forward(left, right, by, ts, value_cols, tie_col, prefix="__f_")
+    fsel = f.select(
+        F.col(left_id),
+        *[F.col(f"__f_{c}") for c in (ts, *value_cols)],
+    )
+    j = b.join(fsel, left_id)
+    db = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"__b_{ts}"))
+    df = F.unix_micros(F.col(f"__f_{ts}")) - F.unix_micros(F.col(ts))
+    use_b = F.when(db.isNull(), F.lit(False)).otherwise(df.isNull() | (db <= df))
+    picked = [
+        F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(prefix + c)
+        for c in (ts, *value_cols)
+    ]
+    return j.select(*left.columns, *picked)

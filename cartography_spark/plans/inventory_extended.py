@@ -1077,3 +1077,61 @@ def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = batch.groupBy("event_type").agg(F.count("*").cast("bigint").alias("true_n"))
     est = countmin_estimate(sketch, truth.select("event_type"), "event_type")
     return truth.join(est, "event_type").select("event_type", "true_n", "est_n")
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+             v.ts AS view_ts, v.value AS view_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)) ASC,
+                        (v.ts <= c.ts) DESC,
+                        CASE WHEN v.ts <= c.ts THEN -v.event_id ELSE v.event_id END ASC
+             ) AS rn
+      FROM c LEFT JOIN v ON c.user_id = v.user_id
+    )
+    SELECT click_id, user_id, click_ts, view_ts AS asof_ts, view_value AS asof_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Nearest as-of join (operators/asof.py:asof_join_nearest): each "
+    "click paired with the user's closest view in EITHER direction, "
+    "exact-distance ties to the past — composed from the backward and "
+    "forward union-merge passes (one user_id shuffle each, no theta "
+    "join) plus an equi-join on the click id; the oracle is the naive "
+    "quadratic theta join with an abs-delta row_number. Completes the "
+    "as-of family (backward / forward / nearest).",
+    tags=("temporal", "join"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.asof import asof_join_nearest
+    from cartography_spark.sources.parquet import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), F.col("value")
+    )
+    return asof_join_nearest(
+        clicks,
+        views,
+        by="user_id",
+        ts="click_ts",
+        value_cols=("value",),
+        left_id="click_id",
+        tie_col="event_id",
+    ).select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("asof_click_ts").alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )

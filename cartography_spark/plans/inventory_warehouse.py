@@ -644,3 +644,87 @@ def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     ).distinct()
+
+
+@query(
+    "events_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+      FROM events WHERE user_id < 100
+    )
+    SELECT user_id, event_type, min(ts) AS run_start, max(ts) AS run_end,
+           CAST(count(*) AS BIGINT) AS run_length
+    FROM seq GROUP BY user_id, event_type, grp
+    HAVING count(*) >= 2
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive same-type events "
+    "per user via the classic row_number-difference grouping (two "
+    "window functions over ONE (user_id)-partitioned sort — the second "
+    "window's (user_id, event_type) partitioning is a subsort of the "
+    "first, so Catalyst plans a single Exchange). Runs >= 2 reported "
+    "with their time span — the sessionless sequence-grouping pattern "
+    "next to session windows and funnels.",
+    tags=("warehouse", "window"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count("*").cast("bigint").alias("run_length"),
+        )
+        .filter(F.col("run_length") >= 2)
+        .drop("grp")
+    )
+
+
+@query(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+      FROM events WHERE user_id < 200
+    )
+    SELECT user_id,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dur_us) AS BIGINT) AS weighted_cent_us,
+           CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twap_cents
+    FROM stepped WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average over irregular events (step interpolation: "
+    "each value holds until the next observation — the TWAP/telemetry "
+    "standard, where a plain AVG over-weights bursts): one lead window "
+    "per user, then integer cents x microsecond sums with a floor-divided "
+    "final average — exact BIGINTs end to end. Single-event users have "
+    "no holding intervals and drop out, matching the oracle.",
+    tags=("warehouse", "timeseries"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.sum("dur_us").cast("long").alias("span_us"),
+        F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias("weighted_cent_us"),
+        F.expr("CAST(sum(cents * dur_us) DIV sum(dur_us) AS BIGINT)").alias("twap_cents"),
+    )

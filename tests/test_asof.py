@@ -88,3 +88,34 @@ def test_asof_forward_semantics(spark):
     assert out[3].asof_rv is None and out[3].asof_ts is None
     assert out[4].asof_rv is None
     assert out[1].lv == 1.0 and set(out) == {1, 2, 3, 4}
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Nearest = min(|delta|) across both directions; exact ties go to
+    the at-or-before match; one-sided cases fall back gracefully."""
+    from datetime import datetime
+
+    from cartography_spark.operators.asof import asof_join_nearest
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 7, t(40)), (2, 7, t(5)), (3, 7, t(55)), (4, 8, t(30))],
+        "lid bigint, u bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, t(35), 3.5), (101, 7, t(42), 4.2), (102, 8, t(25), 2.5), (103, 8, t(35), 3.6)],
+        "event_id bigint, u bigint, ts timestamp, v double",
+    )
+    got = {
+        r.lid: (r.asof_ts.second, r.asof_v)
+        for r in asof_join_nearest(
+            left, right, by="u", ts="ts", value_cols=("v",),
+            left_id="lid", tie_col="event_id",
+        ).collect()
+    }
+    assert got == {
+        1: (42, 4.2),   # 42 is 2s away vs 35 at 5s
+        2: (35, 3.5),   # nothing before: forward fallback
+        3: (42, 4.2),   # nothing after: backward fallback
+        4: (25, 2.5),   # exact 5s tie both sides: past wins
+    }
