@@ -82,6 +82,9 @@ _SCALAR_ATTACH = {
     "similarity_int8_scan",         # x broadcast(1-row min/max arrays + 1-row query vec)
     "similarity_pq_adc",            # x broadcast(1-row codebook + 1-row query LUT)
     "streaming_hll_distinct",       # x broadcast(1-row exact count)
+    "streaming_countmin_counts",    # x broadcast(4-row depth spec + 1-row total)
+    "graph_modularity",             # x broadcast(1-row 2m / intra2 / sum_dc2 scalars)
+    "similarity_ivf_pq",            # x broadcast(1-row codebooks + 1-row LUT/probes)
 }
 
 
