@@ -223,3 +223,15 @@ def test_ivf_pq_consistent_with_pq_adc(spark, sf_dir):
             for r in sim.pq_adc_topk(emb, dim=64, query_id=0, k=10_000).collect()}
     pruned = sim.ivf_pq_topk(emb, dim=64, query_id=0, k=10).collect()
     assert pruned and all(full[r.vec_id] == r.adist for r in pruned)
+
+
+def test_int8_quantize_constant_dim(spark):
+    """A dimension with zero range quantizes to code 0 everywhere instead
+    of dividing by zero."""
+    from cartography_spark.operators.similarity import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(0, [5.0, 0.0]), (1, [5.0, 10.0])], "vec_id bigint, embedding array<float>"
+    )
+    codes = {r.vec_id: list(r.qvec) for r in int8_quantize(emb).collect()}
+    assert codes == {0: [0, 0], 1: [0, 254]}
