@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_substring_spans",
     "similarity_pq_adc",
     "cdc_apply_changelog",
+    "asof_join_nearest",
+    "graph_label_propagation",
+    "incremental_join_maintenance",
 ]
 
 
