@@ -1170,3 +1170,114 @@ def _sqd16(a: str, b: str, m: str) -> str:
 )
 def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"), dim=64, query_id=0, k=10)
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT first_doc AS doc_id, count(*) AS n_new_types FROM firsts GROUP BY first_doc
+    ),
+    base AS (SELECT DISTINCT doc_id FROM toks)
+    SELECT b.doc_id,
+           CAST(coalesce(p.n_new_types, 0) AS BIGINT) AS n_new_types,
+           CAST(sum(coalesce(p.n_new_types, 0))
+                OVER (ORDER BY b.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Vocabulary-growth (Heaps-law) curve: per document in corpus "
+    "order, how many token TYPES appear for the first time, plus the "
+    "running vocabulary size — the dataset-curation signal for corpus "
+    "saturation (new data stops adding vocabulary). First occurrences "
+    "via one min-aggregate on the distinct (doc, token) relation — no "
+    "quadratic 'seen before' join; the cumulative sum is one global "
+    "window over the ~|docs| rows, not the token stream.",
+    tags=("llm", "text"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    per_doc = firsts.groupBy("doc_id").agg(F.count("*").alias("n_new_types"))
+    base = toks.select("doc_id").distinct()
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_new_types", F.lit(0)).cast("long").alias("n_new_types"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_types").over(w).cast("long"))
+    )
+
+
+@query(
+    "quality_decile_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+    scored AS (
+      SELECT doc_id, length(bin(CAST(t // c AS BIGINT))) - 1 AS bits
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, p.mean_millibits,
+             ntile(10) OVER (PARTITION BY d.lang
+                             ORDER BY p.mean_millibits, d.doc_id) AS decile
+      FROM documents d JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_millibits, CAST(decile AS BIGINT) AS decile,
+           CAST(CASE WHEN decile = 10 THEN 0 ELSE decile * 100 END AS BIGINT)
+             AS weight_millis
+    FROM ranked
+    """,
+    doc="Quality-weighted sampling spec (DoReMi-lite): per-language "
+    "deciles of the corpus-unigram surprisal score (ntile over a total "
+    "(score, doc_id) order — engine-deterministic), mapped to integer "
+    "sampling weights that upweight higher-surprisal text and zero out "
+    "the top decile (gibberish tail). The composition query: the LM "
+    "score feeds ranking feeds curation weights, one pipeline, all "
+    "integers.",
+    tags=("llm", "sampling"),
+)
+def q_quality_decile_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = ts.unigram_surprisal(d).select("doc_id", "mean_millibits")
+    w = Window.partitionBy("lang").orderBy("mean_millibits", "doc_id")
+    ranked = (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_millibits",
+        "decile",
+        F.when(F.col("decile") == 10, 0)
+        .otherwise(F.col("decile") * 100)
+        .cast("long")
+        .alias("weight_millis"),
+    )
