@@ -235,3 +235,21 @@ def test_int8_quantize_constant_dim(spark):
     )
     codes = {r.vec_id: list(r.qvec) for r in int8_quantize(emb).collect()}
     assert codes == {0: [0, 0], 1: [0, 254]}
+
+
+def test_ann_recall_ladder(spark, sf_dir):
+    """Recall@10 against brute force: widening the probe set must not
+    lose recall (multiprobe >= single-bucket), and every ANN variant
+    finds a non-empty overlap with the true top-10."""
+    q = _qvec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    exact = {r.vec_id for r in sim.cosine_topk(emb, q, k=10).collect()}
+
+    def recall(df):
+        return len(exact & {r.vec_id for r in df.collect()}) / len(exact)
+
+    r_single = recall(sim.lsh_ann_topk(emb, q, dim=64, k=10))
+    r_multi = recall(sim.multiprobe_lsh_ann_topk(emb, q, dim=64, k=10))
+    r_ivf = recall(sim.ivf_ann_topk(emb, q, k=10))
+    assert r_multi >= r_single
+    assert r_ivf > 0 and r_multi > 0
