@@ -365,3 +365,33 @@ def modularity_exact(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_micro"),
         )
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame, seed: int, iterations: int = 5
+) -> DataFrame:
+    """Personalized PageRank: identical integer fixed-point recurrence to
+    :func:`pagerank_exact` except ALL teleport mass returns to ``seed``
+    (rank0 = SCALE at the seed, 0 elsewhere) — proximity-to-seed scores,
+    the classic graph recommendation primitive. The per-iteration seed
+    bonus rides a 1-row union into the same groupBy that merges inflow
+    (no extra join), so nodes whose only mass is the teleport term —
+    including a seed with no inbound edges — still appear.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").select("src", "dst", "deg")
+    e.persist()
+    spark = edges.sparkSession
+    bonus = spark.createDataFrame(
+        [(seed, (15 * PR_SCALE) // 100)], "node BIGINT, r BIGINT"
+    )
+    ranks = spark.createDataFrame([(seed, PR_SCALE)], "node BIGINT, r BIGINT")
+    for _ in range(iterations):
+        inflow = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.expr("(85 * sum(r div deg)) div 100").alias("r"))
+            .select(F.col("dst").alias("node"), "r")
+        )
+        ranks = inflow.unionByName(bonus).groupBy("node").agg(F.sum("r").alias("r"))
+    return ranks

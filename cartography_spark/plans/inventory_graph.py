@@ -468,3 +468,54 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.persist()
     labels = label_propagation(edges, rounds=3)
     return modularity_exact(edges, labels)
+
+
+def _ppr_oracle(seed: int = 1, iterations: int = 5) -> str:
+    parts = [
+        f"WITH base_e AS ({_TRADE_EDGES_SQL}),",
+        "e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),",
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        f"r0 AS (SELECT CAST({seed} AS BIGINT) AS node, CAST({PR_SCALE} AS BIGINT) AS r),",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""r{k} AS (
+      SELECT node, CAST(sum(x) AS BIGINT) AS r FROM (
+        SELECT e.dst AS node,
+               (85 * CAST(sum(r.r // d.deg) AS BIGINT)) // 100 AS x
+        FROM e JOIN r{k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+        GROUP BY e.dst
+        UNION ALL
+        SELECT CAST({seed} AS BIGINT), CAST({(15 * PR_SCALE) // 100} AS BIGINT)
+      ) GROUP BY node
+    ),"""
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"""{body}
+    SELECT node, r AS rank FROM r{iterations} WHERE r > 0
+    ORDER BY rank DESC, node ASC LIMIT 20"""
+
+
+@query(
+    "graph_pagerank_personalized",
+    oracle=_ppr_oracle(seed=1),
+    doc="Personalized PageRank from customer 1 (operators/graph.py:"
+    "pagerank_personalized): the pagerank_exact recurrence with all "
+    "teleport mass returned to the seed — integer fixed-point, "
+    "bit-exact vs the unrolled-CTE oracle. The per-round seed bonus is "
+    "a 1-row union folded into the inflow groupBy (no extra join). "
+    "Proximity-to-seed ranking = the 'related assets' recommendation "
+    "primitive over the trade graph; top-20.",
+    tags=("graph", "iterative"),
+)
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import pagerank_personalized
+
+    edges = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    ranks = pagerank_personalized(edges, seed=1, iterations=5)
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select("node", F.col("r").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
