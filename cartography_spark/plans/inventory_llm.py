@@ -1281,3 +1281,70 @@ def q_quality_decile_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_millis"),
     )
+
+
+@query(
+    "dedup_canonical_longest",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    r AS (
+      SELECT doc_id AS v, doc_id AS lbl, 0 AS hops FROM documents
+      UNION
+      SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
+    ),
+    clus AS (SELECT v AS doc_id, min(lbl) AS cluster FROM r GROUP BY v),
+    sized AS (SELECT c.doc_id, c.cluster, d.n_chars FROM clus c JOIN documents d USING (doc_id)),
+    win AS (
+      SELECT cluster, doc_id AS canon FROM (
+        SELECT cluster, doc_id,
+               row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM sized
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.cluster, CAST(s.n_chars AS BIGINT) AS n_chars,
+           s.doc_id = w.canon AS keep
+    FROM sized s JOIN win w USING (cluster)
+    """,
+    doc="Canonical-document selection: the full near-dup pipeline finale "
+    "— Jaccard pairs -> min-label clusters (dedup_clusters) -> keep the "
+    "LONGEST member per cluster (ties to the smaller id) via a "
+    "mergeable max_by((n_chars, -doc_id)) aggregate instead of a "
+    "per-cluster sort. Length-preferring retention is the curation "
+    "standard (near-dups are usually truncations of the fullest copy); "
+    "the oracle re-derives the winner with a naive row_number.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=("lang",))
+    clusters = dd.cluster_min_label(pairs, docs, max_iter=6).select("doc_id", "cluster")
+    sized = clusters.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    winners = sized.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("canon")
+    )
+    return sized.join(winners, "cluster").select(
+        "doc_id",
+        "cluster",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id") == F.col("canon")).alias("keep"),
+    )
