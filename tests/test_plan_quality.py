@@ -85,6 +85,7 @@ _SCALAR_ATTACH = {
     "streaming_countmin_counts",    # x broadcast(4-row depth spec + 1-row total)
     "graph_modularity",             # x broadcast(1-row 2m / intra2 / sum_dc2 scalars)
     "similarity_ivf_pq",            # x broadcast(1-row codebooks + 1-row LUT/probes)
+    "quality_decile_weights",       # x broadcast(1-row corpus token total, via unigram_surprisal)
 }
 
 
