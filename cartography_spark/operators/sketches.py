@@ -193,3 +193,49 @@ def countmin_estimate(
         "n", F.coalesce(F.col("n"), F.lit(0))
     )
     return joined.groupBy(col).agg(F.min("n").cast("bigint").alias("est_n"))
+
+
+def kmv_intersection_estimate(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """KMV set-operation estimates (the theta-sketch idiom): Jaccard and
+    intersection cardinality of two keyed sets from their k-minimum-value
+    sketches alone.
+
+    The union's k smallest hashes are a uniform sample of A∪B, so the
+    fraction m/k of them present in BOTH per-set sketches estimates
+    J(A,B); |A∩B| ≈ J * |A∪B|-estimate. Everything derives from the same
+    md5-32 hash space as kmv_distinct_estimate, so sketches of disjoint
+    partitions merge by union+re-take-k and any engine reproduces m and
+    the estimates bit-exactly. Exact counts ride along to expose the
+    sketch error.
+    """
+    ha = a.select(_h32(F.col(col)).alias("h")).distinct()
+    hb = b.select(_h32(F.col(col)).alias("h")).distinct()
+    ka = ha.orderBy("h").limit(k)
+    kb = hb.orderBy("h").limit(k)
+    union_k = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    kth = union_k.agg(F.max("h").alias("kth"))
+    m = (
+        union_k.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    exact = a.select(col).intersect(b.select(col)).agg(
+        F.count("*").cast("long").alias("n_inter_exact")
+    )
+    return (
+        m.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).alias("k"),
+            "m",
+            F.round(F.col("m") / F.lit(float(k)), 6).alias("jaccard_est"),
+            F.round(
+                (F.col("m") / F.lit(float(k)))
+                * (F.lit(float(k - 1)) * F.lit(float(2**32)) / F.col("kth")),
+                2,
+            ).alias("inter_est"),
+            "n_inter_exact",
+        )
+    )

@@ -536,3 +536,53 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("exact_value"),
     )
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+    uk AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 64),
+    kth AS (SELECT max(h) AS kth FROM uk),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM uk
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    x AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_inter_exact FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      )
+    )
+    SELECT 64 AS k, m, ROUND(m / 64.0, 6) AS jaccard_est,
+           ROUND((m / 64.0) * (63.0 * 4294967296.0 / kth), 2) AS inter_est,
+           n_inter_exact
+    FROM m CROSS JOIN kth CROSS JOIN x
+    """,
+    doc="KMV set-operation sketch (operators/sketches.py:"
+    "kmv_intersection_estimate): Jaccard + intersection cardinality of "
+    "two customer sets (urgent-priority vs finished-status buyers) from "
+    "their k-min-value sketches alone — the theta-sketch idiom that "
+    "answers set algebra over 100 TB partitions from kilobyte sketches. "
+    "m of the union's 64 sample hashes land in both per-set sketches; "
+    "md5-derived hashes make m and both estimates bit-exact in the "
+    "oracle, with exact counts alongside.",
+    tags=("llm", "sketch"),
+)
+def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import kmv_intersection_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return kmv_intersection_estimate(a, b, "o_custkey", k=64)
