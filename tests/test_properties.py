@@ -98,3 +98,102 @@ def test_closure_matches_bfs(spark, edges):
         for n, h in dist.items():
             expect[(start, n)] = h
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    log=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 30), st.sampled_from("IUD")),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),  # (key, seq) unique — the CDC contract
+    )
+)
+def test_cdc_apply_matches_naive_replay(spark, log):
+    """cdc_apply == replaying the log in seq order per key in Python."""
+    from cartography_spark.operators.incremental import cdc_apply
+
+    rows = [(k, f"v{k}_{seq}", seq, op) for k, seq, op in log]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)], "k int, name string, seq int, op string"
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.name for r in cdc_apply(df, ["k"]).collect()}
+
+    expect = {}
+    for k, seq, op in sorted(log, key=lambda t: t[1]):
+        if op == "D":
+            expect[k] = None
+        else:
+            expect[k] = f"v{k}_{seq}"
+    expect = {k: v for k, v in expect.items() if v is not None}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, docs):
+    """dup_windows / dup_tokens agree with a brute-force position-set
+    computation over arbitrary tiny corpora."""
+    from cartography_spark.operators.dedup import substring_span_stats
+
+    W = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.dup_tokens)
+        for r in substring_span_stats(df, window=W).collect()
+    }
+
+    from collections import Counter
+
+    spans = Counter()
+    toks = {i: d.split(" ") for i, d in enumerate(docs)}
+    for i, ts in toks.items():
+        for s in range(len(ts) - W + 1):
+            spans[" ".join(ts[s : s + W])] += 1
+    for i, ts in toks.items():
+        covered, nwin = set(), 0
+        for s in range(len(ts) - W + 1):
+            if spans[" ".join(ts[s : s + W])] > 1:
+                nwin += 1
+                covered.update(range(s, s + W))
+        assert got[i] == (len(ts), nwin, len(covered))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(st.integers(0, 100), min_size=1, max_size=8, unique=True),
+    rights=st.lists(st.integers(0, 100), min_size=0, max_size=8, unique=True),
+)
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
+    """Nearest as-of == per-left argmin |delta| with past-preferred ties,
+    on arbitrary single-key timelines."""
+    from datetime import datetime
+
+    from cartography_spark.operators.asof import asof_join_nearest
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, 0, s * 1000)
+    ldf = spark.createDataFrame(
+        [(i, 1, t(s)) for i, s in enumerate(lefts)], "lid bigint, u bigint, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, 1, t(s), float(s)) for i, s in enumerate(rights)] or [(None,) * 4],
+        "event_id bigint, u bigint, ts timestamp, v double",
+    ).filter(F.col("event_id").isNotNull())
+    got = {
+        r.lid: (None if r.asof_v is None else int(r.asof_v))
+        for r in asof_join_nearest(
+            ldf, rdf, by="u", ts="ts", value_cols=("v",), left_id="lid", tie_col="event_id"
+        ).collect()
+    }
+    for i, ls in enumerate(lefts):
+        if not rights:
+            assert got[i] is None
+            continue
+        best = min(rights, key=lambda rs: (abs(rs - ls), rs > ls))
+        assert got[i] == best
