@@ -577,6 +577,14 @@ def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE r_name = 'ASIA' AND s_acctbal < 0),
            (SELECT count(*) FROM supplier)
     UNION ALL
+    SELECT 'bulk-order-customers',
+           (SELECT count(*) FROM (SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING count(*) > 30)),
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING count(*) > 30)),
+           (SELECT count(*) FROM customer)
+    UNION ALL
     SELECT 'customers-without-orders',
            (SELECT count(*) FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
@@ -586,8 +594,9 @@ def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM customer)
     """,
     doc="Rule library end-to-end (the reference's rules corpus shapes: "
-    "EXISTS-subquery, multi-hop tenancy scope, NOT-EXISTS anti-join) run "
-    "through the Fact/Rule engine with compliance math per fact.",
+    "EXISTS-subquery, multi-hop tenancy scope, count-threshold HAVING, "
+    "NOT-EXISTS anti-join) run through the Fact/Rule engine with "
+    "compliance math per fact.",
     tags=("engine", "rules"),
 )
 def q_rules_library_run(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1348,3 +1348,72 @@ def q_dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         (F.col("doc_id") == F.col("canon")).alias("keep"),
     )
+
+
+@query(
+    "source_dup_rates",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             md5(array_to_string(list_slice(ws, i * 12 + 1, (i + 1) * 12), ' ')) AS h
+      FROM words CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(0, CAST((len(ws) + 11) // 12 AS INT) - 1)) AS i
+      )
+    ),
+    flagged AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) = 1 AS keep
+      FROM segs
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN f.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+           CAST((sum(CASE WHEN f.keep THEN 0 ELSE 1 END) * 1000) // count(*) AS BIGINT)
+             AS dup_permille
+    FROM flagged f JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Per-source boilerplate rates: the segment-level dedup flags "
+    "(segment_dedup — corpus-wide first occurrence keeps) aggregated by "
+    "document source, yielding each source's duplicated-segment "
+    "permille — the curation dashboard that tells you WHICH feed ships "
+    "boilerplate before you burn tokens on it. One extra broadcast join "
+    "+ 4-group aggregate over the segment relation.",
+    tags=("llm", "dedup"),
+)
+def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dd_ = d.repartition(d.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"))
+    words = dd_.select("doc_id", F.split("text", " ").alias("ws"))
+    segs = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("ws") / F.lit(12)).cast("int") - 1)
+        ).alias("seg_idx"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(F.slice("ws", F.col("seg_idx") * 12 + 1, F.lit(12)), " ")
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    flagged = segs.select("doc_id", (F.row_number().over(w) == 1).alias("keep"))
+    return (
+        flagged.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dup"),
+            F.expr(
+                "CAST((sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1000)"
+                " DIV count(*) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )

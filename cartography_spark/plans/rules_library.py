@@ -1,5 +1,5 @@
 """Built-in rule library: the reference ships 37 rule files under
-cartography/rules/data/rules/ — these port the three dominant QUERY SHAPES
+cartography/rules/data/rules/ — these port the four dominant QUERY SHAPES
 of that corpus onto the fixture catalog, end-to-end through the Fact/Rule
 engine (plans/rules.py):
 
@@ -9,6 +9,8 @@ engine (plans/rules.py):
   analysis/aws/analysis.py:63 join-chain shape)
 - negation / anti-join fact (asset failing iff NO related record exists —
   the EXISTS{}=false idiom)
+- aggregation-threshold fact (asset failing iff count of related records
+  exceeds N — the corpus's count(...) > N / HAVING idiom)
 """
 
 from __future__ import annotations
@@ -48,6 +50,22 @@ def _asia_negative_suppliers(c: GraphCatalog):
     )
 
 
+def _bulk_order_customers(c: GraphCatalog):
+    """Customers with more than 30 orders (aggregation-threshold / HAVING
+    shape — the rules corpus's count(...) > N idiom)."""
+    heavy = (
+        c.node("Order")
+        .groupBy(F.col("o_custkey").cast("string").alias("id"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 30)
+    )
+    return (
+        c.node("Customer")
+        .join(heavy, "id")
+        .select(F.col("id").alias("asset_id"), "name", "n_orders")
+    )
+
+
 def _customers_without_orders(c: GraphCatalog):
     """Customers with NO orders at all (anti-join / NOT EXISTS)."""
     orders = c.node("Order").select(F.col("o_custkey").cast("string").alias("id")).distinct()
@@ -74,6 +92,13 @@ ACCOUNT_HYGIENE = Rule(
             name="ASIA-region suppliers with negative balance",
             query=_asia_negative_suppliers,
             asset_label="Supplier",
+            asset_id_field="asset_id",
+        ),
+        Fact(
+            fact_id="bulk-order-customers",
+            name="Customers exceeding 30 orders",
+            query=_bulk_order_customers,
+            asset_label="Customer",
             asset_id_field="asset_id",
         ),
         Fact(

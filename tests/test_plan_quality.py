@@ -156,3 +156,23 @@ def test_aggregates_partial_before_shuffle(spark):
     reg = _registry()
     plan = _plan(reg["agg_pricing_summary"].spark(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_triggers(spark, tmp_path):
+    """Joining a partitioned fact against a filtered dim must inject a
+    DynamicPruning subquery into the fact scan's partition filters — the
+    runtime analogue of the static partition pruning the formats tests
+    pin, and the mechanism that keeps star joins from scanning every
+    partition at warehouse scale."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    p = str(tmp_path / "orders_p")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame([("F", "done"), ("O", "open")], "st string, label string")
+    joined = fact.join(
+        dim.filter(F.col("label") == "done"), fact.o_orderstatus == F.col("st")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower()
