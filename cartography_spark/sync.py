@@ -56,17 +56,32 @@ class Sync:
         errors: dict[str, Exception] = {}
         succeeded: set[str] = set()
         self.skipped: list[str] = []
+        # per-stage timer metrics — the Spark stand-in for the reference's
+        # statsd timers around each sync stage (sync.py:431-438, timeit
+        # decorators in util.py): recorded in-process, queryable after run
+        self.metrics: list[dict[str, Any]] = []
         for name, fn in self.stages.items():
             deps = self.requires.get(name, ())
             missing = [d for d in deps if d not in succeeded]
             if missing:
                 self.skipped.append(name)
                 continue
+            t0 = time.monotonic()
             try:
                 fn(catalog, config)
                 succeeded.add(name)
+                status = "ok"
             except Exception as exc:
+                status = "error"
                 if not best_effort:
+                    self.metrics.append(
+                        {"stage": name, "status": status,
+                         "wall_s": round(time.monotonic() - t0, 3)}
+                    )
                     raise RuntimeError(f"sync stage {name!r} failed") from exc
                 errors[name] = exc
+            self.metrics.append(
+                {"stage": name, "status": status,
+                 "wall_s": round(time.monotonic() - t0, 3)}
+            )
         return errors

@@ -112,3 +112,38 @@ def test_sync_dependency_gating(spark, sf_dir):
     assert ran == ["ingest", "analysis"]
     assert list(errors) == ["broken"]
     assert s.skipped == ["gated-off"]
+
+
+def test_sync_records_stage_metrics(spark):
+    """Every executed stage leaves a timer metric (the statsd-parity
+    surface: reference sync.py:431-438); skipped stages leave none."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.sync import Sync
+
+    s = Sync()
+    s.add_stage("a", lambda c, cfg: None)
+    s.add_stage("b", lambda c, cfg: None, requires=("missing",))
+    errs = s.run(GraphCatalog(spark))
+    assert errs == {} and s.skipped == ["b"]
+    assert [m["stage"] for m in s.metrics] == ["a"]
+    m = s.metrics[0]
+    assert m["status"] == "ok" and m["wall_s"] >= 0
+
+
+def test_sync_metrics_on_best_effort_error(spark):
+    """best_effort keeps going and records the failing stage's metric."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.sync import Sync
+
+    def boom(c, cfg):
+        raise ValueError("nope")
+
+    s = Sync()
+    s.add_stage("bad", boom)
+    s.add_stage("good", lambda c, cfg: None)
+    errs = s.run(GraphCatalog(spark), best_effort=True)
+    assert set(errs) == {"bad"}
+    assert [(m["stage"], m["status"]) for m in s.metrics] == [
+        ("bad", "error"),
+        ("good", "ok"),
+    ]
