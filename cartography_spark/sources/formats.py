@@ -53,3 +53,23 @@ def csv_to_parquet(spark: SparkSession, csv_path: str, parquet_path: str, schema
     """One-shot columnarization: read row-format CSV once, write parquet
     so every later scan gets pushdown/pruning."""
     read_csv(spark, csv_path, schema=schema).write.mode("overwrite").parquet(parquet_path)
+
+
+def compact_parquet(
+    spark, in_path: str, out_path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(n / target_rows_per_file) evenly-sized files. The operational
+    maintenance pass every long-lived 100 TB table needs — streaming
+    sinks and per-tenant batch appends accrete kilobyte files whose
+    per-file open/footer cost eventually dominates scans. A round-robin
+    repartition (no shuffle key — pure rebalance) keeps sizes even
+    regardless of input skew. Returns the file count written."""
+    import math
+
+    df = spark.read.parquet(in_path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(files).write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return len([f for f in out.inputFiles()])

@@ -62,3 +62,23 @@ def test_csv_to_parquet_columnarization(spark, tmp_path):
     back = spark.read.parquet(pq_p)
     assert back.count() == region.count()
     assert dict(back.dtypes)["r_regionkey"] == "bigint"
+
+
+def test_compact_parquet_small_files(spark, tmp_path, sf_dir):
+    """64 tiny appended files compact into the expected even file count
+    with the exact same rows."""
+    from cartography_spark.sources.formats import compact_parquet
+    from cartography_spark.sources.parquet import load_table
+
+    frag = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(frag)
+    assert len(spark.read.parquet(frag).inputFiles()) == 64
+
+    out = str(tmp_path / "compact")
+    n = orders.count()
+    n_files = compact_parquet(spark, frag, out, target_rows_per_file=(n + 3) // 4)
+    assert n_files == 4
+    a = {tuple(r) for r in spark.read.parquet(out).collect()}
+    b = {tuple(r) for r in orders.collect()}
+    assert a == b
