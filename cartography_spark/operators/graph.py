@@ -395,3 +395,38 @@ def pagerank_personalized(
         )
         ranks = inflow.unionByName(bonus).groupBy("node").agg(F.sum("r").alias("r"))
     return ranks
+
+
+def temporal_reachability(
+    edges: DataFrame, source: int, rounds: int = 4
+) -> DataFrame:
+    """Earliest-arrival temporal reachability: over a directed edge list
+    (src, dst, t), a path is valid only if edge times never decrease —
+    the time-respecting-path semantics of temporal graphs (information
+    flow, supply chains, lateral movement), which plain reachability
+    overstates. Returns (node, arrival) = the earliest time each node is
+    reachable from ``source`` within ``rounds`` hops (source itself at 0).
+
+    Bellman-Ford-shaped dataflow: per round one equi-join on the node key
+    with the time constraint ``t >= arrival`` as the join residual, then
+    a mergeable min-aggregate; monotone integer arrival times make the
+    bounded fixed point bit-exact in any engine. Lineage truncated per
+    round (same pattern as bellman_ford above).
+    """
+    edges.persist()
+    arr = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node BIGINT, arrival BIGINT"
+    )
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(arr, edges.src == arr.node)
+            .filter(F.col("t") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+        arr = arr.localCheckpoint(eager=True)
+    return arr

@@ -519,3 +519,69 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+_TEMPORAL_EDGES_SQL = """
+      SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS t
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT 100000 + l_suppkey, o_custkey,
+             CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _temporal_reach_oracle(source: int = 1, rounds: int = 4) -> str:
+    parts = [
+        f"WITH e AS ({_TEMPORAL_EDGES_SQL}),",
+        f"a0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS arrival),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""a{k} AS (
+      SELECT node, min(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a{k - 1}
+        UNION ALL
+        SELECT e.dst, e.t FROM e JOIN a{k - 1} a ON e.src = a.node AND e.t >= a.arrival
+      ) GROUP BY node
+    ),"""
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"{body}\n    SELECT node, arrival FROM a{rounds}"
+
+
+@query(
+    "graph_temporal_reachability",
+    oracle=_temporal_reach_oracle(source=1),
+    doc="Earliest-arrival temporal reachability (operators/graph.py:"
+    "temporal_reachability) over the order/ship handoff graph (customer "
+    "-> supplier at order date, supplier -> customer at ship date, "
+    "epoch-day integers): nodes reachable from customer 1 by paths "
+    "whose edge times never decrease, 4 hops, with their earliest "
+    "arrival day. Time-respecting semantics that plain reachability "
+    "overstates; per round one join (time constraint as the residual) "
+    "+ one mergeable min — bit-exact vs the unrolled-CTE oracle.",
+    tags=("graph", "temporal", "iterative"),
+)
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import temporal_reachability
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    day = lambda c: F.expr(
+        f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) DIV 86400000000 AS BIGINT)"
+    )
+    fwd = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(100000) + F.col("l_suppkey")).alias("dst"),
+        day("o_orderdate").alias("t"),
+    )
+    back = j.select(
+        (F.lit(100000) + F.col("l_suppkey")).alias("src"),
+        F.col("o_custkey").alias("dst"),
+        day("l_shipdate").alias("t"),
+    )
+    edges = fwd.unionByName(back).distinct()
+    return temporal_reachability(edges, source=1, rounds=4)

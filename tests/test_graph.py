@@ -159,3 +159,16 @@ def test_modularity_hand_computed(spark):
     sym = symmetrize(edges, "a", "b")
     r = modularity_exact(sym, label_propagation(sym, rounds=3)).collect()[0]
     assert (r.two_m, r.intra2, r.q_num, r.q_micro) == (14, 12, 70, 70 * 1000000 // 196)
+
+
+def test_temporal_reachability_respects_time(spark):
+    """An edge departing before you arrive is unusable: 2->3 at t=3 is
+    dead when node 2 is only reached at t=5; the detour via 4 wins."""
+    from cartography_spark.operators.graph import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 7), (4, 3, 9)],
+        "src bigint, dst bigint, t bigint",
+    )
+    got = {r.node: r.arrival for r in temporal_reachability(edges, 1, rounds=4).collect()}
+    assert got == {1: 0, 2: 5, 4: 7, 3: 9}
