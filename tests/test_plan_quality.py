@@ -86,6 +86,7 @@ _SCALAR_ATTACH = {
     "graph_modularity",             # x broadcast(1-row 2m / intra2 / sum_dc2 scalars)
     "similarity_ivf_pq",            # x broadcast(1-row codebooks + 1-row LUT/probes)
     "quality_decile_weights",       # x broadcast(1-row corpus token total, via unigram_surprisal)
+    "sketch_kmv_intersection",      # x broadcast(1-row kth hash + 1-row exact count)
 }
 
 
