@@ -1417,3 +1417,45 @@ def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_permille"),
         )
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH {_INT8_Q_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cells AS (
+      SELECT l.label, u.pos, u.c
+      FROM q JOIN lab l USING (vec_id)
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(q.qvec))) AS pos, unnest(q.qvec) AS c
+      ) u
+    ),
+    sums AS (
+      SELECT label, pos, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY label, pos
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(s) AS BIGINT) AS total_mass,
+           CAST(sum(CASE WHEN pos <= 8 THEN s ELSE 0 END) AS BIGINT) AS head_mass
+    FROM sums GROUP BY label
+    """,
+    doc="Dense-vector aggregation: per-label centroid mass over the int8 "
+    "codes — posexplode to (label, dim) cells, one map-side-combinable "
+    "sum, integer masses (total + first-8-dims head) per label. The "
+    "reduce step of every embedding-analytics job (class centroids, "
+    "drift monitoring) expressed so the 64-group aggregate carries ALL "
+    "the data movement; no vector ever collects to the driver.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.int8_quantize(emb)
+    cells = q.join(emb.select("vec_id", "label"), "vec_id").select(
+        "label", F.posexplode("qvec").alias("pos0", "c")
+    )
+    sums = cells.groupBy("label", F.col("pos0")).agg(F.sum("c").alias("s"))
+    return sums.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum("s").cast("long").alias("total_mass"),
+        F.sum(F.when(F.col("pos0") <= 7, F.col("s")).otherwise(0)).cast("long").alias("head_mass"),
+    )
