@@ -728,3 +728,74 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias("weighted_cent_us"),
         F.expr("CAST(sum(cents * dur_us) DIV sum(dur_us) AS BIGINT)").alias("twap_cents"),
     )
+
+
+@query(
+    "division_full_coverage",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_shipments
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_quantity > 40
+    GROUP BY l_suppkey
+    HAVING count(DISTINCT date_part('month', l_shipdate)) = 12
+    """,
+    doc="Relational division (the 'for ALL' query shape — suppliers with "
+    "a bulk shipment in EVERY month of 1995): expressed as "
+    "count(DISTINCT month) == |divisor| over one filtered groupBy — one "
+    "pushed-down scan + one aggregate, instead of the textbook double "
+    "NOT EXISTS (two correlated anti-joins). The date-range and "
+    "quantity predicates land in the parquet scan.",
+    tags=("warehouse", "agg"),
+)
+def q_division_full_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") > 40)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shipments"),
+            F.countDistinct(F.month("l_shipdate")).alias("__months"),
+        )
+        .filter(F.col("__months") == 12)
+        .drop("__months")
+    )
+
+
+@query(
+    "ratio_to_report_revenue",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, cents,
+           CAST((cents * 1000) // sum(cents) OVER () AS BIGINT) AS share_permille
+    FROM pr
+    """,
+    doc="Ratio-to-report: each priority's share of total revenue via a "
+    "window sum OVER () on the 5-row aggregate (the whole-relation "
+    "window runs on sketch-sized data — the detail rows were already "
+    "collapsed by the map-side-combinable groupBy). Integer permille "
+    "via floor division, bit-exact.",
+    tags=("warehouse", "window"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    pr = o.groupBy("o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy()
+    return pr.select(
+        "o_orderpriority",
+        "cents",
+        F.expr("CAST((cents * 1000) DIV sum(cents) OVER () AS BIGINT)").alias(
+            "share_permille"
+        ),
+    )
