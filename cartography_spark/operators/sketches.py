@@ -239,3 +239,43 @@ def kmv_intersection_estimate(
             "n_inter_exact",
         )
     )
+
+
+def kmv_difference_estimate(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """KMV A-not-B estimate (completing the theta-sketch set algebra next
+    to :func:`kmv_intersection_estimate`): of the union's k-min sample,
+    the fraction found in A's sketch but NOT B's estimates
+    |A \\ B| / |A∪B|. Same md5 hash space, same merge rules, exact
+    integer m — bit-reproducible anywhere."""
+    ha = a.select(_h32(F.col(col)).alias("h")).distinct()
+    hb = b.select(_h32(F.col(col)).alias("h")).distinct()
+    ka = ha.orderBy("h").limit(k)
+    kb = hb.orderBy("h").limit(k)
+    union_k = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    kth = union_k.agg(F.max("h").alias("kth"))
+    m = (
+        union_k.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_anti")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    # set semantics (EXCEPT DISTINCT): a multiset exceptAll would count
+    # per-occurrence leftovers, not distinct members of A \ B
+    exact = a.select(col).distinct().subtract(b.select(col)).agg(
+        F.count("*").cast("long").alias("n_diff_exact")
+    )
+    return (
+        m.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).alias("k"),
+            "m",
+            F.round(
+                (F.col("m") / F.lit(float(k)))
+                * (F.lit(float(k - 1)) * F.lit(float(2**32)) / F.col("kth")),
+                2,
+            ).alias("diff_est"),
+            "n_diff_exact",
+        )
+    )

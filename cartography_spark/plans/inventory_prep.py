@@ -586,3 +586,53 @@ def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return kmv_intersection_estimate(a, b, "o_custkey", k=64)
+
+
+@query(
+    "sketch_kmv_difference",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+    uk AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 64),
+    kth AS (SELECT max(h) AS kth FROM uk),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM uk
+      WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)
+    ),
+    x AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_diff_exact FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      )
+    )
+    SELECT 64 AS k, m,
+           ROUND((m / 64.0) * (63.0 * 4294967296.0 / kth), 2) AS diff_est,
+           n_diff_exact
+    FROM m CROSS JOIN kth CROSS JOIN x
+    """,
+    doc="KMV A-not-B sketch (operators/sketches.py:"
+    "kmv_difference_estimate): |urgent-buyers \\\\ finished-buyers| "
+    "estimated from the union's k-min sample members found in A's "
+    "sketch but not B's — with intersection (sketch_kmv_intersection) "
+    "this completes the sketch set algebra (and, by inclusion-"
+    "exclusion, union): answer audit deltas between 100 TB partitions "
+    "from kilobyte sketches. Bit-exact m vs the oracle; exact "
+    "difference count alongside.",
+    tags=("llm", "sketch"),
+)
+def q_sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import kmv_difference_estimate
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return kmv_difference_estimate(a, b, "o_custkey", k=64)

@@ -88,6 +88,7 @@ _SCALAR_ATTACH = {
     "quality_decile_weights",       # x broadcast(1-row corpus token total, via unigram_surprisal)
     "sketch_kmv_intersection",      # x broadcast(1-row kth hash + 1-row exact count)
     "embedding_label_centroids",    # x broadcast(1-row min/max arrays, via int8_quantize)
+    "sketch_kmv_difference",        # x broadcast(1-row kth hash + 1-row exact count)
 }
 
 

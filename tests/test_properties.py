@@ -197,3 +197,33 @@ def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
             continue
         best = min(rights, key=lambda rs: (abs(rs - ls), rs > ls))
         assert got[i] == best
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(st.floats(-5, 5, allow_nan=False), st.floats(-5, 5, allow_nan=False)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_int8_quantize_preserves_per_dim_order(spark, vecs):
+    """Scalar quantization is monotone per dimension: a[i] <= b[i] implies
+    code_a[i] <= code_b[i], and all codes stay in [0, 254]."""
+    from cartography_spark.operators.similarity import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    codes = {r.vec_id: list(r.qvec) for r in int8_quantize(emb).collect()}
+    assert all(0 <= c <= 254 for q in codes.values() for c in q)
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    for i, (xi, yi) in enumerate(vecs):
+        for j, (xj, yj) in enumerate(vecs):
+            if f32(xi) <= f32(xj):
+                assert codes[i][0] <= codes[j][0]
+            if f32(yi) <= f32(yj):
+                assert codes[i][1] <= codes[j][1]
