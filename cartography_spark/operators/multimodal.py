@@ -2,16 +2,34 @@
 columns with typed metadata, processed by Arrow-batched pandas functions
 over ``mapInPandas``.
 
-The decode step is STUBBED (this environment ships no image/audio codecs):
-``decode_image_meta`` parses a deterministic fake header instead of calling
-Pillow/ffmpeg — the Spark-side contract (schema, batch iteration, partition
-behavior, binary transport through Arrow) is real and tested. Swap
-``_parse_header`` for a real decoder to productionize; the plan shape does
-not change.
+The decoders are REAL parsers of real uncompressed containers:
+
+- images are 24-bit uncompressed **BMP** files (BITMAPFILEHEADER +
+  BITMAPINFOHEADER + bottom-up pixel array with 4-byte row stride);
+- audio is 16-bit PCM mono **WAV** (RIFF/WAVE with ``fmt `` and ``data``
+  chunks, parsed by chunk walk — not fixed offsets);
+- video is a concatenation of BMP frames, demuxed by walking the declared
+  per-frame file sizes.
+
+No codec library is needed: these containers are byte-layout formats and
+the decoders are pure numpy/struct. Compressed formats (JPEG/MP3/H.264)
+would slot into the same ``mapInPandas`` batch loop via e.g. Pillow/ffmpeg;
+the Spark-side plan (narrow transformation, Arrow transport, no shuffle)
+is identical.
+
+The synthesizers emit pixel/sample payloads tiled from ``md5(text)`` so
+every decoded feature (dims, mean/std pixel, duration, mean |amplitude|,
+RMS) has an exact closed form over the 16 digest bytes — which is what the
+DuckDB oracles in plans/inventory_llm.py recompute independently. All
+arithmetic is integer-exact in float64, so Spark and the oracle agree
+bit-for-bit.
 
 At scale: binary payloads stay in executor memory one Arrow batch at a
 time (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
 metadata extraction is a narrow transformation — no shuffle.
+
+Reference parity: cartography has no multimodal surface; this implements
+the SURVEY "beyond-reference" training-data-pipeline requirements.
 """
 
 from __future__ import annotations
@@ -19,143 +37,321 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FAKE_MAGIC = b"FIMG"
+
+# ---------------------------------------------------------------------------
+# BMP encode / decode (24-bit uncompressed, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a 24-bit uncompressed BMP.
+
+    Rows are written bottom-up with stride padded to 4 bytes, per the spec.
+    """
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) // 4 * 4
+    img_size = stride * h
+    file_size = 14 + 40 + img_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = pixels.reshape(h, row_bytes)
+    return header + dib + rows[::-1].tobytes()
+
+
+def bmp_decode(payload: bytes) -> np.ndarray | None:
+    """Decode a 24-bit uncompressed BMP into an (H, W, 3) uint8 array.
+
+    Returns None for anything that is not a valid uncompressed 24-bit BMP.
+    Handles both bottom-up (positive height) and top-down (negative) rows.
+    """
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        _, file_size, _, _, px_off = struct.unpack("<2sIHHI", payload[:14])
+        dib_size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    except struct.error:
+        return None
+    if dib_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    need = px_off + stride * h
+    if len(payload) < need:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=px_off)
+    rows = raw.reshape(h, stride)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV encode / decode (16-bit PCM, chunk-walking parser)
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode an int16 sample array as a mono 16-bit PCM WAV file."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a PCM16 WAV: walk RIFF chunks to find ``fmt `` and ``data``.
+
+    Returns (sample_rate, int16 ndarray) or None if not valid mono PCM16.
+    """
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            data = np.frombuffer(body[: clen // 2 * 2], dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        return None
+    return rate, data
+
+
+# ---------------------------------------------------------------------------
+# Synthesizers: deterministic real containers from document text
+# ---------------------------------------------------------------------------
+
+IMG_WIDTH = 4  # 12 bytes/row -> stride 12, no padding; 12*H is a multiple
+# of 16 whenever H % 4 == 0, so the pixel array is whole md5-digest tiles.
+AUDIO_RATE = 16000
+
+
+def _digest_frame(pdf: pd.DataFrame, text_col: str, id_col: str):
+    import hashlib
+
+    for _, r in pdf.iterrows():
+        text = r[text_col] if r[text_col] is not None else ""
+        yield r[id_col], hashlib.md5(str(text).encode("utf-8")).digest()
 
 
 def synthesize_image_column(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic fake image bytes per doc: a 12-byte header
-    (magic, width, height derived from the text hash) + md5-derived body.
-    Gives tests a real binary column without codec dependencies."""
-    from cartography_spark.operators.dedup import portable_hash32
+    """Real 24-bit BMP per doc: 4 x H pixels (H = 4*(1 + b0 % 4), b0 = first
+    md5(text) byte), pixel bytes = the md5 digest tiled. Every decoded
+    feature then has a closed form over the digest bytes."""
 
-    h = F.unhex(F.md5(F.col(text_col)))
-    width = (portable_hash32(F.col(text_col)) % 1920 + 1).cast("int")
-    height = (portable_hash32(F.reverse(F.col(text_col))) % 1080 + 1).cast("int")
-    header = F.concat(
-        F.lit(FAKE_MAGIC),
-        _int_be(width),
-        _int_be(height),
-    )
-    return docs.select(F.col(id_col), F.concat(header, h).alias("image"))
-
-
-def _int_be(col):
-    """4-byte big-endian encoding of an int column (JVM-side)."""
-    return F.unhex(F.lpad(F.hex(col), 8, "0"))
-
-
-def _parse_header(payload: bytes) -> tuple[int, int, bool]:
-    """STUB decoder: parse the fake header. A real implementation would be
-    e.g. ``PIL.Image.open(io.BytesIO(payload))`` — deliberately not
-    attempted here (no codec libs in this environment)."""
-    if payload is None or len(payload) < 12 or payload[:4] != FAKE_MAGIC:
-        return (0, 0, False)
-    w, h_ = struct.unpack(">II", payload[4:12])
-    return (w, h_, True)
-
-
-def decode_image_meta(images: DataFrame, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
-    """Extract (width, height, n_bytes, valid) from the binary column via
-    Arrow-batched mapInPandas."""
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[bin_col].map(_parse_header)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": meta.map(lambda m: m[0]),
-                    "height": meta.map(lambda m: m[1]),
-                    "n_bytes": pdf[bin_col].map(lambda b: 0 if b is None else len(b)),
-                    "valid": meta.map(lambda m: m[2]),
-                }
-            )
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                h = 4 * (1 + dig[0] % 4)
+                tile = np.frombuffer(dig, dtype=np.uint8)
+                px = np.tile(tile, IMG_WIDTH * 3 * h // 16).reshape(h, IMG_WIDTH, 3)
+                ids.append(doc_id)
+                blobs.append(bmp_encode(px))
+            yield pd.DataFrame({id_col: ids, "image": blobs})
 
-    schema = f"{id_col} long, width int, height int, n_bytes int, valid boolean"
-    return images.mapInPandas(extract, schema)
-
-
-def resize_stub(images: DataFrame, target_w: int, target_h: int, bin_col: str = "image") -> DataFrame:
-    """Resize contract: same schema out, payload replaced by a header with
-    the new dimensions (STUB — a real impl re-encodes pixels)."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hdr = FAKE_MAGIC + struct.pack(">II", target_w, target_h)
-        for pdf in batches:
-            out = pdf.copy()
-            out[bin_col] = out[bin_col].map(lambda b: None if b is None else hdr + b[12:])
-            yield out
-
-    return images.mapInPandas(resize, images.schema)
-
-
-FAKE_AUDIO_MAGIC = b"FAUD"
-AUDIO_RATE = 16000
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, image binary")
 
 
 def synthesize_audio_column(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic fake audio bytes per doc: an 8-byte header (magic +
-    sample rate) + md5(text) as the 16 'samples'."""
-    header = F.concat(F.lit(FAKE_AUDIO_MAGIC), _int_be(F.lit(AUDIO_RATE)))
-    return docs.select(
-        F.col(id_col), F.concat(header, F.unhex(F.md5(F.col(text_col)))).alias("audio")
+    """Real PCM16 mono WAV per doc: the md5 digest as 8 little-endian int16
+    samples, tiled R = 2*(1 + b0 % 4) times (16..64 samples @ 16 kHz)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                base = np.frombuffer(dig, dtype="<i2")
+                reps = 2 * (1 + dig[0] % 4)
+                ids.append(doc_id)
+                blobs.append(wav_encode(np.tile(base, reps), AUDIO_RATE))
+            yield pd.DataFrame({id_col: ids, "audio": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, audio binary")
+
+
+def synthesize_video_column(
+    docs: DataFrame, n_frames: int = 6, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Trivial video container: ``n_frames`` BMP frames concatenated
+    back-to-back (frame f's pixels = digest rolled by f bytes). The demuxer
+    walks the declared BMP file sizes — a real (if minimal) container walk."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                tile = np.frombuffer(dig, dtype=np.uint8)
+                frames = []
+                for fno in range(n_frames):
+                    px = np.tile(np.roll(tile, fno), IMG_WIDTH * 3 * 4 // 16).reshape(4, IMG_WIDTH, 3)
+                    frames.append(bmp_encode(px))
+                ids.append(doc_id)
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame({id_col: ids, "video": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, video binary")
+
+
+# ---------------------------------------------------------------------------
+# Decoders / feature extractors (Arrow-batched, narrow, no shuffle)
+# ---------------------------------------------------------------------------
+
+def decode_image_meta(images: DataFrame, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Real BMP decode via Arrow-batched mapInPandas: (width, height,
+    n_bytes, channels, mean_pixel, std_pixel, valid).
+
+    mean/std are computed with integer sums (exact in float64) so the
+    DuckDB oracle can reproduce them bit-for-bit from the digest bytes.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "width", "height", "n_bytes", "channels", "mean_pixel", "std_pixel", "valid")}
+            for _, r in pdf.iterrows():
+                payload = r[bin_col]
+                px = bmp_decode(payload)
+                out[id_col].append(r[id_col])
+                out["n_bytes"].append(0 if payload is None else len(payload))
+                if px is None:
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["channels"].append(0)
+                    out["mean_pixel"].append(0.0)
+                    out["std_pixel"].append(0.0)
+                    out["valid"].append(False)
+                    continue
+                h, w, c = px.shape
+                n = int(h * w * c)
+                s = int(px.sum(dtype=np.int64))
+                ss = int((px.astype(np.int64) ** 2).sum())
+                mean = s / n
+                var = ss / n - mean * mean
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_pixel"].append(mean)
+                out["std_pixel"].append(float(np.sqrt(max(var, 0.0))))
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, width int, height int, n_bytes int, channels int, "
+        "mean_pixel double, std_pixel double, valid boolean"
     )
+    return images.mapInPandas(extract, schema)
 
 
 def extract_audio_features(audio: DataFrame, bin_col: str = "audio", id_col: str = "doc_id") -> DataFrame:
-    """Audio feature extraction through Arrow-batched mapInPandas:
-    (sample_rate, n_samples, duration_ms, mean_amplitude). STUB decodes the
-    fake format; a real impl would call soundfile/librosa in the same batch
-    loop — the plan (narrow, no shuffle, Arrow transport) is identical."""
+    """Real WAV PCM16 decode through Arrow-batched mapInPandas:
+    (sample_rate, n_samples, duration_ms, mean_amplitude, rms).
+
+    mean_amplitude = mean(|sample|); rms = sqrt(mean(sample^2)); both via
+    integer sums, exact in float64 — oracle-reproducible."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def feats(payload):
-            if payload is None or len(payload) < 8 or payload[:4] != FAKE_AUDIO_MAGIC:
-                return (0, 0, 0.0, 0.0)
-            rate = struct.unpack(">I", payload[4:8])[0]
-            samples = payload[8:]
-            n = len(samples)
-            dur = n * 1000.0 / rate if rate else 0.0
-            mean_amp = sum(samples) / n if n else 0.0
-            return (rate, n, dur, mean_amp)
-
         for pdf in batches:
-            m = pdf[bin_col].map(feats)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sample_rate": m.map(lambda t: t[0]),
-                    "n_samples": m.map(lambda t: t[1]),
-                    "duration_ms": m.map(lambda t: t[2]),
-                    "mean_amplitude": m.map(lambda t: t[3]),
-                }
-            )
+            out = {k: [] for k in (id_col, "sample_rate", "n_samples", "duration_ms", "mean_amplitude", "rms")}
+            for _, r in pdf.iterrows():
+                dec = wav_decode(r[bin_col])
+                out[id_col].append(r[id_col])
+                if dec is None or len(dec[1]) == 0:
+                    out["sample_rate"].append(0)
+                    out["n_samples"].append(0)
+                    out["duration_ms"].append(0.0)
+                    out["mean_amplitude"].append(0.0)
+                    out["rms"].append(0.0)
+                    continue
+                rate, samples = dec
+                s64 = samples.astype(np.int64)
+                n = int(len(samples))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["mean_amplitude"].append(int(np.abs(s64).sum()) / n)
+                out["rms"].append(float(np.sqrt(int((s64 * s64).sum()) / n)))
+            yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, sample_rate int, n_samples int, duration_ms double, mean_amplitude double"
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples int, duration_ms double, "
+        "mean_amplitude double, rms double"
+    )
     return audio.mapInPandas(extract, schema)
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int, bin_col: str = "video", id_col: str = "doc_id") -> DataFrame:
-    """Frame-sampling contract for video: emits one row per sampled frame
-    (explode-shaped mapInPandas). STUB: frames are 16-byte slices of the
-    payload — a real impl would demux with ffmpeg."""
+def resize_images(images: DataFrame, target_w: int, target_h: int, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Real nearest-neighbor BMP resize: decode pixels, index-sample rows and
+    columns, re-encode. Invalid payloads pass through as NULL."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = pdf.copy()
+            blobs = []
+            for b in out[bin_col]:
+                px = bmp_decode(b)
+                if px is None:
+                    blobs.append(None)
+                    continue
+                h, w, _ = px.shape
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                blobs.append(bmp_encode(px[yi][:, xi]))
+            out[bin_col] = blobs
+            yield out
+
+    return images.mapInPandas(resize, images.schema)
+
+
+# Back-compat alias (pre-round-2 name).
+resize_stub = resize_images
+
+
+def frame_sample(videos: DataFrame, every_n: int, bin_col: str = "video", id_col: str = "doc_id") -> DataFrame:
+    """Demux a concatenated-BMP video by walking each frame's declared file
+    size, keep every ``every_n``-th frame, emit one row per sampled frame
+    with the frame's decoded mean pixel (explode-shaped mapInPandas)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = r[bin_col] or b""
-                frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
-                for fi, fr in enumerate(frames[::every_n]):
-                    rows.append({id_col: r[id_col], "frame_no": fi * every_n, "frame": fr})
-            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "frame"])
+                pos = fno = 0
+                while pos + 6 <= len(payload) and payload[pos : pos + 2] == b"BM":
+                    (fsize,) = struct.unpack("<I", payload[pos + 2 : pos + 6])
+                    if fsize < 54 or pos + fsize > len(payload):
+                        break
+                    if fno % every_n == 0:
+                        frame = payload[pos : pos + fsize]
+                        px = bmp_decode(frame)
+                        mean = float(px.sum(dtype=np.int64) / px.size) if px is not None else 0.0
+                        rows.append({id_col: r[id_col], "frame_no": fno, "mean_pixel": mean, "frame": frame})
+                    pos += fsize
+                    fno += 1
+            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "mean_pixel", "frame"])
 
-    return videos.mapInPandas(sample, f"{id_col} long, frame_no int, frame binary")
+    return videos.mapInPandas(sample, f"{id_col} long, frame_no int, mean_pixel double, frame binary")
+
+
+# Back-compat alias (pre-round-2 name/shape changed: adds mean_pixel column).
+frame_sample_stub = frame_sample

@@ -548,20 +548,36 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5 digest bytes as a DuckDB INTEGER list (1-indexed).
+_MD5_BYTES = (
+    "list_transform(range(16), i -> "
+    "('0x' || substring(md5(text), CAST(2*i+1 AS INT), 2))::INTEGER)"
+)
+
+
 @query(
     "multimodal_decode_meta",
-    oracle="""
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents)
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1920 + 1 AS INT) AS width,
-           CAST(('0x' || substring(md5(reverse(text)), 1, 8))::BIGINT % 1080 + 1 AS INT) AS height,
-           28 AS n_bytes,
+           4 AS width,
+           CAST(4 * (1 + bs[1] % 4) AS INT) AS height,
+           CAST(54 + 48 * (1 + bs[1] % 4) AS INT) AS n_bytes,
+           3 AS channels,
+           list_aggregate(bs, 'sum') / 16.0 AS mean_pixel,
+           sqrt(list_aggregate(list_transform(bs, x -> x*x), 'sum') / 16.0
+                - (list_aggregate(bs, 'sum') / 16.0)
+                  * (list_aggregate(bs, 'sum') / 16.0)) AS std_pixel,
            TRUE AS valid
-    FROM documents
+    FROM b
     """,
-    doc="Multimodal plumbing: binary image column (deterministic fake "
-    "payload) -> Arrow-batched mapInPandas metadata decode (STUB decoder; "
-    "real codecs slot into _parse_header without changing the plan). The "
-    "oracle recomputes the synthesized dimensions independently.",
+    doc="Multimodal image decode: synthesize a REAL 24-bit uncompressed BMP "
+    "per doc (4 x 4*(1+b0%4) px, pixel bytes = md5(text) digest tiled), then "
+    "decode it with the real BMP parser (header walk + stride-aware numpy "
+    "pixel slice) in Arrow-batched mapInPandas. The oracle recomputes dims, "
+    "byte size and exact mean/std pixel values from the digest bytes; tiling "
+    "makes the per-image stats equal the per-digest stats, and all sums are "
+    "integer-exact in float64 so Spark and DuckDB agree bit-for-bit.",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,20 +587,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_audio_features",
-    oracle="""
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),
+    s AS (
+      SELECT doc_id, bs,
+             list_transform(range(8), i -> CASE
+                 WHEN bs[2*i+1] + 256*bs[2*i+2] >= 32768
+                 THEN bs[2*i+1] + 256*bs[2*i+2] - 65536
+                 ELSE bs[2*i+1] + 256*bs[2*i+2] END) AS smp
+      FROM b
+    )
     SELECT doc_id,
            16000 AS sample_rate,
-           16 AS n_samples,
-           1.0 AS duration_ms,
-           list_aggregate(list_transform(generate_series(1, 16),
-               i -> ('0x' || substring(md5(text), 2*i - 1, 2))::BIGINT), 'sum') / 16.0
-             AS mean_amplitude
-    FROM documents
+           CAST(16 * (1 + bs[1] % 4) AS INT) AS n_samples,
+           16 * (1 + bs[1] % 4) / 16.0 AS duration_ms,
+           list_aggregate(list_transform(smp, x -> abs(x)), 'sum') / 8.0 AS mean_amplitude,
+           sqrt(list_aggregate(list_transform(smp, x -> x*x), 'sum') / 8.0) AS rms
+    FROM s
     """,
-    doc="Audio plumbing: binary waveform column (deterministic fake "
-    "payload: md5 bytes as samples) -> Arrow-batched mapInPandas feature "
-    "extraction (rate, samples, duration, mean amplitude); the oracle "
-    "recomputes the features from the md5 bytes independently.",
+    doc="Multimodal audio decode: synthesize a REAL mono PCM16 WAV per doc "
+    "(md5 digest as 8 little-endian int16 samples tiled 2*(1+b0%4) times at "
+    "16 kHz), then decode with the real RIFF chunk-walking WAV parser in "
+    "Arrow-batched mapInPandas (rate, n_samples, duration, mean |amplitude|, "
+    "RMS). The oracle rebuilds the int16 samples from the digest bytes; "
+    "tiling keeps per-file stats equal to per-digest stats and all sums are "
+    "integer-exact in float64.",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
