@@ -35,24 +35,57 @@ Matcher = Callable[[GraphCatalog], DataFrame]
 @dataclass(frozen=True)
 class SetProperty:
     """Set ``prop`` = ``value`` on nodes of ``target_label`` whose id is in
-    the matched frame's ``id_col``."""
+    the matched frame's ``id_col``.
+
+    SET touches only matched nodes (reference SET semantics): values written
+    by earlier statements in the same run survive. A companion audit column
+    ``<prop>__tag`` records the run that last set each value; auto-cleanup
+    then nulls values not refreshed in the current run — the Spark analog of
+    the generated ``REMOVE`` statements (analysisbuilder.py:385-490).
+    Setting an explicit ``None`` value is indistinguishable from "not set"
+    and is therefore cleaned; the reference uses REMOVE for that too."""
 
     target_label: str
     id_col: str
     prop: str
     value: Any  # Column or literal
 
+    def _tag_col(self) -> str:
+        return f"{self.prop}__tag"
+
     def apply(self, catalog: GraphCatalog, matched: DataFrame, update_tag: int) -> None:
         ids = matched.select(F.col(self.id_col).alias("id"), _as_col(self.value).alias("__v")).dropDuplicates(
             ["id"]
         )
         table = catalog.node(self.target_label)
-        joined = table.drop(self.prop).join(ids, "id", "left")
-        catalog.nodes[self.target_label] = joined.withColumnRenamed("__v", self.prop)
+        tagc = self._tag_col()
+        has = self.prop in table.columns
+        joined = table.join(ids, "id", "left")
+        newval = F.coalesce(F.col("__v"), F.col(self.prop)) if has else F.col("__v")
+        newtag = (
+            F.when(F.col("__v").isNotNull(), F.lit(update_tag).cast("long")).otherwise(F.col(tagc))
+            if has and tagc in table.columns
+            else F.when(F.col("__v").isNotNull(), F.lit(update_tag).cast("long"))
+        )
+        out = joined.withColumn("__newv", newval).withColumn("__newt", newtag).drop("__v")
+        if has:
+            out = out.drop(self.prop)
+        if tagc in table.columns:
+            out = out.drop(tagc)
+        catalog.nodes[self.target_label] = out.withColumnRenamed("__newv", self.prop).withColumnRenamed(
+            "__newt", tagc
+        )
 
     def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
-        # property is rebuilt (null for unmatched) on every apply — no-op
-        pass
+        """Null out values whose tag was not refreshed this run (REMOVE)."""
+        table = catalog.node(self.target_label)
+        tagc = self._tag_col()
+        if self.prop not in table.columns or tagc not in table.columns:
+            return
+        fresh = F.col(tagc) == update_tag
+        catalog.nodes[self.target_label] = table.withColumn(
+            self.prop, F.when(fresh, F.col(self.prop))
+        ).withColumn(tagc, F.when(fresh, F.col(tagc)))
 
 
 @dataclass(frozen=True)
@@ -164,19 +197,76 @@ class SetRelationshipProperty:
         pass
 
 
+@dataclass(frozen=True)
+class AddValuesToSet:
+    """Append MULTIPLE values to the array property ``prop``, dedup'd — the
+    reference's AddValuesToSet (analysis.py:114-132 family; compiled as the
+    same coalesce(n.p,[]) + filter idiom with one term per value,
+    analysisbuilder.py:285-307)."""
+
+    target_label: str
+    id_col: str
+    prop: str
+    values: tuple[Any, ...]
+
+    def apply(self, catalog: GraphCatalog, matched: DataFrame, update_tag: int) -> None:
+        vals = (
+            matched.select(
+                F.col(self.id_col).alias("id"),
+                F.explode(F.array(*[_as_col(v) for v in self.values])).alias("__v"),
+            )
+            .groupBy("id")
+            .agg(F.collect_set("__v").alias("__vs"))
+        )
+        table = catalog.node(self.target_label)
+        has = self.prop in table.columns
+        joined = table.join(vals, "id", "left")
+        base = (
+            F.col(self.prop)
+            if has
+            else F.array().cast(vals.schema["__vs"].dataType.simpleString())
+        )
+        newcol = F.array_distinct(
+            F.concat(F.coalesce(base, F.array()), F.coalesce(F.col("__vs"), F.array()))
+        )
+        out = joined.withColumn("__new", newcol).drop("__vs")
+        if has:
+            out = out.drop(self.prop)
+        catalog.nodes[self.target_label] = out.withColumnRenamed("__new", self.prop)
+
+    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
+        pass
+
+
+def SetRelationshipPropertyIfMissing(
+    edge_key: tuple[str, str, str], src_col: str, dst_col: str, prop: str, value: Any
+) -> SetRelationshipProperty:
+    """Reference parity constructor (analysis.py:104-112): set a property on
+    matched edges only where it is currently null — existing values win."""
+    return SetRelationshipProperty(edge_key, src_col, dst_col, prop, value, if_missing=True)
+
+
 def _as_col(v: Any) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 
 
-Effect = SetProperty | AddToSet | AddRelationship | SetRelationshipProperty
+Effect = SetProperty | AddToSet | AddValuesToSet | AddRelationship | SetRelationshipProperty
 
 
 @dataclass(frozen=True)
 class AnalysisStatement:
-    """match + effects (reference analysis.py:39-68)."""
+    """match + effects (reference analysis.py:39-68).
+
+    ``incremental_on`` (reference analysis.py:28-36 IncrementalMatch;
+    analysisbuilder.py:195-232) names columns of the MATCHED frame that
+    carry ``lastupdated`` values; when the job runs with
+    ``incremental=True`` (a stock sync run), matched rows are gated on
+    every named column equalling the current update tag — so the statement
+    only acts on entities refreshed this sync."""
 
     matcher: Matcher
     effects: tuple[Effect, ...]
+    incremental_on: tuple[str, ...] = field(default=())
 
 
 @dataclass(frozen=True)
@@ -187,9 +277,12 @@ class AnalysisJob:
     name: str
     statements: tuple[AnalysisStatement, ...]
 
-    def run(self, catalog: GraphCatalog, update_tag: int) -> None:
+    def run(self, catalog: GraphCatalog, update_tag: int, incremental: bool = False) -> None:
         for stmt in self.statements:
             matched = stmt.matcher(catalog)
+            if incremental and stmt.incremental_on:
+                for col in stmt.incremental_on:
+                    matched = matched.filter(F.col(col) == update_tag)
             for effect in stmt.effects:
                 effect.apply(catalog, matched, update_tag)
         for stmt in self.statements:

@@ -275,6 +275,143 @@ def q_analysis_add_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analysis_exposure_chain",
+    oracle="""
+    WITH exposed_cust AS (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND c_acctbal > 0
+      UNION
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+    )
+    SELECT CAST(l_suppkey AS VARCHAR) AS supplier_id,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exposing_customers,
+           CAST('via_order_only' AS VARCHAR) AS exposure_type,
+           TRUE AS exposed_internet
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey IN (SELECT c_custkey FROM exposed_cust)
+    GROUP BY l_suppkey
+    """,
+    doc="Port of the reference's AWS internet-exposure analysis chain "
+    "(analysis/aws/analysis.py:63-330) onto the fixture graph: statement 1 "
+    "seeds 'direct' exposure (EUROPE customers with positive balance — the "
+    "internet-facing-LB analog, SetProperty + AddToSet), statement 2 adds "
+    "urgent-open-order exposure with AddValuesToSet and an incremental_on "
+    "update-tag gate (analysis.py:28-36), statement 3 walks the 5-hop "
+    "exposed-customer -> order -> lineitem -> supplier chain (the "
+    "LB->ECS-container shape, analysis/aws/analysis.py:63-76) deriving "
+    "(Customer)-[:EXPOSES]->(Supplier) edges plus "
+    "SetRelationshipPropertyIfMissing(exposure_type) and supplier-side "
+    "exposure flags. The oracle recomputes the whole chain relationally.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_exposure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AddToSet,
+        AddValuesToSet,
+        AnalysisJob,
+        AnalysisStatement,
+        SetProperty,
+        SetRelationshipPropertyIfMissing,
+    )
+    from cartography_spark.plans.query import match
+
+    cat = base_catalog(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def direct_matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            match(c, "Customer", "c")
+            .where(F.col("c__acctbal") > 0)
+            .inward("RESOURCE", "Region", "r")
+            .df.filter(F.col("r__name") == "EUROPE")
+            .select(F.col("c__id").alias("cust_id"))
+        )
+
+    def urgent_matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Order")
+            .filter((F.col("priority") == "1-URGENT") & (F.col("status") == "O"))
+            .select(
+                F.col("o_custkey").cast("string").alias("cust_id"),
+                F.col("lastupdated").alias("o_lastupdated"),
+            )
+        )
+
+    def chain_matcher(c: GraphCatalog) -> DataFrame:
+        exposed = (
+            c.node("Customer")
+            .filter(F.col("exposed_internet") == True)  # noqa: E712
+            .select(F.col("id").alias("cust_id"))
+        )
+        orders = c.node("Order").select(
+            F.col("id").alias("order_id"), F.col("o_custkey").cast("string").alias("cust_id")
+        )
+        items = li.select(
+            F.col("l_orderkey").cast("string").alias("order_id"),
+            F.col("l_suppkey").cast("string").alias("supp_id"),
+        )
+        return exposed.join(orders, "cust_id").join(items, "order_id")
+
+    job = AnalysisJob(
+        name="fixture-exposure-chain",
+        statements=(
+            AnalysisStatement(
+                direct_matcher,
+                (
+                    SetProperty("Customer", "cust_id", "exposed_internet", True),
+                    AddToSet("Customer", "cust_id", "exposed_internet_type", "direct"),
+                ),
+            ),
+            AnalysisStatement(
+                urgent_matcher,
+                (
+                    SetProperty("Customer", "cust_id", "exposed_internet", True),
+                    AddValuesToSet(
+                        "Customer", "cust_id", "exposed_internet_type", ("order", "urgent")
+                    ),
+                ),
+                incremental_on=("o_lastupdated",),
+            ),
+            AnalysisStatement(
+                chain_matcher,
+                (
+                    AddRelationship("Customer", "EXPOSES", "Supplier", "cust_id", "supp_id"),
+                    SetRelationshipPropertyIfMissing(
+                        ("Customer", "EXPOSES", "Supplier"),
+                        "cust_id",
+                        "supp_id",
+                        "exposure_type",
+                        "via_order_only",
+                    ),
+                    SetProperty("Supplier", "supp_id", "exposed_internet", True),
+                    AddToSet("Supplier", "supp_id", "exposed_internet_type", "customer"),
+                ),
+            ),
+        ),
+    )
+    job.run(cat, T1, incremental=True)
+
+    edges = cat.edge("Customer", "EXPOSES", "Supplier")
+    exposed_sup = cat.node("Supplier").filter(F.col("exposed_internet") == True).select(  # noqa: E712
+        F.col("id").alias("supplier_id"), "exposed_internet"
+    )
+    return (
+        edges.groupBy(F.col("dst_id").alias("supplier_id"))
+        .agg(
+            F.countDistinct("src_id").alias("n_exposing_customers"),
+            F.max("exposure_type").alias("exposure_type"),
+        )
+        .join(exposed_sup, "supplier_id")
+        .select("supplier_id", "n_exposing_customers", "exposure_type", "exposed_internet")
+    )
+
+
+@query(
     "rule_compliance_counts",
     oracle="""
     SELECT CAST('negative-balance-customers' AS VARCHAR) AS fact_id,

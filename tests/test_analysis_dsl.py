@@ -107,3 +107,127 @@ def test_add_relationship_cleanup_scoping(spark, sf_dir):
 
     AnalysisJob("d", (AnalysisStatement(matcher2, (eff,)),)).run(cat, 300)
     assert cat.edge("Customer", "HAS_ORDER", "Order").count() == 10
+
+
+def test_set_property_merges_across_statements(spark, sf_dir):
+    """Two statements setting the same prop in one run must union, not
+    clobber (reference SET touches only matched nodes)."""
+    cat = base_catalog(spark, sf_dir)
+
+    def low(c):
+        return c.node("Supplier").filter(F.col("acctbal") < 0).select(F.col("id").alias("sid"))
+
+    def high(c):
+        return c.node("Supplier").filter(F.col("acctbal") > 9000).select(F.col("id").alias("sid"))
+
+    AnalysisJob(
+        "both",
+        (
+            AnalysisStatement(low, (SetProperty("Supplier", "sid", "flagged", True),)),
+            AnalysisStatement(high, (SetProperty("Supplier", "sid", "flagged", True),)),
+        ),
+    ).run(cat, 200)
+    sup = cat.node("Supplier")
+    flagged = {r.id for r in sup.filter(F.col("flagged") == True).collect()}  # noqa: E712
+    expect = {r.id for r in sup.filter((F.col("acctbal") < 0) | (F.col("acctbal") > 9000)).collect()}
+    assert flagged == expect
+
+
+def test_add_values_to_set_and_if_missing(spark, sf_dir):
+    from cartography_spark.plans.analysis import (
+        AddValuesToSet,
+        SetRelationshipPropertyIfMissing,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher(c):
+        return c.node("Supplier").select(F.col("id").alias("sid"))
+
+    AnalysisJob(
+        "vals",
+        (AnalysisStatement(matcher, (AddValuesToSet("Supplier", "sid", "tags", ("a", "b")),)),),
+    ).run(cat, 200)
+    # second run overlaps one value -> still deduped
+    AnalysisJob(
+        "vals",
+        (AnalysisStatement(matcher, (AddValuesToSet("Supplier", "sid", "tags", ("b", "c")),)),),
+    ).run(cat, 300)
+    rows = cat.node("Supplier").select("tags").collect()
+    assert all(sorted(r.tags) == ["a", "b", "c"] for r in rows)
+
+    # if-missing on edges: first writer wins
+    def ematcher(c):
+        return c.node("Order").select(
+            F.col("id").alias("oid"), F.col("o_custkey").cast("string").alias("cid")
+        )
+
+    eff1 = SetRelationshipProperty(
+        ("Order", "PLACED_BY", "Customer"), "oid", "cid", "note", "first"
+    )
+    eff2 = SetRelationshipPropertyIfMissing(
+        ("Order", "PLACED_BY", "Customer"), "oid", "cid", "note", "second"
+    )
+    AnalysisJob("e", (AnalysisStatement(ematcher, (eff1, eff2)),)).run(cat, 400)
+    notes = {r.note for r in cat.edge("Order", "PLACED_BY", "Customer").select("note").collect()}
+    assert notes == {"first"}
+
+
+def test_incremental_on_gate(spark, sf_dir):
+    """incremental_on only acts on entities refreshed at the current tag
+    (reference analysis.py:28-36; analysisbuilder.py:195-232)."""
+    from cartography_spark.operators.upsert import load
+    from cartography_spark.plans.graph_fixture import SUPPLIER_SCHEMA
+    from cartography_spark.plans.inventory_lifecycle import _supplier_batches
+
+    cat = base_catalog(spark, sf_dir)
+    _, b2 = _supplier_batches(spark, sf_dir)  # even suppkeys refreshed at T2
+    load(cat, SUPPLIER_SCHEMA, b2, 200)
+
+    def matcher(c):
+        return c.node("Supplier").select(
+            F.col("id").alias("sid"), F.col("lastupdated").alias("s_lastupdated")
+        )
+
+    stmt = AnalysisStatement(
+        matcher, (SetProperty("Supplier", "sid", "touched", True),), incremental_on=("s_lastupdated",)
+    )
+    AnalysisJob("inc", (stmt,)).run(cat, 200, incremental=True)
+    sup = cat.node("Supplier")
+    touched = {r.id for r in sup.filter(F.col("touched") == True).collect()}  # noqa: E712
+    refreshed = {r.id for r in sup.filter(F.col("lastupdated") == 200).collect()}
+    assert touched == refreshed and touched  # gate passes only T2-refreshed rows
+    # non-incremental run ignores the gate
+    AnalysisJob("inc", (stmt,)).run(cat, 200, incremental=False)
+    assert cat.node("Supplier").filter(F.col("touched") == True).count() == cat.node("Supplier").count()  # noqa: E712
+
+
+def test_exposure_chain_lifecycle(spark, sf_dir):
+    """Exposure-chain re-sync: derived EXPOSES edges and supplier flags are
+    auto-cleaned when the exposing pattern disappears (set, re-sync,
+    auto-cleanup — the reference cleanup contract)."""
+    from cartography_spark.plans.analysis import AddRelationship as AR
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher_t1(c):
+        return c.node("Order").select(
+            F.col("o_custkey").cast("string").alias("cust_id"),
+            F.col("id").alias("order_id"),
+        )
+
+    def matcher_t2(c):
+        return matcher_t1(c).filter(F.col("order_id").cast("long") % 2 == 0)
+
+    eff = AR("Customer", "EXPOSED_BY", "Order", "cust_id", "order_id")
+    prop = SetProperty("Order", "order_id", "exposes", True)
+    AnalysisJob("x", (AnalysisStatement(matcher_t1, (eff, prop)),)).run(cat, 100)
+    n1 = cat.edge("Customer", "EXPOSED_BY", "Order").count()
+    AnalysisJob("x", (AnalysisStatement(matcher_t2, (eff, prop)),)).run(cat, 200)
+    edges2 = cat.edge("Customer", "EXPOSED_BY", "Order")
+    n2 = edges2.count()
+    assert 0 < n2 < n1, "stale derived edges must be auto-cleaned"
+    assert edges2.filter(F.col("lastupdated") != 200).count() == 0
+    # SetProperty auto-cleanup nulled flags for orders no longer matched
+    flagged = cat.node("Order").filter(F.col("exposes") == True)  # noqa: E712
+    assert flagged.filter(F.col("id").cast("long") % 2 != 0).count() == 0
