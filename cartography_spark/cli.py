@@ -58,64 +58,49 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
-def _demo_rules(cat: GraphCatalog):
-    """Built-in demo rule set over the synced catalog — the reference ships
-    37 rule files under rules/data/rules/; users add Facts the same way."""
-    from cartography_spark.plans.rules import Fact, Rule
-
-    return [
-        Rule(
-            rule_id="account-hygiene",
-            name="Account balance hygiene",
-            facts=(
-                Fact(
-                    fact_id="negative-balance-customers",
-                    name="Customers with negative account balance",
-                    query=lambda c: c.node("Customer")
-                    .filter(F.col("acctbal") < 0)
-                    .select(F.col("id").alias("asset_id"), "name", "acctbal"),
-                    asset_label="Customer",
-                    asset_id_field="asset_id",
-                ),
-                Fact(
-                    fact_id="negative-balance-suppliers",
-                    name="Suppliers with negative account balance",
-                    query=lambda c: c.node("Supplier")
-                    .filter(F.col("acctbal") < 0)
-                    .select(F.col("id").alias("asset_id"), "name", "acctbal"),
-                    asset_label="Supplier",
-                    asset_id_field="asset_id",
-                ),
-            ),
-            frameworks={"CIS": "1.1", "SOC2": "CC6.1"},
-        ),
-    ]
-
-
 def cmd_rules_run(args: argparse.Namespace) -> int:
+    """Run the built-in rule library against a loaded warehouse and emit
+    the reference-shaped text/JSON report (rules/cli.py:328-477 run_cmd;
+    formatters.py:122+)."""
+    from cartography_spark.plans.rules import run_rules
+    from cartography_spark.plans.rules_formatters import format_json, format_text
+    from cartography_spark.plans.rules_library import CATALOG_RULES
+
     spark = get_spark("cartography-spark-rules")
     cat = GraphCatalog.load(spark, args.warehouse)
-    results = []
-    for rule in _demo_rules(cat):
-        results.extend(rule.run(cat))
+    rules = list(CATALOG_RULES)
+    if getattr(args, "framework", None):
+        rules = [r for r in rules if r.has_framework(args.framework)]
+    if getattr(args, "rule", None):
+        rules = [r for r in rules if r.rule_id == args.rule]
+    if not rules:
+        print("no rules matched the filter", file=sys.stderr)
+        return 1
+    results = run_rules(rules, cat)
     if args.format == "json":
-        out = [
-            {
-                "fact_id": r.fact.fact_id,
-                "name": r.fact.name,
-                "failing": r.failing_assets,
-                "passing": r.passing_assets,
-                "total": r.total_assets,
-            }
-            for r in results
-        ]
-        print(json.dumps(out, indent=2))
+        print(format_json(results, max_findings=args.max_findings))
     else:
-        for r in results:
+        print(format_text(results, color=False, max_findings=0))
+    return 0
+
+
+def cmd_rules_list(args: argparse.Namespace) -> int:
+    """List rules and their framework mappings (rules/cli.py list/frameworks
+    commands)."""
+    from cartography_spark.plans.frameworks import framework_coverage
+    from cartography_spark.plans.rules_library import CATALOG_RULES
+
+    if getattr(args, "coverage", False):
+        for row in framework_coverage(CATALOG_RULES):
+            title = f" — {row['control_title']}" if row["control_title"] else ""
             print(
-                f"{r.fact.fact_id}: {r.failing_assets} failing / "
-                f"{r.passing_assets} passing / {r.total_assets} total"
+                f"{row['framework']} {row['revision']} {row['requirement']}"
+                f" <- {row['rule_id']}{title}"
             )
+    else:
+        for rule in CATALOG_RULES:
+            fws = ", ".join(f"{f.short_name}:{f.requirement}" for f in rule.frameworks)
+            print(f"{rule.rule_id}: {rule.name} [{len(rule.facts)} facts] ({fws})")
     return 0
 
 
@@ -183,7 +168,13 @@ def build_parser() -> argparse.ArgumentParser:
     rr = rsub.add_parser("run")
     rr.add_argument("--warehouse", required=True)
     rr.add_argument("--format", choices=("text", "json"), default="text")
+    rr.add_argument("--framework", help="filter rules by framework short name")
+    rr.add_argument("--rule", help="run a single rule by id")
+    rr.add_argument("--max-findings", type=int, default=100, dest="max_findings")
     rr.set_defaults(fn=cmd_rules_run)
+    rl = rsub.add_parser("list")
+    rl.add_argument("--coverage", action="store_true", help="framework coverage map")
+    rl.set_defaults(fn=cmd_rules_list)
 
     d = sub.add_parser("drift", help="state snapshot + drift detection")
     dsub = d.add_subparsers(dest="drift_cmd", required=True)

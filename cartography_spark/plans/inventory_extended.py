@@ -592,20 +592,80 @@ def q_permission_statement_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              - (SELECT count(*) FROM customer
                 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
            (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'flag-disabled-suppliers',
+           (SELECT count(*) FROM supplier WHERE s_acctbal <= 0),
+           (SELECT count(*) FROM supplier)
+             - (SELECT count(*) FROM supplier WHERE s_acctbal <= 0),
+           (SELECT count(*) FROM supplier)
+    UNION ALL
+    SELECT 'inactive-customers-open-orders',
+           (SELECT count(*) FROM customer WHERE c_acctbal < 0
+            AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')),
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM customer WHERE c_acctbal < 0
+                AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'stale-customers',
+           (SELECT count(*) FROM (SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING max(o_orderdate) < DATE '1995-01-01')),
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM (SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING max(o_orderdate) < DATE '1995-01-01')),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'eol-segment-customers',
+           (SELECT count(*) FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_acctbal < 500),
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM customer
+                WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND c_acctbal < 500),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'low-priority-pending-orders',
+           (SELECT count(*) FROM orders WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'P'),
+           (SELECT count(*) FROM orders)
+             - (SELECT count(*) FROM orders WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'P'),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'cross-region-suppliers',
+           (SELECT count(DISTINCT l_suppkey)
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_regionkey <> sn.n_regionkey),
+           (SELECT count(*) FROM supplier)
+             - (SELECT count(DISTINCT l_suppkey)
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE cn.n_regionkey <> sn.n_regionkey),
+           (SELECT count(*) FROM supplier)
     """,
-    doc="Rule library end-to-end (the reference's rules corpus shapes: "
-    "EXISTS-subquery, multi-hop tenancy scope, count-threshold HAVING, "
-    "NOT-EXISTS anti-join) run through the Fact/Rule engine with "
-    "compliance math per fact.",
+    doc="Rule library end-to-end: the TEN ported reference rules "
+    "(rules/data/rules/ shapes: EXISTS-subquery, boolean-false posture "
+    "field, inactive-principal-with-live-grants, NOT-EXISTS anti-join, "
+    "count-threshold HAVING, multi-hop tenancy scope, temporal threshold, "
+    "static deny-list, weak-string settings, cross-tenant trust) run "
+    "through the Fact/Rule engine (plans/rules.py run_rules) with "
+    "compliance math per fact (runners.py:121-134).",
     tags=("engine", "rules"),
 )
 def q_rules_library_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.plans.inventory_lifecycle import base_catalog
-    from cartography_spark.plans.rules import compliance_summary
-    from cartography_spark.plans.rules_library import ACCOUNT_HYGIENE
+    from cartography_spark.plans.rules import compliance_summary, run_rules
+    from cartography_spark.plans.rules_library import build_rules
 
     cat = base_catalog(spark, sf_dir)
-    return compliance_summary(ACCOUNT_HYGIENE.run(cat))
+    results = run_rules(build_rules(spark, sf_dir), cat)
+    return compliance_summary([fr for r in results for fr in r.facts])
 
 
 @query(

@@ -64,6 +64,52 @@ class FactResult:
 
 
 @dataclass(frozen=True)
+class Framework:
+    """A compliance-framework control mapping (reference model.py:287-352).
+
+    Matching fields are normalized to lowercase on creation;
+    ``control_title`` keeps display casing (it is user-facing copy)."""
+
+    name: str
+    short_name: str
+    requirement: str
+    scope: str | None = None
+    revision: str | None = None
+    control_title: str | None = None
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "name", self.name.lower())
+        object.__setattr__(self, "short_name", self.short_name.lower())
+        object.__setattr__(self, "requirement", self.requirement.lower())
+        if self.scope is not None:
+            object.__setattr__(self, "scope", self.scope.lower())
+        if self.revision is not None:
+            object.__setattr__(self, "revision", self.revision.lower())
+
+    def matches(
+        self,
+        short_name: str | None = None,
+        scope: str | None = None,
+        revision: str | None = None,
+    ) -> bool:
+        if short_name and self.short_name != short_name.lower():
+            return False
+        if scope and (self.scope is None or self.scope != scope.lower()):
+            return False
+        if revision and (self.revision is None or self.revision != revision.lower()):
+            return False
+        return True
+
+
+@dataclass(frozen=True)
+class RuleReference:
+    """External reference document for a Rule (reference model.py:355-360)."""
+
+    text: str
+    url: str
+
+
+@dataclass(frozen=True)
 class Rule:
     """A group of facts with metadata + framework mappings
     (reference model.py:505-560; frameworks under rules/data/frameworks/)."""
@@ -71,10 +117,76 @@ class Rule:
     rule_id: str
     name: str
     facts: tuple[Fact, ...]
-    frameworks: dict[str, str] = field(default_factory=dict)
+    description: str = ""
+    tags: tuple[str, ...] = ()
+    version: str = "1.0"
+    references: tuple[RuleReference, ...] = ()
+    frameworks: tuple[Framework, ...] = ()
+
+    def has_framework(
+        self,
+        short_name: str | None = None,
+        scope: str | None = None,
+        revision: str | None = None,
+    ) -> bool:
+        return any(fw.matches(short_name, scope, revision) for fw in self.frameworks)
+
+    def get_fact_by_id(self, fact_id: str) -> Fact | None:
+        for fact in self.facts:
+            if fact.fact_id.lower() == fact_id.lower():
+                return fact
+        return None
 
     def run(self, catalog: GraphCatalog) -> list[FactResult]:
         return [f.run(catalog) for f in self.facts]
+
+
+@dataclass
+class RuleResult:
+    """Aggregated results for one Rule execution (reference
+    rules/spec/result.py:88-120): per-fact results plus counters."""
+
+    rule_id: str
+    rule_name: str
+    rule_description: str
+    facts: list[FactResult]
+    rule_tags: tuple[str, ...] = ()
+    rule_frameworks: tuple[Framework, ...] = ()
+
+    @property
+    def total_facts(self) -> int:
+        return len(self.facts)
+
+    @property
+    def total_findings(self) -> int:
+        return sum(r.failing_assets for r in self.facts)
+
+    @property
+    def total_assets(self) -> int:
+        return sum(r.total_assets for r in self.facts)
+
+    @property
+    def total_passing(self) -> int:
+        return sum(r.passing_assets for r in self.facts)
+
+    @property
+    def total_failing(self) -> int:
+        return sum(r.failing_assets for r in self.facts)
+
+
+def run_rules(rules: list[Rule] | tuple[Rule, ...], catalog: GraphCatalog) -> list[RuleResult]:
+    """Execute rules sequentially (reference rules/runners.py:188-340)."""
+    return [
+        RuleResult(
+            rule_id=rule.rule_id,
+            rule_name=rule.name,
+            rule_description=rule.description,
+            facts=rule.run(catalog),
+            rule_tags=rule.tags,
+            rule_frameworks=rule.frameworks,
+        )
+        for rule in rules
+    ]
 
 
 def compliance_summary(results: list[FactResult]) -> DataFrame:

@@ -26,10 +26,25 @@ def test_cli_full_lifecycle(tmp_path, capsys):
     assert row["n"] > 0
 
     assert main(["rules", "run", "--warehouse", wh, "--format", "json"]) == 0
-    facts = json.loads(capsys.readouterr().out)
-    by_id = {f["fact_id"]: f for f in facts}
-    f = by_id["negative-balance-customers"]
+    report = json.loads(capsys.readouterr().out)
+    by_fact = {f["fact_id"]: f for rule in report for f in rule["facts"]}
+    f = by_fact["flag-disabled-suppliers"]
     assert f["failing"] + f["passing"] == f["total"]
+    assert any(rule["rule_frameworks"] for rule in report)
+
+    # text report carries the reference summary block
+    assert main(["rules", "run", "--warehouse", wh, "--format", "text"]) == 0
+    text = capsys.readouterr().out
+    assert "OVERALL SUMMARY" in text and "Compliance:" in text
+
+    # framework filtering + coverage listing
+    assert main(["rules", "run", "--warehouse", wh, "--format", "json",
+                 "--framework", "iso27001"]) == 0
+    filtered = json.loads(capsys.readouterr().out)
+    assert 0 < len(filtered) < len(report)
+    assert main(["rules", "list", "--coverage"]) == 0
+    cov = capsys.readouterr().out
+    assert "iso27001" in cov and "<-" in cov
 
     # drift: two states over different predicates -> deterministic diff
     assert main(["drift", "get-state", "--warehouse", wh, "--name", "cust",

@@ -1,0 +1,47 @@
+"""Rules engine model/formatters/frameworks tests (reference
+rules/spec/model.py, rules/formatters.py, rules/data/frameworks/)."""
+
+from __future__ import annotations
+
+import json
+
+from cartography_spark.plans.frameworks import framework_coverage, fw
+from cartography_spark.plans.rules import Framework, run_rules
+from cartography_spark.plans.rules_formatters import format_json, format_text
+from cartography_spark.plans.rules_library import CATALOG_RULES, build_rules
+from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+
+def test_framework_matching_normalization():
+    f = Framework(name="CIS AWS Foundations Benchmark", short_name="CIS",
+                  requirement="2.1.4", scope="AWS", revision="5.0")
+    assert f.short_name == "cis" and f.requirement == "2.1.4"
+    assert f.matches(short_name="cis") and f.matches("CIS", scope="aws")
+    assert not f.matches("soc2") and not f.matches("cis", revision="4.0")
+
+
+def test_library_breadth_and_mappings():
+    assert len(CATALOG_RULES) == 9
+    for rule in CATALOG_RULES:
+        assert rule.facts and rule.description and rule.frameworks
+    # every mapped control with a title resolves through the registry
+    cov = framework_coverage(CATALOG_RULES)
+    assert {"cis", "soc2", "iso27001", "nist-ai-rmf"} <= {r["framework"] for r in cov}
+    assert fw("soc2", "CC6.1").control_title is not None
+
+
+def test_run_rules_and_formatters(spark, sf_dir):
+    cat = base_catalog(spark, sf_dir)
+    rules = build_rules(spark, sf_dir)
+    assert len(rules) == 10
+    results = run_rules(rules[:2], cat)
+    payload = json.loads(format_json(results, max_findings=3))
+    assert len(payload) == 2
+    for rule in payload:
+        assert rule["counter"]["passing"] + rule["counter"]["failing"] == rule["counter"]["assets"]
+        for f in rule["facts"]:
+            assert len(f["findings"]) <= 3
+    text = format_text(results)
+    assert "OVERALL SUMMARY" in text and "Compliance:" in text
+    single = format_text(results[:1])
+    assert "EXECUTION SUMMARY" in single
