@@ -93,6 +93,100 @@ def kmeans(
     )
 
 
+def kmeans_exact(
+    emb: DataFrame,
+    k: int = 16,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact Lloyd k-means: vectors quantized to bigint micro-units
+    (round(x * 1e6)), centroid updates by portable floor-division, argmin
+    tie-break total on (dist, cid) — every round is bit-identical across
+    engines, so the WHOLE iterative algorithm has a hash-exact SQL oracle
+    (unlike float-mean k-means, where reduction order perturbs centroids).
+
+    ``rounds`` counts assignment steps; updates run between them
+    (rounds=3 -> assign, update, assign, update, assign).
+
+    Returns (id, cluster, dist_sq, keep): integer squared distance in
+    micro-units and the SemDeDup-style canonical (lowest-id) member flag.
+
+    Per round: one broadcast of the k x dim centroid table, one (vec, cid)
+    distance aggregate, one mergeable min_by argmin (no window sort), one
+    centroid rebuild; localCheckpoint truncates per-round lineage.
+    """
+    q = emb.select(id_col, F.posexplode(vec_col).alias("d", "v")).select(
+        id_col,
+        "d",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    q = q.localCheckpoint(eager=True)
+    c = q.filter(F.col(id_col) < k).select(F.col(id_col).alias("cid"), "d", F.col("qv").alias("c"))
+    assign = None
+    for r in range(rounds):
+        diff = F.col("qv") - F.col("c")
+        dist = (
+            q.join(F.broadcast(c), "d")
+            .groupBy(id_col, "cid")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        assign = dist.groupBy(id_col).agg(
+            F.min_by(F.struct("cid", "dist"), F.struct("dist", "cid")).alias("best")
+        ).select(id_col, F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+        if r < rounds - 1:
+            c = (
+                q.join(assign.select(id_col, "cid"), id_col)
+                .groupBy("cid", "d")
+                .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("bigint").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid")
+    return assign.select(
+        F.col(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("dist").alias("dist_sq"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )
+
+
+def trained_centroid_frame(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One integer-exact k-means round -> trained coarse-quantizer cells for
+    IVF (similarity.ivf_ann_topk): returns (cid, cv array<double>), cv the
+    floor-mean centroid de-quantized back to doubles (c / 1e6 — the same
+    double both engines compute from the same integer). Replaces the
+    first-k-vectors seed quantizer with data-adaptive cells at the cost of
+    one distance aggregate + one rebuild."""
+    q = emb.select(id_col, F.posexplode(vec_col).alias("d", "v")).select(
+        id_col,
+        "d",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    seeds = q.filter(F.col(id_col) < k).select(F.col(id_col).alias("cid"), "d", F.col("qv").alias("c"))
+    diff = F.col("qv") - F.col("c")
+    dist = (
+        q.join(F.broadcast(seeds), "d").groupBy(id_col, "cid").agg(F.sum(diff * diff).alias("dist"))
+    )
+    assign = dist.groupBy(id_col).agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    c1 = (
+        q.join(assign, id_col)
+        .groupBy("cid", "d")
+        .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("bigint").alias("c"))
+    )
+    return c1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"] / 1000000.0
+        ).alias("cv")
+    )
+
+
 def kcenter_diverse(
     embeddings: DataFrame,
     k: int = 5,

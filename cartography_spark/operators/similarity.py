@@ -120,24 +120,30 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
     ``n_centroids`` cells; the query probes only its ``n_probe`` nearest
     cells and re-ranks exactly inside them.
 
-    The quantizer here is deterministic (cells seeded by the first
-    ``n_centroids`` vectors) so the result is exactly oracle-reproducible;
-    swapping in k-means centroids changes only the seed frame, not the
-    plan. Cell assignment is a broadcast cross join (|emb| x K cosine
-    evaluations, JVM-side) + one window argmax; at very large K you'd move
-    the assignment into a pandas-UDF matmul — the surrounding plan is
-    unchanged. The probe filter is an equi-semi-join on cell id, so the
-    exact re-rank scans ~n_probe/n_centroids of the data.
+    ``centroids`` (cid, cv array<double>) supplies a TRAINED coarse
+    quantizer — typically clustering.trained_centroid_frame (integer-exact
+    k-means round, still oracle-reproducible). Without it, cells are
+    seeded by the first ``n_centroids`` vectors (deterministic fallback).
+    Either way the plan is identical: cell assignment is a broadcast cross
+    join (|emb| x K cosine evaluations, JVM-side) + one window argmax; at
+    very large K you'd move the assignment into a pandas-UDF matmul — the
+    surrounding plan is unchanged. The probe filter is an equi-semi-join
+    on cell id, so the exact re-rank scans ~n_probe/n_centroids of the
+    data.
     """
     v = F.col(vec_col).cast("array<double>")
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), v.alias("cv")
-    )
+    if centroids is None:
+        cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), v.alias("cv")
+        )
+    else:
+        cents = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
     q = F.lit(query_vec).cast("array<double>")
 
     from pyspark.sql import Window

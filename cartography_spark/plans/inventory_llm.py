@@ -308,7 +308,22 @@ def _cos64(a: str, b: str) -> str:
     "similarity_ann_ivf",
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    qn AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, d, qv AS c FROM qn WHERE vec_id < 16),
+    td AS (SELECT qn.vec_id, s.cid, sum((qn.qv - s.c) * (qn.qv - s.c)) AS dist
+           FROM qn JOIN seeds s USING (d) GROUP BY qn.vec_id, s.cid),
+    ta AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM td) WHERE rn = 1),
+    tc AS (SELECT a.cid, qn.d, CAST(floor(CAST(sum(qn.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM qn JOIN ta a USING (vec_id) GROUP BY a.cid, qn.d),
+    cents AS (SELECT cid, list_transform(list(c ORDER BY d), x -> x / 1000000.0) AS cv
+              FROM tc GROUP BY cid),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     assign AS (
       SELECT vec_id, v, cid,
@@ -325,16 +340,20 @@ def _cos64(a: str, b: str) -> str:
     WHERE a.rn = 1
     ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
     """,
-    doc="IVF ANN: deterministic coarse quantizer (16 cells seeded by the "
-    "first 16 vectors), query probes its 4 nearest cells, exact re-rank "
-    "inside — the second scale path next to LSH; scans n_probe/n_centroids "
-    "of the data.",
+    doc="IVF ANN with a TRAINED coarse quantizer: one integer-exact k-means "
+    "round (clustering.trained_centroid_frame — bigint micro-units, "
+    "floor-division means, so training itself is oracle-reproducible) "
+    "yields 16 data-adaptive cells; the query probes its 4 nearest cells "
+    "and re-ranks exactly inside — scans ~n_probe/n_centroids of the data.",
     tags=("llm", "similarity"),
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import trained_centroid_frame
+
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = trained_centroid_frame(emb, k=16)
     return sim.ivf_ann_topk(
-        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probe=4
+        emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probe=4, centroids=cents
     )
 
 

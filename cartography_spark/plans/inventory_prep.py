@@ -180,20 +180,55 @@ def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_kmeans",
-    oracle=None,  # iterative algorithm — rows-only check by design
-    doc="Distributed Lloyd k-means over the embeddings table (k=16, 2 "
-    "iterations, deterministic lowest-id init): per-vector cluster "
-    "assignment + SemDeDup-style canonical keep flag. Centroids (k x dim "
-    "floats) are the only driver round-trip; verified by property tests "
-    "(assignment optimality, inertia descent, label purity) instead of the "
-    "SQL oracle — float-mean reduction order differs across engines.",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, d, qv AS c FROM q WHERE vec_id < 16),
+    d1 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
+    d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+    c2 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+    d3 AS (SELECT q.vec_id, c.cid, CAST(sum((q.qv - c.c) * (q.qv - c.c)) AS BIGINT) AS dist
+           FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
+    a3 AS (SELECT vec_id, cid, dist FROM (
+             SELECT vec_id, cid, dist,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d3) WHERE rn = 1)
+    SELECT vec_id, cid AS cluster, dist AS dist_sq,
+           (vec_id = min(vec_id) OVER (PARTITION BY cid)) AS keep
+    FROM a3
+    """,
+    doc="Distributed Lloyd k-means over the embeddings table (k=16, 3 "
+    "assignment rounds, deterministic lowest-id init): per-vector cluster "
+    "assignment, integer-exact squared distance, and the SemDeDup-style "
+    "canonical keep flag. Runs the integer-exact operator "
+    "(clustering.kmeans_exact: bigint micro-unit quantization, "
+    "floor-division centroid updates) so the whole iterative algorithm is "
+    "hash-identical to the unrolled-CTE oracle; the float operator "
+    "(clustering.kmeans) keeps the same dataflow for callers that want "
+    "true float means.",
     tags=("llm", "similarity"),
 )
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cartography_spark.operators.clustering import kmeans
+    from cartography_spark.operators.clustering import kmeans_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans(emb, k=16, iters=2)
+    return kmeans_exact(emb, k=16, rounds=3)
 
 
 @query(
@@ -241,31 +276,10 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def q_embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import kmeans_exact
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
-        "vec_id",
-        "d",
-        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
-    )
-    q = q.localCheckpoint(eager=True)  # feeds every round's distance + update
-    c = q.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("cid"), "d", F.col("qv").alias("c"))
-    assign = None
-    for r in range(3):
-        diff = F.col("qv") - F.col("c")
-        dist = (
-            q.join(F.broadcast(c), "d")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        assign = dist.groupBy("vec_id").agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
-        if r < 2:
-            c = (
-                q.join(assign, "vec_id")
-                .groupBy("cid", "d")
-                .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("bigint").alias("c"))
-                .localCheckpoint(eager=True)
-            )
-    return assign.select("vec_id", F.col("cid").alias("cluster"))
+    return kmeans_exact(emb, k=4, rounds=3).select("vec_id", "cluster")
 
 
 @query(

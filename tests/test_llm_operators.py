@@ -307,3 +307,11 @@ def test_ann_recall_ladder(spark, sf_dir):
     r_ivf = recall(sim.ivf_ann_topk(emb, q, k=10))
     assert r_multi >= r_single
     assert r_ivf > 0 and r_multi > 0
+
+    # trained coarse quantizer (one exact k-means round) at the same fixed
+    # n_probe must not lose recall vs the first-k-vectors seed quantizer
+    from cartography_spark.operators.clustering import trained_centroid_frame
+
+    cents = trained_centroid_frame(emb, k=16)
+    r_ivf_trained = recall(sim.ivf_ann_topk(emb, q, k=10, centroids=cents))
+    assert r_ivf_trained >= r_ivf
