@@ -108,41 +108,39 @@ def cmd_drift_get_state(args: argparse.Namespace) -> int:
     spark = get_spark("cartography-spark-drift")
     cat = GraphCatalog.load(spark, args.warehouse)
     _register_views(spark, cat)
-    from cartography_spark.plans.drift import snapshot
+    from cartography_spark.plans import driftarchive as da
 
-    state = snapshot(args.name, spark.sql(args.sql))
-    os.makedirs(f"{args.state_dir}/{args.name}", exist_ok=True)
-    payload: dict[str, Any] = {
-        "name": args.name,
-        "validation_query": args.sql,
-        "properties": list(state.properties),
-        "results": [list(map(lambda v: None if v is None else str(v), row)) for row in state.results.collect()],
-    }
-    fname = f"{args.state_dir}/{args.name}/{int(time.time())}.json"
-    with open(fname, "w") as f:
-        json.dump(payload, f)
-    print(fname)
+    if args.sql and args.name:
+        # convenience: register (or refresh) the template, then sweep
+        da.init_query(args.state_dir, args.name, args.sql)
+    written = da.get_states(args.state_dir, lambda sql: spark.sql(sql))
+    if not written:
+        print("no query templates under state dir; use drift init-query", file=sys.stderr)
+        return 1
+    for path in written:
+        print(path)
+    return 0
+
+
+def cmd_drift_init_query(args: argparse.Namespace) -> int:
+    from cartography_spark.plans import driftarchive as da
+
+    print(da.init_query(args.state_dir, args.name, args.sql))
     return 0
 
 
 def cmd_drift_detect(args: argparse.Namespace) -> int:
     spark = get_spark("cartography-spark-drift")
-    from cartography_spark.plans.drift import DriftState, compare_states
+    from cartography_spark.plans import driftarchive as da
 
-    def load_state(fname: str) -> DriftState:
-        with open(f"{args.state_dir}/{args.name}/{fname}") as f:
-            payload = json.load(f)
-        props = payload["properties"]
-        schema = ", ".join(f"`{p}` string" for p in props)
-        rows = [tuple(r) for r in payload["results"]]
-        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
-        return DriftState(name=payload["name"], properties=tuple(props), results=df)
-
-    start, end = load_state(args.start), load_state(args.end)
-    if start.name != end.name:
-        print("states come from different queries", file=sys.stderr)
+    try:
+        start = da.load_state(spark, args.state_dir, args.name, args.start)
+        end = da.load_state(spark, args.state_dir, args.name, args.end)
+        diff = da.perform_drift_detection(start, end)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
         return 2
-    for row in compare_states(start, end).collect():
+    for row in diff.collect():
         print(json.dumps(row.asDict(recursive=True), default=str))
     return 0
 
@@ -178,17 +176,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     d = sub.add_parser("drift", help="state snapshot + drift detection")
     dsub = d.add_subparsers(dest="drift_cmd", required=True)
-    dg = dsub.add_parser("get-state")
+    di = dsub.add_parser("init-query", help="register a validation-query template")
+    di.add_argument("--state-dir", required=True)
+    di.add_argument("--name", required=True)
+    di.add_argument("--sql", required=True)
+    di.set_defaults(fn=cmd_drift_init_query)
+    dg = dsub.add_parser("get-state", help="snapshot every registered query")
     dg.add_argument("--warehouse", required=True)
-    dg.add_argument("--name", required=True)
-    dg.add_argument("--sql", required=True)
     dg.add_argument("--state-dir", required=True)
+    dg.add_argument("--name", help="with --sql: register this template before the sweep")
+    dg.add_argument("--sql", help="with --name: register this template before the sweep")
     dg.set_defaults(fn=cmd_drift_get_state)
     dd = dsub.add_parser("detect")
     dd.add_argument("--state-dir", required=True)
     dd.add_argument("--name", required=True)
-    dd.add_argument("--start", required=True)
-    dd.add_argument("--end", required=True)
+    dd.add_argument("--start", required=True, help="state filename or shortcut alias")
+    dd.add_argument("--end", required=True, help="state filename or shortcut alias")
     dd.set_defaults(fn=cmd_drift_detect)
 
     return p

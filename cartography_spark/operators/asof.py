@@ -18,8 +18,9 @@ wins (deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 
 def asof_join_backward(
@@ -129,8 +130,16 @@ def asof_join_nearest(
         *[F.col(f"__f_{c}") for c in (ts, *value_cols)],
     )
     j = b.join(fsel, left_id)
-    db = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"__b_{ts}"))
-    df = F.unix_micros(F.col(f"__f_{ts}")) - F.unix_micros(F.col(ts))
+    # distance works for any orderable timeline: timestamps go through
+    # unix_micros, numeric timelines subtract directly (the
+    # backward/forward family accepts both — keep the contract uniform)
+    is_ts = isinstance(left.schema[ts].dataType, TimestampType)
+
+    def _axis(c: Column) -> Column:
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    db = _axis(F.col(ts)) - _axis(F.col(f"__b_{ts}"))
+    df = _axis(F.col(f"__f_{ts}")) - _axis(F.col(ts))
     use_b = F.when(db.isNull(), F.lit(False)).otherwise(df.isNull() | (db <= df))
     picked = [
         F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(prefix + c)

@@ -215,6 +215,13 @@ def kcenter_diverse(
     q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
     q = q.localCheckpoint(eager=True)
     seed = q.filter(F.col(id_col) == seed_id).first()
+    if seed is None:
+        raise ValueError(f"kcenter_diverse: seed_id {seed_id!r} not present in {id_col}")
+    n_candidates = q.count()
+    if k > n_candidates:
+        raise ValueError(
+            f"kcenter_diverse: k={k} exceeds the {n_candidates} available vectors"
+        )
     cur = q.select(
         F.col(id_col),
         F.col("qvec"),

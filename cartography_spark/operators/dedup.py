@@ -35,6 +35,38 @@ def portable_hash32(col: Column, salt: Column | str | int | None = None) -> Colu
     return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
 
 
+def ordered_dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
+    """Dense 0-based ids in total ``order_cols`` order WITHOUT a
+    single-partition window — the zipWithIndex dataflow in DataFrame
+    terms, for unbounded vocabularies (word n-grams):
+
+    1. range-partition by the order columns (global sort order across
+       partitions),
+    2. per-partition local row_number (narrow — partitions are disjoint
+       ranges),
+    3. add each partition's cumulative row-count offset (one tiny
+       driver-side collect of P counts).
+    """
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both uses
+    counts = {r["__pid"]: r["c"] for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(local))
+        .withColumn(id_col, off[F.col("__pid")] + F.col("__rn") - 1)
+        .drop("__pid", "__rn")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per identical text hash.
     Returns (doc_id, keep, group_size). Null texts form their own group
@@ -84,14 +116,21 @@ def ngram_jaccard_pairs(
 
     # Global rarity order + dense shingle id. Char n-gram vocab is bounded
     # (alphabet^n, tens of thousands in practice even at 100 TB) so the
-    # vocab table broadcasts; the single-partition window that assigns the
-    # dense id only touches that small table, never the corpus.
+    # vocab table broadcasts and a single-partition window can assign the
+    # dense id over that small table. Word n-gram vocabularies are NOT
+    # bounded — above the guard the id is assigned distributed
+    # (range-partition + per-partition offsets), same total order, no
+    # single-partition stage.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    vocab = freq.withColumn(
-        "__sid", F.row_number().over(Window.orderBy("__df", "shingle")) - 1
-    )
+    freq = freq.localCheckpoint(eager=True)
+    vocab_size = freq.count()
+    if vocab_size <= 1_000_000:
+        vocab = freq.withColumn(
+            "__sid", F.row_number().over(Window.orderBy("__df", "shingle")) - 1
+        )
+    else:
+        vocab = ordered_dense_ids(freq, ["__df", "shingle"], "__sid")
     vocab = vocab.localCheckpoint(eager=True)
-    vocab_size = vocab.count()
 
     w = Window.partitionBy(id_col, *block_cols).orderBy("__sid")
     wsz = Window.partitionBy(id_col, *block_cols)

@@ -26,9 +26,13 @@ Scale notes (100 TB / 1000 executors):
 - ``connected_components``: min-label propagation with path-halving
   (each round also jumps labels through their parent's label), so chains
   converge in O(log diameter) rounds instead of O(diameter). Each round
-  is two hash joins + one aggregation; the convergence check is a
-  count() action per round (at cluster scale an accumulator serves the
-  same purpose without a separate job).
+  is two hash joins + one aggregation; convergence is read from
+  ``Dataset.observe`` metrics gathered during the round's checkpoint
+  job, so no separate count() action runs per round.
+
+Every operator that persists its static edge side releases the cache
+before returning (after a final localCheckpoint bounds the returned
+plan), so caches don't accumulate across a long session.
 """
 
 from __future__ import annotations
@@ -72,6 +76,9 @@ def pagerank_exact(edges: DataFrame, iterations: int = 5) -> DataFrame:
                 (F.lit(base) + F.expr(f"(85 * inflow) div 100")).alias("r"),
             )
         )
+    # final checkpoint bounds the returned plan and lets the edge cache go
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     return ranks
 
 
@@ -103,7 +110,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     closed = wedges.join(o.alias("e3"), (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst")))
     tri = closed.agg(F.count("*").alias("n_triangles"))
-    return tri.crossJoin(edges.agg(F.count("*").alias("n_edges")))
+    out = tri.crossJoin(edges.agg(F.count("*").alias("n_edges"))).localCheckpoint(eager=True)
+    o.unpersist()
+    return out
 
 
 def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFrame:
@@ -163,45 +172,57 @@ def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:
         # dist feeds BOTH branches of next round's union: without lineage
         # truncation the plan doubles per round (exponential task binaries).
         dist = dist.localCheckpoint(eager=True)
+    edges.unpersist()
     return dist
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Min-label propagation with path-halving over an undirected graph
     (canonical u<v edges). Returns (node, component) where component is
-    the minimum node id reachable. Converges in O(log diameter) rounds."""
+    the minimum node id reachable. Converges in O(log diameter) rounds.
+
+    Convergence is detected with ``Dataset.observe`` metrics: the
+    changed-label count is aggregated DURING the same job that
+    materializes the round's localCheckpoint, so each round runs exactly
+    ONE job — no separate driver-synchronized count() action (the
+    at-scale fix for the extra job per round a recompute-based check
+    would cost)."""
+    from pyspark.sql import Observation
+
     sym = symmetrize(edges, "u", "v")
     sym.persist()
     labels = sym.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("comp"))
-    for _ in range(max_iterations):
-        # Min over neighbours' labels (and own).
-        nbr = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nmin"))
-            .select(F.col("dst").alias("node"), "nmin")
-        )
-        stepped = (
-            labels.join(nbr, "node", "left")
-            .select("node", F.least("comp", F.coalesce("nmin", "comp")).alias("comp"))
-        )
-        # Path-halving: jump each label through its parent's label.
-        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
-        halved = (
-            stepped.join(parent, stepped.comp == parent.p_node, "left")
-            .select("node", F.least("comp", F.coalesce("p_comp", "comp")).alias("comp"))
-        )
-        halved = halved.localCheckpoint(eager=True)  # truncate 2-join/round lineage
-        changed = (
-            halved.alias("h")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("h.comp") != F.col("l.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = halved
-        if changed == 0:
-            break
+    try:
+        for _ in range(max_iterations):
+            # Min over neighbours' labels (and own); carry the previous
+            # label through so the changed-count is a row-local predicate.
+            nbr = (
+                sym.join(labels, sym.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nmin"))
+                .select(F.col("dst").alias("node"), "nmin")
+            )
+            stepped = labels.join(nbr, "node", "left").select(
+                "node",
+                F.least("comp", F.coalesce("nmin", "comp")).alias("newc"),
+                F.col("comp").alias("prev"),
+            )
+            # Path-halving: jump each label through its parent's label.
+            parent = stepped.select(F.col("node").alias("p_node"), F.col("newc").alias("p_comp"))
+            halved = (
+                stepped.join(parent, stepped.newc == parent.p_node, "left")
+                .select("node", F.least("newc", F.coalesce("p_comp", "newc")).alias("comp"), "prev")
+            )
+            obs = Observation()
+            halved = halved.observe(
+                obs, F.count_if(F.col("comp") != F.col("prev")).alias("changed")
+            )
+            halved = halved.localCheckpoint(eager=True)  # one job: materialize + metric
+            labels = halved.drop("prev")
+            if obs.get["changed"] == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels
 
 
@@ -282,8 +303,9 @@ def label_propagation(
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
-    # e stays cached until the returned plan is consumed (same convention
-    # as pagerank_exact above — the result still references it lazily)
+    # final checkpoint bounds the returned plan and lets the edge cache go
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
     return labels
 
 
@@ -394,6 +416,8 @@ def pagerank_personalized(
             .select(F.col("dst").alias("node"), "r")
         )
         ranks = inflow.unionByName(bonus).groupBy("node").agg(F.sum("r").alias("r"))
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     return ranks
 
 
@@ -429,4 +453,5 @@ def temporal_reachability(
             .agg(F.min("arrival").alias("arrival"))
         )
         arr = arr.localCheckpoint(eager=True)
+    edges.unpersist()
     return arr

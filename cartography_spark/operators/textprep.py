@@ -252,10 +252,16 @@ def chunk_documents_udtf(
                 chunk = toks[start : start + size]
                 yield idx, len(chunk), hashlib.md5(" ".join(chunk).encode()).hexdigest()
 
+    import uuid
+
     spark = docs.sparkSession
-    spark.udtf.register("__chunk_udtf", Chunker)
-    docs.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView("__chunk_in")
+    # uuid-suffixed names: concurrent/nested invocations in one session
+    # must not clobber each other's registered function or input view
+    tag = uuid.uuid4().hex[:12]
+    fn_name, view_name = f"__chunk_udtf_{tag}", f"__chunk_in_{tag}"
+    spark.udtf.register(fn_name, Chunker)
+    docs.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view_name)
     return spark.sql(
         f"SELECT t.{id_col}, c.chunk_id, c.n_chunk_tokens, c.chunk_md5 "
-        f"FROM __chunk_in t, LATERAL __chunk_udtf({text_col}, {chunk_tokens}, {stride}) c"
+        f"FROM {view_name} t, LATERAL {fn_name}({text_col}, {chunk_tokens}, {stride}) c"
     )

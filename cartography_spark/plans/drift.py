@@ -21,11 +21,14 @@ from pyspark.sql.types import ArrayType
 @dataclass(frozen=True)
 class DriftState:
     """A named snapshot of a validation query's results
-    (driftdetect/get_states.py:111-160)."""
+    (driftdetect/get_states.py:111-160). ``query`` carries the validation
+    query text so archive loads can validate cross-snapshot identity
+    (detect_deviations.py:82-87)."""
 
     name: str
     properties: tuple[str, ...]
     results: DataFrame
+    query: str | None = None
 
 
 def snapshot(name: str, df: DataFrame) -> DriftState:

@@ -206,6 +206,13 @@ def hll_register_stream(
     (operators/sketches.py:hll_merge). That is the mergeable-sketch
     contract running under Structured Streaming: distinct-count at
     100 TB/day without ever shuffling a distinct.
+
+    OUTPUT-MODE CONTRACT: run the writeStream in ``complete`` (or
+    ``update``) mode. In ``append`` mode Spark withholds every window
+    newer than the watermark front until it closes, so a merged sketch
+    read mid-stream would silently miss the trailing watermark-width of
+    windows. The streaming queries in plans/ pin complete mode at their
+    call sites; new consumers must do the same.
     """
     from cartography_spark.operators.sketches import hll_bucket_rho
 
@@ -235,6 +242,11 @@ def countmin_cell_stream(
     half) — so per-window cells emitted by the stream sum into exactly
     the cells a batch pass would build. State is bounded at
     depth*width rows per open window and watermark-evicted.
+
+    OUTPUT-MODE CONTRACT: run the writeStream in ``complete`` (or
+    ``update``) mode — see hll_register_stream above; ``append`` would
+    withhold the trailing watermark-width of windows and a mid-stream
+    merged sketch would silently undercount.
     """
     from cartography_spark.operators.sketches import _h32
 

@@ -46,23 +46,20 @@ def test_cli_full_lifecycle(tmp_path, capsys):
     cov = capsys.readouterr().out
     assert "iso27001" in cov and "<-" in cov
 
-    # drift: two states over different predicates -> deterministic diff
-    assert main(["drift", "get-state", "--warehouse", wh, "--name", "cust",
-                 "--sql", "SELECT id FROM n_Customer WHERE acctbal >= 0",
-                 "--state-dir", states]) == 0
-    f1 = os.path.basename(capsys.readouterr().out.strip())
-    # ensure distinct filename (timestamp-based)
+    # drift archive: register templates, sweep twice, detect via shortcut
+    assert main(["drift", "init-query", "--state-dir", states, "--name", "cust",
+                 "--sql", "SELECT id FROM n_Customer WHERE acctbal >= 0"]) == 0
+    assert "template.json" in capsys.readouterr().out
+    assert main(["drift", "get-state", "--warehouse", wh, "--state-dir", states]) == 0
+    f1 = os.path.basename(capsys.readouterr().out.strip().splitlines()[-1])
     import time
-    time.sleep(1.1)
-    assert main(["drift", "get-state", "--warehouse", wh, "--name", "cust",
-                 "--sql", "SELECT id FROM n_Customer",
-                 "--state-dir", states]) == 0
-    f2 = os.path.basename(capsys.readouterr().out.strip())
+    time.sleep(1.1)  # distinct timestamped filename
+    assert main(["drift", "get-state", "--warehouse", wh, "--state-dir", states]) == 0
+    capsys.readouterr()
+    # same data both sweeps -> empty diff; 'most-recent' shortcut resolves
     assert main(["drift", "detect", "--state-dir", states, "--name", "cust",
-                 "--start", f1, "--end", f2]) == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
-    # everything that appeared is 'new' (negative-balance customers)
-    assert lines and all(l["status"] == "new" for l in lines)
+                 "--start", f1, "--end", "most-recent"]) == 0
+    assert capsys.readouterr().out.strip() == ""
 
 
 def test_client_read_sinks(spark):

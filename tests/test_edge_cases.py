@@ -119,3 +119,35 @@ def test_matcher_one_to_many_null_list(spark):
     load(cat, src, batch, 1)
     edges = {(r.src_id, r.dst_id) for r in cat.edge("Src", "REL", "Tgt").collect()}
     assert edges == {("s1", "t1")}
+
+
+def test_ordered_dense_ids_matches_window_path(spark):
+    """Distributed id assignment (range partition + offsets) must produce
+    the identical (order -> id) mapping as the single-partition window."""
+    from pyspark.sql import Window
+
+    from cartography_spark.operators.dedup import ordered_dense_ids
+
+    rows = [(f"s{i:03d}", (i * 7) % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, "shingle string, __df long").repartition(8)
+    dist = {r.shingle: r.sid for r in ordered_dense_ids(df, ["__df", "shingle"], "sid").collect()}
+    win = {
+        r.shingle: r.sid
+        for r in df.withColumn(
+            "sid", F.row_number().over(Window.orderBy("__df", "shingle")) - 1
+        ).collect()
+    }
+    assert dist == win
+
+
+def test_kcenter_validates_inputs(spark, sf_dir):
+    import pytest
+
+    from cartography_spark.operators.clustering import kcenter_diverse
+    from cartography_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="not present"):
+        kcenter_diverse(emb, k=3, seed_id=10**9)
+    with pytest.raises(ValueError, match="exceeds"):
+        kcenter_diverse(emb, k=50, seed_id=0)
