@@ -1,0 +1,372 @@
+"""Meta/orchestration coverage: the SURVEY §2 rows that round 1 verified
+only by pytest, now surfaced as driver-checkable registry queries —
+
+- GraphJob JSON round-trip + sequential statement execution
+  (reference graph/job.py:133-327; statement.py:71-300)
+- SyncMetadata merge through a staged Sync with dependency gating
+  (reference cartography/util.py merge_module_sync_metadata:363+;
+  sync.py:240-297)
+- API get -> transform -> load stage pipeline from dict rows
+  (reference client/core/tx.py:637-698 batched ingest)
+- Schema introspection reflection (reference models/introspection.py:160-237)
+- The full 42-label cross-provider ontology catalog
+  (reference models/ontology/labels.py) and the mapping-spec compiler with
+  all eight special_handling transforms (mapping/specs.py:20-31;
+  graph/querybuilder.py:24-415)
+
+Each query runs the REAL engine machinery; every oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cartography_spark.plans.registry import query
+
+T1, T2 = 100, 200
+
+# ---------------------------------------------------------------------------
+# GraphJob JSON round-trip
+# ---------------------------------------------------------------------------
+
+_JOB_JSON = """
+{
+  "name": "supplier risk tiers",
+  "short_name": "risk_tiers",
+  "statements": [
+    {"query": "SELECT *, CASE WHEN acctbal < $THRESHOLD THEN 'negative' WHEN acctbal < $HIGH THEN 'normal' ELSE 'high' END AS risk_tier FROM n_Supplier",
+     "writes": "Supplier"},
+    {"query": "SELECT r.name AS region_name, s.risk_tier, COUNT(*) AS n_suppliers, CAST(SUM(CAST(ROUND(s.acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents FROM n_Supplier s JOIN n_Nation n ON s.s_nationkey = n.n_nationkey JOIN n_Region r ON n.n_regionkey = r.r_regionkey GROUP BY r.name, s.risk_tier",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "graph_job_json_roundtrip",
+    oracle="""
+    SELECT r_name AS region_name,
+           CASE WHEN s_acctbal < 0 THEN 'negative'
+                WHEN s_acctbal < 5000 THEN 'normal'
+                ELSE 'high' END AS risk_tier,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, risk_tier
+    """,
+    doc="GraphJob/GraphStatement JSON workflow (job.py:133-327): a job "
+    "deserialized from JSON text runs two parameterized statements "
+    "sequentially — the first WRITES a computed property back to the "
+    "Supplier node table (Cypher SET analogue), the second reads the "
+    "mutated table through a 2-hop join. Verifies param binding, "
+    "statement ordering, and write-visibility between statements.",
+    tags=("engine", "job"),
+)
+def q_graph_job_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    job = GraphJob.from_json(_JOB_JSON)
+    # round-trip invariant: serialize -> parse -> identical IR (job.py:256-327)
+    assert GraphJob.from_json(job.as_json()) == job
+    results = job.run(cat, params={"THRESHOLD": 0, "HIGH": 5000})
+    return results[-1]
+
+
+# ---------------------------------------------------------------------------
+# SyncMetadata merge + staged sync with dependency gating
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sync_metadata_merge",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Region:0:Supplier', 'Region', '0', 'Supplier', CAST(100 AS BIGINT), CAST(200 AS BIGINT)),
+      ('Region:1:Supplier', 'Region', '1', 'Supplier', CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+    ) AS t(id, grouptype, groupid, syncedtype, firstseen, lastupdated)
+    CROSS JOIN (SELECT CAST(1 AS BIGINT) AS n_skipped)
+    """,
+    doc="SyncMetadata provenance merge (util.py merge_module_sync_metadata "
+    ":363+) through the staged Sync runner (sync.py:240-297): two tenant "
+    "stages record metadata at T1; a second sync re-records tenant 0 at T2 "
+    "(firstseen preserved, lastupdated bumped — MERGE semantics); a stage "
+    "whose prerequisite never ran is SKIPPED, not failed (dependency "
+    "gating, intel/aws/__init__.py:712-787).",
+    tags=("engine", "sync"),
+)
+def q_sync_metadata_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import merge_sync_metadata
+    from cartography_spark.sync import Sync
+
+    cat = base_catalog(spark, sf_dir)
+
+    def tenant_stage(group_id: str):
+        def _stage(catalog, config):
+            merge_sync_metadata(
+                catalog, "Region", group_id, "Supplier", config["UPDATE_TAG"]
+            )
+
+        return _stage
+
+    sync = Sync()
+    sync.add_stage("tenant0", tenant_stage("0"))
+    sync.add_stage("tenant1", tenant_stage("1"))
+    sync.add_stage("gated", lambda c, cfg: None, requires=("never-ran",))
+    errors = sync.run(cat, {"UPDATE_TAG": T1})
+    assert not errors and sync.skipped == ["gated"]
+
+    resync = Sync()
+    resync.add_stage("tenant0", tenant_stage("0"))
+    assert not resync.run(cat, {"UPDATE_TAG": T2})
+
+    meta = cat.nodes["SyncMetadata"]
+    n_skipped = spark.createDataFrame([(len(sync.skipped),)], "n_skipped long")
+    return meta.crossJoin(F.broadcast(n_skipped))
+
+
+# ---------------------------------------------------------------------------
+# API get -> transform -> load pipeline from dict rows
+# ---------------------------------------------------------------------------
+
+_API_BATCH = [
+    {"ServiceId": "svc-1", "ServiceName": "ingest", "State": "RUNNING", "Zone": "a"},
+    {"ServiceId": "svc-2", "ServiceName": "archive", "State": "STOPPED"},
+    {"ServiceId": "svc-3", "State": "PROVISIONING", "Zone": "b", "Ignored": "x"},
+    {"ServiceId": "svc-4", "ServiceName": "batch", "State": "REPAIRING", "Zone": "a"},
+]
+
+
+@query(
+    "rows_ingest_transform",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('svc-1', 'ingest',  'running', 'a', CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+      ('svc-2', 'archive', 'stopped', NULL, CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+      ('svc-3', NULL,      'pending', 'b', CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+      ('svc-4', 'batch',   'error',   'a', CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+    ) AS t(id, name, state, zone, lastupdated, firstseen)
+    """,
+    doc="The reference's get -> transform -> load stage pipeline from a "
+    "dict-rows API batch (client/core/tx.py:637-698): sparse dicts become "
+    "typed nulls, undeclared keys are dropped (querybuilder.py:1266-1279), "
+    "the transform stage normalizes the provider state vocabulary to the "
+    "ontology's canonical set (models/ontology/mapping/data/"
+    "computeinstance.py), and load stamps firstseen/lastupdated.",
+    tags=("engine", "source"),
+)
+def q_rows_ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.functions.ontology import value_mapping
+    from cartography_spark.operators.upsert import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+    from cartography_spark.sources.rows import rows_to_df
+
+    api_schema = StructType(
+        [
+            StructField("ServiceId", StringType()),
+            StructField("ServiceName", StringType()),
+            StructField("State", StringType()),
+            StructField("Zone", StringType()),
+        ]
+    )
+    raw = rows_to_df(spark, _API_BATCH, api_schema)
+    # transform stage: GCP-style state vocabulary -> canonical ontology states
+    transformed = raw.withColumn(
+        "State",
+        value_mapping(
+            "State",
+            {
+                "PROVISIONING": "pending",
+                "RUNNING": "running",
+                "STOPPED": "stopped",
+                "REPAIRING": "error",
+            },
+        ),
+    )
+    schema = NodeSchema(
+        label="Service",
+        properties={
+            "id": PropertyRef("ServiceId"),
+            "name": PropertyRef("ServiceName"),
+            "state": PropertyRef("State"),
+            "zone": PropertyRef("Zone"),
+        },
+        scoped_cleanup=False,
+    )
+    cat = GraphCatalog(spark)
+    load(cat, schema, transformed, T1)
+    return cat.node("Service").select("id", "name", "state", "zone", "lastupdated", "firstseen")
+
+
+# ---------------------------------------------------------------------------
+# Schema introspection reflection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "introspection_schema_reflect",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Nation', 'id', 'n_nationkey', false),
+      ('Nation', 'name', 'n_name', false),
+      ('Nation', 'n_nationkey', 'n_nationkey', false),
+      ('Nation', 'n_regionkey', 'n_regionkey', false),
+      ('Region', 'id', 'r_regionkey', false),
+      ('Region', 'name', 'r_name', false),
+      ('Region', 'r_regionkey', 'r_regionkey', false)
+    ) AS t(label, property, source_column, from_params)
+    """,
+    doc="Schema introspection (models/introspection.py:160-237): reflect "
+    "declared NodeSchemas into the (label, property, source_column, "
+    "from_params) docs-tooling table via describe_schema/schemas_to_df.",
+    tags=("engine", "introspection"),
+)
+def q_introspection_schema_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.introspection import schemas_to_df
+    from cartography_spark.plans.graph_fixture import NATION_SCHEMA, REGION_SCHEMA
+
+    return schemas_to_df(spark, [NATION_SCHEMA, REGION_SCHEMA])
+
+
+# ---------------------------------------------------------------------------
+# Ontology: full 42-label catalog + mapping-spec compiler
+# ---------------------------------------------------------------------------
+
+# fixture labels projected onto the semantic catalog (the reference maps
+# provider schemas to ontology labels the same way, mapping/__init__.py)
+_FIXTURE_PROJECTIONS = {
+    "ComputeInstance": "Supplier",
+    "UserAccount": "Customer",
+    "Tenant": "Region",
+    "ComputeNamespace": "Nation",
+}
+
+
+def _catalog_oracle() -> str:
+    from cartography_spark.functions.ontology_catalog import ONTOLOGY_LABELS
+
+    rows = ",\n".join(
+        "('{0}', '{1}', 'ONTOLOGY', {2})".format(
+            label,
+            desc.replace("'", "''"),
+            "'" + _FIXTURE_PROJECTIONS[label] + "'" if label in _FIXTURE_PROJECTIONS else "NULL",
+        )
+        for label, desc in ONTOLOGY_LABELS
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + rows
+        + "\n) AS t(label, description, kind, fixture_label)"
+    )
+
+
+@query(
+    "ontology_semantic_catalog",
+    oracle=_catalog_oracle(),
+    doc="The full 42-label cross-provider ontology catalog "
+    "(models/ontology/labels.py) as a dimension table, left-joined with "
+    "this warehouse's label projections (Supplier->ComputeInstance, "
+    "Customer->UserAccount, Region->Tenant, Nation->ComputeNamespace) — "
+    "the Spark analogue of the reference's label_definitions surface "
+    "(models/introspection.py NodeLabelProvenance).",
+    tags=("engine", "ontology"),
+)
+def q_ontology_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.ontology_catalog import labels_df
+
+    proj = spark.createDataFrame(
+        list(_FIXTURE_PROJECTIONS.items()), "label string, fixture_label string"
+    )
+    return labels_df(spark).join(F.broadcast(proj), "label", "left")
+
+
+@query(
+    "ontology_mapping_compile",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id,
+           s_name AS _ont_name,
+           NOT (s_acctbal >= 0) AS _ont_overdrawn,
+           COALESCE(TRY_CAST(s_name AS BOOLEAN), s_name IS NOT NULL) AS _ont_flagged,
+           (COALESCE(s_acctbal > 0, false) OR COALESCE(s_acctbal < -900, false)) AS _ont_notable,
+           NOT (COALESCE(s_acctbal > 0, false) OR COALESCE(s_acctbal < -900, false)) AS _ont_dormant,
+           (s_nationkey = 0) AS _ont_primary_nation,
+           'supplier' AS _ont_source,
+           CASE WHEN s_nationkey % 5 = 0 THEN 'builtin'
+                WHEN s_nationkey % 5 = 1 THEN 'custom' END AS _ont_role_kind,
+           COALESCE(NULL, s_name) AS _ont_display,
+           true AS _ont_eligible
+    FROM supplier
+    """,
+    doc="Ontology mapping-spec compiler (mapping/specs.py:20-31; "
+    "querybuilder.py:24-415): ONE select applies all eight "
+    "special_handling transforms — plain, invert_boolean, to_boolean "
+    "(coalesce(toBooleanOrNull(x), x IS NOT NULL)), or_boolean, "
+    "nor_boolean, equal_boolean, static_value, mapping, coalesce — plus "
+    "required-field eligibility, entirely inside whole-stage codegen.",
+    tags=("engine", "ontology"),
+)
+def q_ontology_mapping_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.ontology_catalog import (
+        OntologyFieldMapping as OFM,
+    )
+    from cartography_spark.functions.ontology_catalog import (
+        OntologyNodeMapping,
+        apply_node_mapping,
+    )
+    from cartography_spark.sources.parquet import load_table
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        "s_name",
+        "s_acctbal",
+        "s_nationkey",
+        (F.col("s_acctbal") >= 0).alias("solvent"),
+        (F.col("s_acctbal") > 0).alias("in_credit"),
+        (F.col("s_acctbal") < -900).alias("deep_debt"),
+    )
+    nm = OntologyNodeMapping(
+        node_label="Supplier",
+        fields=(
+            OFM("name", "s_name", required=True),
+            OFM("overdrawn", "solvent", special_handling="invert_boolean"),
+            OFM("flagged", "s_name", special_handling="to_boolean"),
+            OFM("notable", "", special_handling="or_boolean",
+                extra={"fields": ["in_credit", "deep_debt"]}),
+            OFM("dormant", "", special_handling="nor_boolean",
+                extra={"fields": ["in_credit", "deep_debt"]}),
+            OFM("primary_nation", "s_nationkey", special_handling="equal_boolean",
+                extra={"value": 0}),
+            OFM("source", "", special_handling="static_value",
+                extra={"value": "supplier"}),
+            OFM("role_kind", "nation_mod", special_handling="mapping",
+                extra={"map": {0: "builtin", 1: "custom"}}),
+            OFM("display", "missing_col", special_handling="coalesce",
+                extra={"fields": ["s_name"]}),
+        ),
+    )
+    with_mod = supplier.withColumn("nation_mod", F.col("s_nationkey") % 5).withColumn(
+        "missing_col", F.lit(None).cast("string")
+    )
+    out = apply_node_mapping(with_mod, nm)
+    return out.select(
+        "id",
+        "_ont_name",
+        "_ont_overdrawn",
+        "_ont_flagged",
+        "_ont_notable",
+        "_ont_dormant",
+        "_ont_primary_nation",
+        "_ont_source",
+        "_ont_role_kind",
+        "_ont_display",
+        "_ont_eligible",
+    )

@@ -79,6 +79,10 @@ PRIORITY: tuple[str, ...] = (
     "analysis_set_rel_property", "analysis_exposure_chain",
     # UDF-shaped logic + rules + drift
     "permission_statement_eval", "rule_compliance_counts", "drift_detect_states",
+    # orchestration / meta (sources, jobs, sync, introspection, ontology)
+    "graph_job_json_roundtrip", "sync_metadata_merge", "rows_ingest_transform",
+    "introspection_schema_reflect", "ontology_semantic_catalog",
+    "ontology_mapping_compile",
     # redundant certifiers for rows already covered above
     "not_exists_antijoin", "pattern_multihop_read", "permission_wildcard_eval",
     # --- tier 2: LLM-data-pipeline family heads ---
@@ -115,6 +119,7 @@ def _ordered() -> dict[str, QuerySpec]:
     import cartography_spark.plans.inventory_analytics  # noqa: F401
     import cartography_spark.plans.inventory_warehouse  # noqa: F401
     import cartography_spark.plans.inventory_scale  # noqa: F401
+    import cartography_spark.plans.inventory_meta  # noqa: F401
 
     out: dict[str, QuerySpec] = {}
     for name in PRIORITY:
