@@ -208,6 +208,63 @@ def q_rows_ingest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extended rule shapes (round-2 ports)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rules_extended_run",
+    oracle="""
+    SELECT 'watchlist-parts' AS fact_id,
+           (SELECT count(DISTINCT p_partkey) FROM part
+            WHERE (p_type, replace(p_brand, 'Brand#', '')) IN
+                  (('STANDARD', '16'), ('PROMO', '3'), ('ECONOMY', '25'))) AS failing,
+           (SELECT count(*) FROM part)
+             - (SELECT count(DISTINCT p_partkey) FROM part
+                WHERE (p_type, replace(p_brand, 'Brand#', '')) IN
+                      (('STANDARD', '16'), ('PROMO', '3'), ('ECONOMY', '25'))) AS passing,
+           (SELECT count(*) FROM part) AS total
+    UNION ALL
+    SELECT 'module-coverage-gaps',
+           (SELECT count(*) FROM region WHERE lower(r_name) IN ('asia', 'africa', 'orbit')),
+           (SELECT count(*) FROM region)
+             - (SELECT count(*) FROM region WHERE lower(r_name) IN ('asia', 'africa', 'orbit')),
+           (SELECT count(*) FROM region)
+    UNION ALL
+    SELECT 'chain-default-exposure',
+           (SELECT count(DISTINCT s_suppkey) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND n_name <> 'NATION_1'
+              AND COALESCE(s_acctbal, 0) < 0),
+           (SELECT count(*) FROM supplier)
+             - (SELECT count(DISTINCT s_suppkey) FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE' AND n_name <> 'NATION_1'
+                  AND COALESCE(s_acctbal, 0) < 0),
+           (SELECT count(*) FROM supplier)
+    """,
+    doc="Round-2 rule-shape ports run through the Fact/Rule engine: the "
+    "IOC-watchlist literal-pair join (rules/data/rules/"
+    "malicious_npm_dependencies_shai_hulud.py), the case-insensitive "
+    "coverage-gap match (subimage_coverage.py), and the 3-hop "
+    "coalesce-default exclusion chain (unpinned_github_actions.py) — "
+    "with the ten build_rules shapes, all thirteen distinct detection "
+    "shapes of the reference's 37-rule corpus.",
+    tags=("engine", "rules"),
+)
+def q_rules_extended_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.rules import compliance_summary, run_rules
+    from cartography_spark.plans.rules_library import build_extended_rules
+
+    cat = base_catalog(spark, sf_dir)
+    results = run_rules(build_extended_rules(spark, sf_dir), cat)
+    return compliance_summary([fr for r in results for fr in r.facts])
+
+
+# ---------------------------------------------------------------------------
 # Schema introspection reflection
 # ---------------------------------------------------------------------------
 

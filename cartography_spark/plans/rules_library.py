@@ -302,6 +302,159 @@ TRANSPORT_GAPS = Rule(
 )
 
 
+def watchlist_rule(spark: SparkSession, sf_dir: str) -> Rule:
+    """IOC-watchlist literal-list join shape of rules/data/rules/
+    malicious_npm_dependencies_shai_hulud.py: an inline (name, version)
+    watchlist UNWINDs and joins assets on BOTH fields, with a REPLACE
+    normalization on one side (the reference strips '= ' from
+    requirements; here 'Brand#' strips from p_brand)."""
+    from cartography_spark.sources.parquet import load_table
+
+    part = load_table(spark, sf_dir, "part")
+
+    def _watchlist_parts(c: GraphCatalog) -> DataFrame:
+        watch = part.sparkSession.createDataFrame(
+            [("STANDARD", "16"), ("PROMO", "3"), ("ECONOMY", "25")],
+            "w_type string, w_brand string",
+        )
+        return (
+            part.withColumn("brand_norm", F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("")))
+            .join(
+                F.broadcast(watch),
+                (F.col("p_type") == F.col("w_type")) & (F.col("brand_norm") == F.col("w_brand")),
+            )
+            .select(
+                F.col("p_partkey").cast("string").alias("asset_id"),
+                F.col("p_name").alias("name"),
+                "p_type",
+                "p_brand",
+            )
+        )
+
+    return Rule(
+        rule_id="watchlist-parts",
+        name="Parts matching the compromised-catalog watchlist",
+        description="IOC-watchlist join shape of rules/data/rules/"
+        "malicious_npm_dependencies_shai_hulud.py (literal name+version "
+        "pairs, REPLACE-normalized equality).",
+        tags=("fixture", "supply_chain"),
+        facts=(
+            Fact(
+                fact_id="watchlist-parts",
+                name="Parts on the (type, brand) watchlist",
+                query=_watchlist_parts,
+                asset_label="Part",
+                asset_id_field="asset_id",
+                count_query=lambda c: part.count(),
+            ),
+        ),
+        references=(RuleReference("Supply-chain watchlists", "https://owasp.org"),),
+        frameworks=(fw("soc2", "CC7.1"), fw("iso27001", "A.8.7")),
+    )
+
+
+def _module_coverage_gaps(c: GraphCatalog) -> DataFrame:
+    """Case-insensitive coverage-gap join shape of rules/data/rules/
+    subimage_coverage.py: modules with is_configured=false whose lowercased
+    id matches an in-use asset's lowercased name."""
+    spark = c.spark
+    modules = spark.createDataFrame(
+        [("asia", False), ("EUROPE", True), ("Africa", False), ("orbit", False)],
+        "module_id string, is_configured boolean",
+    )
+    regions = c.node("Region").select(F.col("id").alias("asset_id"), "name")
+    return (
+        modules.filter(~F.col("is_configured"))
+        .join(
+            F.broadcast(regions),
+            F.lower(F.col("module_id")) == F.lower(F.col("name")),
+        )
+        .select("asset_id", "name", "module_id")
+    )
+
+
+MODULE_COVERAGE = Rule(
+    rule_id="module-coverage-gaps",
+    name="Regions used without a configured coverage module",
+    description="Case-insensitive coverage-gap shape of rules/data/rules/"
+    "subimage_coverage.py (toLower(module.id) = toLower(asset.name), "
+    "is_configured = false).",
+    tags=("fixture", "coverage"),
+    facts=(
+        Fact(
+            fact_id="module-coverage-gaps",
+            name="Regions matching an unconfigured module",
+            query=_module_coverage_gaps,
+            asset_label="Region",
+            asset_id_field="asset_id",
+        ),
+    ),
+    frameworks=(fw("soc2", "CC7.2"),),
+)
+
+
+def _chain_default_exposure(c: GraphCatalog) -> DataFrame:
+    """3-hop chain with coalesce-false defaults and an exclusion predicate —
+    the rules/data/rules/unpinned_github_actions.py shape
+    (repo->workflow->action, coalesce(archived,false)=false,
+    owner <> 'docker')."""
+    chain = (
+        c.node("Region")
+        .filter(F.col("name") == "EUROPE")
+        .select(F.col("r_regionkey").alias("rk"), F.col("name").alias("region_name"))
+        .join(
+            c.node("Nation").select(
+                F.col("n_nationkey").alias("nk"),
+                F.col("n_regionkey").alias("rk"),
+                F.col("name").alias("nation_name"),
+            ),
+            "rk",
+        )
+        .join(
+            c.node("Supplier").select(
+                F.col("id").alias("asset_id"),
+                F.col("name").alias("supplier_name"),
+                F.col("s_nationkey").alias("nk"),
+                "acctbal",
+            ),
+            "nk",
+        )
+    )
+    return (
+        chain.filter(
+            (F.coalesce(F.col("acctbal"), F.lit(0.0)) < 0)
+            & (F.col("nation_name") != "NATION_1")
+        )
+        .select("asset_id", "supplier_name", "nation_name", "region_name")
+    )
+
+
+CHAIN_DEFAULT_EXPOSURE = Rule(
+    rule_id="chain-default-exposure",
+    name="EUROPE suppliers overdrawn outside the exempt nation",
+    description="3-hop chain + coalesce-false defaults + exclusion shape "
+    "of rules/data/rules/unpinned_github_actions.py.",
+    tags=("fixture", "supply_chain"),
+    facts=(
+        Fact(
+            fact_id="chain-default-exposure",
+            name="Overdrawn EUROPE suppliers (non-exempt nations)",
+            query=_chain_default_exposure,
+            asset_label="Supplier",
+            asset_id_field="asset_id",
+        ),
+    ),
+    frameworks=(fw("cis", "5.2"), fw("iso27001", "A.8.20")),
+)
+
+
+def build_extended_rules(spark: SparkSession, sf_dir: str) -> tuple[Rule, ...]:
+    """The three round-2 shape ports (watchlist join, case-insensitive
+    coverage gap, 3-hop coalesce-default chain) — with build_rules, all
+    thirteen distinct detection shapes of the reference's 37-rule corpus."""
+    return (watchlist_rule(spark, sf_dir), MODULE_COVERAGE, CHAIN_DEFAULT_EXPOSURE)
+
+
 def cross_region_rule(spark: SparkSession, sf_dir: str) -> Rule:
     """Cross-tenant trust shape of rules/data/rules/
     iam_role_external_account_trust.py: asset trusted from a different

@@ -45,3 +45,28 @@ def test_run_rules_and_formatters(spark, sf_dir):
     assert "OVERALL SUMMARY" in text and "Compliance:" in text
     single = format_text(results[:1])
     assert "EXECUTION SUMMARY" in single
+
+
+def test_extended_rule_shapes(spark, sf_dir):
+    """Round-2 shape ports: watchlist pair-join, case-insensitive coverage
+    gap, 3-hop coalesce-default chain (see rules_library.py citations)."""
+    from cartography_spark.plans.rules_library import build_extended_rules
+
+    cat = base_catalog(spark, sf_dir)
+    rules = build_extended_rules(spark, sf_dir)
+    assert [r.rule_id for r in rules] == [
+        "watchlist-parts", "module-coverage-gaps", "chain-default-exposure",
+    ]
+    results = run_rules(rules, cat)
+    by_id = {r.facts[0].fact.fact_id: r.facts[0] for r in results}
+    # coverage gap: exactly ASIA and AFRICA match unconfigured modules
+    cov = by_id["module-coverage-gaps"]
+    assert cov.failing_assets == 2 and cov.total_assets == 5
+    names = {r.name for r in cov.findings.collect()}
+    assert names == {"ASIA", "AFRICA"}
+    # watchlist join uses the Part total from count_query, not a catalog label
+    wl = by_id["watchlist-parts"]
+    assert wl.total_assets > 0 and wl.passing_assets + wl.failing_assets == wl.total_assets
+    # chain findings never include the exempt nation
+    chain = by_id["chain-default-exposure"]
+    assert all(r.nation_name != "NATION_1" for r in chain.findings.collect())
