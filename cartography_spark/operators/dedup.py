@@ -432,6 +432,8 @@ def cluster_min_label(
     Each round is one shuffle (join + min-agg); lineage is checkpointed per
     round. Returns (id, cluster, keep) — keep marks the canonical doc.
     """
+    from pyspark.sql import Observation
+
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -445,11 +447,22 @@ def cluster_min_label(
             .groupBy(F.col("src").alias("v"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
-            labels.join(neighbor_min, "v", "left")
-            .select(F.col("v"), F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
+        stepped = labels.join(neighbor_min, "v", "left").select(
+            F.col("v"),
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            F.col("lbl").alias("prev"),
         )
+        # convergence via observe: the changed-count aggregates during the
+        # SAME job that materializes the checkpoint (one job per round, no
+        # extra count() action); once stable, later rounds are no-ops, so
+        # breaking keeps results identical to the fixed-round oracle
+        obs = Observation()
+        stepped = stepped.observe(
+            obs, F.count_if(F.col("lbl") != F.col("prev")).alias("changed")
+        ).localCheckpoint(eager=True)
+        labels = stepped.drop("prev")
+        if obs.get["changed"] == 0:
+            break
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster"),
@@ -584,5 +597,105 @@ def substring_span_stats(
         .withColumn(
             "dup_permille",
             F.expr("CAST((dup_tokens * 1000) DIV n_tokens AS BIGINT)"),
+        )
+    )
+
+
+def exact_collapse(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(all input columns, rep): min-id representative per EXACT duplicate
+    group (md5 text key, null-safe so null-text docs keep a group).
+
+    This is the mandatory FIRST stage of any near-dup pipeline at scale:
+    web-scale corpora are dominated by exact copies, and every downstream
+    pair generator (LSH band buckets, hyperplane buckets) degrades
+    quadratically in the copy count if fed raw — k exact copies of one doc
+    turn every candidate pair into k^2 pairs. The sf1 rehearsal measured
+    exactly this: 10x replicated input made dedup_minhash_lsh 62x slower,
+    because the PAIR OUTPUT grew ~100x. Collapsing first makes the heavy
+    stage run on unique texts only; expansion back to all ids is one
+    linear join on the rep key.
+    """
+    key = F.md5(F.col(text_col))
+    grp = (
+        docs.select(key.alias("__k"), F.col(id_col))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias("rep"))
+    )
+    return (
+        docs.withColumn("__k", key)
+        .alias("d")
+        .join(grp.alias("g"), F.col("d.__k").eqNullSafe(F.col("g.__k")))
+        .drop("__k")
+    )
+
+
+def minhash_cluster_collapsed(
+    docs: DataFrame,
+    num_perm: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    max_iter: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB-sane MinHash dedup contract: (id, cluster, keep) — O(N)
+    output — instead of the O(pairs) candidate list.
+
+    Pipeline: exact-collapse (hash groupBy on a 16-byte key) -> MinHash +
+    banded LSH among unique texts only -> bounded min-label clustering of
+    representatives -> linear expansion of every doc through its rep.
+    Exact copies never reach the pair generator, so duplication factor k
+    costs k rows in two linear joins, not k^2 pairs per bucket. The final
+    cluster label is the corpus-minimum doc id of the merged component
+    (reps are group minima, so min over reps == min over docs).
+    """
+    mapped = exact_collapse(docs, text_col=text_col, id_col=id_col)
+    # reused by reps + expansion; checkpoint only the compact (id, rep) map
+    idmap = mapped.select(F.col(id_col), "rep").localCheckpoint(eager=True)
+    reps = mapped.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col), F.col(text_col))
+    wide = minhash_wide(reps, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    pairs = lsh_candidate_pairs(wide, bands=bands, id_col=id_col, wide=True)
+    cl = cluster_min_label(pairs, reps.select(id_col), max_iter=max_iter, id_col=id_col)
+    return (
+        idmap.join(
+            cl.select(F.col(id_col).alias("rep"), "cluster"), "rep"
+        )
+        .select(
+            F.col(id_col),
+            "cluster",
+            (F.col(id_col) == F.col("cluster")).alias("keep"),
+        )
+    )
+
+
+def embedding_cluster_collapsed(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    max_iter: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup clustering with exact-copy collapse: group
+    bit-identical vectors (equi-join on the array value — no lossy string
+    formatting), run the LSH-blocked cosine pair generator on unique
+    vectors only, cluster, then expand linearly. Same rationale as
+    :func:`minhash_cluster_collapsed`."""
+    grp = embeddings.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
+    mapped = embeddings.join(grp, vec_col).select(F.col(id_col), "rep", F.col(vec_col))
+    idmap = mapped.select(F.col(id_col), "rep").localCheckpoint(eager=True)
+    reps = mapped.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col), F.col(vec_col))
+    pairs = embedding_near_dup_pairs(
+        reps, dim=dim, threshold=threshold, n_planes=n_planes,
+        vec_col=vec_col, id_col=id_col,
+    ).select("a", "b")
+    cl = cluster_min_label(pairs, reps.select(id_col), max_iter=max_iter, id_col=id_col)
+    return (
+        idmap.join(cl.select(F.col(id_col).alias("rep"), "cluster"), "rep")
+        .select(
+            F.col(id_col),
+            "cluster",
+            (F.col(id_col) == F.col("cluster")).alias("keep"),
         )
     )

@@ -1204,3 +1204,70 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_ts").alias("asof_ts"),
         F.col("asof_value").alias("asof_value"),
     )
+
+
+@query(
+    "dedup_embedding_collapsed",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id < 20
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            (x, i) -> CASE WHEN i = 2 THEN x * 1.1 ELSE x END)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    grp AS (
+      SELECT b.vec_id, g.rep
+      FROM base b JOIN (SELECT v, min(vec_id) AS rep FROM base GROUP BY v) g ON b.v = g.v
+    ),
+    reps AS (
+      SELECT b.vec_id, b.v FROM base b
+      JOIN grp ON b.vec_id = grp.vec_id AND grp.rep = b.vec_id
+    ),
+    sigs AS (SELECT vec_id, v, {_PAIR_SIG_SQL.format(vec='v')} AS sig FROM reps),
+    p2 AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE {_PAIR_COSINE_SQL} >= 0.99
+    ),
+    und AS (SELECT a AS src, b AS dst FROM p2 UNION SELECT b, a FROM p2),
+    r AS (
+      SELECT vec_id AS v2, vec_id AS lbl, 0 AS hops FROM reps
+      UNION
+      SELECT r.v2, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
+    ),
+    cl AS (SELECT v2, min(lbl) AS cluster FROM r GROUP BY v2)
+    SELECT grp.vec_id, cl.cluster, (grp.vec_id = cl.cluster) AS keep
+    FROM grp JOIN cl ON grp.rep = cl.v2
+    """,
+    doc="Embedding near-dup clustering with exact-copy collapse "
+    "(sf1-rehearsal fix): bit-identical vectors group on the array value "
+    "itself (no lossy float formatting), the LSH-blocked cosine pair "
+    "generator runs on unique vectors only, bounded min-label clustering "
+    "merges near-dup components, and a linear rep-join expands back — "
+    "O(N) output, immune to the quadratic copy-count blowup the raw pair "
+    "contract shows under 10x replication. Exact copies injected at "
+    "vec_id+1000000, near-dups (one coordinate scaled 1.1x) at +2000000.",
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def q_dedup_embedding_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 1, x * 1.1).otherwise(x)
+        ).alias("embedding"),
+    )
+    base = emb.unionByName(copies).unionByName(perturbed)
+    return dd.embedding_cluster_collapsed(
+        base, dim=64, threshold=0.99, n_planes=8, max_iter=6
+    )

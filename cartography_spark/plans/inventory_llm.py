@@ -1505,3 +1505,67 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("total_mass"),
         F.sum(F.when(F.col("pos0") <= 7, F.col("s")).otherwise(0)).cast("long").alias("head_mass"),
     )
+
+
+@query(
+    "dedup_minhash_collapsed",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_DUPES_SQL}),
+    grp AS (
+      SELECT b.doc_id, g.rep
+      FROM base b
+      JOIN (SELECT md5(text) AS k, min(doc_id) AS rep FROM base GROUP BY 1) g
+        ON md5(b.text) = g.k
+    ),
+    reps AS (
+      SELECT b.doc_id, b.text FROM base b
+      JOIN grp ON b.doc_id = grp.doc_id AND grp.rep = b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM reps
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p,
+             CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
+                       + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p % 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY p) AS bsig
+      FROM mh GROUP BY doc_id, band
+    ),
+    p2 AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT a AS src, b AS dst FROM p2 UNION SELECT b, a FROM p2),
+    r AS (
+      SELECT doc_id AS v, doc_id AS lbl, 0 AS hops FROM reps
+      UNION
+      SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
+    ),
+    cl AS (SELECT v, min(lbl) AS cluster FROM r GROUP BY v)
+    SELECT grp.doc_id, cl.cluster, (grp.doc_id = cl.cluster) AS keep
+    FROM grp JOIN cl ON grp.rep = cl.v
+    """,
+    doc="The 100 TB-sane MinHash dedup contract (sf1-rehearsal fix): "
+    "exact-collapse on md5(text) BEFORE the pair generator, MinHash+LSH "
+    "among unique texts only, bounded min-label clustering, linear "
+    "expansion through the rep key. Output is O(N) (doc_id, cluster, "
+    "keep), never the O(pairs) candidate list that grows quadratically "
+    "in the exact-copy count (10x replication made the raw pair contract "
+    "62x slower; this path stays linear).",
+    tags=("llm", "dedup", "scale"),
+)
+def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_cluster_collapsed(
+        _docs_with_dupes(spark, sf_dir), num_perm=16, n=3, bands=4, max_iter=6
+    )

@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     # --- tier 2: LLM-data-pipeline family heads ---
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_substring_spans", "dedup_embedding_cosine",
+    "dedup_minhash_collapsed", "dedup_embedding_collapsed",
     "similarity_cosine_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "similarity_pq_adc", "similarity_int8_scan",
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_countmin_heavy_hitters",
