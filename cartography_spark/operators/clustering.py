@@ -157,19 +157,31 @@ def trained_centroid_frame(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int = 1,
 ) -> DataFrame:
     """One integer-exact k-means round -> trained coarse-quantizer cells for
     IVF (similarity.ivf_ann_topk): returns (cid, cv array<double>), cv the
     floor-mean centroid de-quantized back to doubles (c / 1e6 — the same
     double both engines compute from the same integer). Replaces the
     first-k-vectors seed quantizer with data-adaptive cells at the cost of
-    one distance aggregate + one rebuild."""
-    q = emb.select(id_col, F.posexplode(vec_col).alias("d", "v")).select(
+    one distance aggregate + one rebuild over the TRAINING SAMPLE.
+
+    ``sample_mod`` trains on the deterministic 1/sample_mod slice
+    ``id % sample_mod == 0`` (ids are dense, so the slice is uniform and
+    the oracle reproduces it with one WHERE clause). This is how IVF
+    quantizers are actually built at corpus scale: centroid quality needs
+    O(k * 1000) examples, not the full 100 TB — training cost drops by
+    sample_mod while every vector still gets assigned to a trained cell.
+    Seeds are the first k sample members (id < k * sample_mod)."""
+    src = emb if sample_mod <= 1 else emb.filter(F.col(id_col) % sample_mod == 0)
+    q = src.select(id_col, F.posexplode(vec_col).alias("d", "v")).select(
         id_col,
         "d",
         F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
     )
-    seeds = q.filter(F.col(id_col) < k).select(F.col(id_col).alias("cid"), "d", F.col("qv").alias("c"))
+    seeds = q.filter(F.col(id_col) < k * max(sample_mod, 1)).select(
+        F.col(id_col).alias("cid"), "d", F.col("qv").alias("c")
+    )
     diff = F.col("qv") - F.col("c")
     dist = (
         q.join(F.broadcast(seeds), "d").groupBy(id_col, "cid").agg(F.sum(diff * diff).alias("dist"))

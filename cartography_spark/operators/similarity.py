@@ -146,14 +146,19 @@ def ivf_ann_topk(
         cents = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
     q = F.lit(query_vec).cast("array<double>")
 
-    from pyspark.sql import Window
-
     scored = embeddings.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(cents))
     scored = scored.withColumn("__cos", cosine_similarity(F.col("__v"), F.col("cv")))
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    # argmax-cos (tie: lowest cid) as a mergeable min_by aggregate — partial
+    # aggregation map-side, no per-id window sort (negation of a double is
+    # exact, so the ordering is identical to ORDER BY cos DESC, cid ASC)
     assigned = (
-        scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-        .select(id_col, "cid", "__v")
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cid", "__v"), F.struct((-F.col("__cos")).alias("nc"), F.col("cid"))
+            ).alias("__b")
+        )
+        .select(id_col, F.col("__b.cid").alias("cid"), F.col("__b.__v").alias("__v"))
     )
 
     probes = (

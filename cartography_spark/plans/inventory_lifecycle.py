@@ -520,3 +520,84 @@ def q_pattern_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .df.groupBy(F.col("r__name").alias("r_name"))
         .agg(F.count("*").alias("n_suppliers"))
     )
+
+
+@query(
+    "analysis_ontology_owns",
+    oracle="""
+    WITH ident AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS src_id,
+             CAST(s_suppkey AS VARCHAR) AS dst_id
+      FROM customer JOIN supplier
+        ON CAST(string_split(lower(trim(c_name)), '#')[2] AS BIGINT)
+         = CAST(string_split(lower(trim(s_name)), '#')[2] AS BIGINT)
+      WHERE c_name IS NOT NULL AND trim(c_name) <> ''
+        AND s_name IS NOT NULL AND trim(s_name) <> ''
+    ),
+    chain AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS src_id,
+             CAST(l_suppkey AS VARCHAR) AS dst_id
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT src_id, dst_id FROM ident
+    UNION
+    SELECT src_id, dst_id FROM chain
+    """,
+    doc="Port of the reference's ontology Devices-OWNS linking job "
+    "(analysis/ontology/analysis.py:40-130 DEVICE_OWNS_LINKING): one "
+    "derived relationship label populated by MULTIPLE evidence-path "
+    "statements that merge into a single deduped edge set. Statement 1 "
+    "is the normalized-identity path (the toLower(trim(email)) match, "
+    "analysis.py:46) — lowercased/trimmed names joined on their numeric "
+    "suffix; statement 2 is the account-chain path (the "
+    "User->HAS_ACCOUNT->...->Device chains, analysis.py:54-100) — "
+    "customer -> urgent order -> lineitem -> supplier, gated "
+    "incremental_on the order's update tag exactly like the reference "
+    "gates on IncrementalMatch('obs'). AddRelationship dedups within a "
+    "statement and MERGEs across statements; auto-cleanup drops edges "
+    "not refreshed this run (analysisbuilder.py:385-490).",
+    tags=("engine", "analysis"),
+)
+def q_analysis_ontology_owns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AnalysisJob,
+        AnalysisStatement,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def identity_matcher(c: GraphCatalog) -> DataFrame:
+        suffix = lambda col: F.split(F.lower(F.trim(col)), "#").getItem(1).cast("long")  # noqa: E731
+        cust = c.node("Customer").filter(
+            F.col("name").isNotNull() & (F.trim("name") != "")
+        ).select(F.col("id").alias("cust_id"), suffix(F.col("name")).alias("__sfx"))
+        sup = c.node("Supplier").filter(
+            F.col("name").isNotNull() & (F.trim("name") != "")
+        ).select(F.col("id").alias("supp_id"), suffix(F.col("name")).alias("__sfx"))
+        return cust.join(F.broadcast(sup), "__sfx")
+
+    def chain_matcher(c: GraphCatalog) -> DataFrame:
+        orders = c.node("Order").filter(F.col("priority") == "1-URGENT").select(
+            F.col("id").alias("order_id"),
+            F.col("o_custkey").cast("string").alias("cust_id"),
+            F.col("lastupdated").alias("o_lastupdated"),
+        )
+        items = li.select(
+            F.col("l_orderkey").cast("string").alias("order_id"),
+            F.col("l_suppkey").cast("string").alias("supp_id"),
+        )
+        return orders.join(items, "order_id")
+
+    owns = AddRelationship("Customer", "OWNS", "Supplier", "cust_id", "supp_id")
+    job = AnalysisJob(
+        name="ontology-owns-linking",
+        statements=(
+            AnalysisStatement(identity_matcher, (owns,)),
+            AnalysisStatement(chain_matcher, (owns,), incremental_on=("o_lastupdated",)),
+        ),
+    )
+    job.run(cat, update_tag=100)
+    return cat.edge("Customer", "OWNS", "Supplier").select("src_id", "dst_id")

@@ -311,9 +311,9 @@ def _cos64(a: str, b: str) -> str:
     qn AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS d,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
-      FROM embeddings
+      FROM embeddings WHERE vec_id % 10 = 0
     ),
-    seeds AS (SELECT vec_id AS cid, d, qv AS c FROM qn WHERE vec_id < 16),
+    seeds AS (SELECT vec_id AS cid, d, qv AS c FROM qn WHERE vec_id < 160),
     td AS (SELECT qn.vec_id, s.cid, sum((qn.qv - s.c) * (qn.qv - s.c)) AS dist
            FROM qn JOIN seeds s USING (d) GROUP BY qn.vec_id, s.cid),
     ta AS (SELECT vec_id, cid FROM (
@@ -343,15 +343,17 @@ def _cos64(a: str, b: str) -> str:
     doc="IVF ANN with a TRAINED coarse quantizer: one integer-exact k-means "
     "round (clustering.trained_centroid_frame — bigint micro-units, "
     "floor-division means, so training itself is oracle-reproducible) "
-    "yields 16 data-adaptive cells; the query probes its 4 nearest cells "
-    "and re-ranks exactly inside — scans ~n_probe/n_centroids of the data.",
+    "over the deterministic 1/10 id-slice sample yields 16 data-adaptive "
+    "cells — quantizer training needs O(k*1000) examples, never the full "
+    "corpus; the query probes its 4 nearest cells and re-ranks exactly "
+    "inside — scans ~n_probe/n_centroids of the data.",
     tags=("llm", "similarity"),
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.clustering import trained_centroid_frame
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = trained_centroid_frame(emb, k=16)
+    cents = trained_centroid_frame(emb, k=16, sample_mod=10)
     return sim.ivf_ann_topk(
         emb, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probe=4, centroids=cents
     )

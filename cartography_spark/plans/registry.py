@@ -76,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "cleanup_rel_only", "matchlink_scoped_cleanup",
     # analysis DSL
     "analysis_set_property", "analysis_add_relationship", "analysis_add_to_set",
-    "analysis_set_rel_property", "analysis_exposure_chain",
+    "analysis_set_rel_property", "analysis_exposure_chain", "analysis_ontology_owns",
     # UDF-shaped logic + rules + drift
     "permission_statement_eval", "rule_compliance_counts", "drift_detect_states",
     # orchestration / meta (sources, jobs, sync, introspection, ontology)
