@@ -427,3 +427,166 @@ def q_ontology_mapping_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ont_display",
         "_ont_eligible",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full rules corpus: the 23 remaining reference rule files
+# ---------------------------------------------------------------------------
+
+_CORPUS_ORACLE = """
+    SELECT 'cis-gcp-uncovered-nations' AS fact_id, f AS failing, t - f AS passing, t AS total
+    FROM (SELECT CAST((SELECT count(*) FROM nation WHERE NOT EXISTS
+            (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM nation) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-aws-iam-stale-privileged', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM customer WHERE c_acctbal > 9000
+            AND c_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey
+                              HAVING max(o_orderdate) < TIMESTAMP '1995-06-01')) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-aws-logging-no-collector', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM nation WHERE NOT EXISTS
+            (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM nation) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-aws-networking-wide-open', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM (
+            SELECT l_suppkey FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY l_suppkey HAVING count(DISTINCT n_regionkey) >= 4)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-aws-storage-public-large', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM part
+            WHERE p_size >= 45 AND p_retailprice > 1800) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM part) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-gws-external-sharing', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM customer
+            WHERE c_mktsegment = 'HOUSEHOLD' AND c_acctbal > 8000) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-k8s-rbac-wildcard', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderpriority = '1-URGENT' AND c_acctbal < 0) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM orders) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'cis-k8s-privileged-workload', f, t - f, t
+    FROM (SELECT CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_quantity >= 49 AND l_discount > 0.08) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM orders) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'security-product-deactivated', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM region WHERE
+            (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_regionkey = r_regionkey AND s_acctbal > 9000) < 2) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM region) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'database-instance-exposed', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 400000) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM orders) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'databricks-weak-workspace', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM customer
+            WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 0 AND c_acctbal <= 100) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'delegation-boundary-modifiable', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM (
+            SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+            GROUP BY l_suppkey HAVING count(DISTINCT l_orderkey) > 10)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'device-posture-gap', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM supplier
+            WHERE s_acctbal > 0 AND s_acctbal < 1000) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'guardduty-active-threat', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM (
+            SELECT user_id FROM events WHERE event_type = 'error'
+            GROUP BY user_id HAVING count(*) >= 20)) AS BIGINT) AS f,
+          CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'identity-mfa-org-gap', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM (
+            SELECT c_nationkey FROM customer GROUP BY c_nationkey
+            HAVING count(CASE WHEN c_acctbal < 0 THEN 1 END) * 100 > count(*) * 12)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM nation) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'k8s-control-plane-exposed', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND s_acctbal > 9000) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'policy-admin-privileges', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey HAVING count(*) > 4)) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'public-snapshots', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM part
+            WHERE p_type LIKE 'PROMO%' AND p_retailprice < 950) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM part) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'monitoring-gap-users', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+            WHERE NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_type = 'signup' AND s.user_id = b.user_id)) AS BIGINT) AS f,
+          CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'serverless-exposed', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM orders
+            WHERE o_orderpriority = '2-HIGH' AND o_orderstatus = 'O'
+              AND o_totalprice > 300000) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM orders) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'tailscale-key-expiry', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name LIKE 'I%' AND s_acctbal < 500) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'workload-identity-admin', f, t - f, t
+    FROM (SELECT CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem
+            JOIN part ON l_partkey = p_partkey WHERE p_size >= 49) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM supplier) AS BIGINT) AS t)
+    UNION ALL
+    SELECT 'nist-ai-data-provenance', f, t - f, t
+    FROM (SELECT CAST((SELECT count(*) FROM documents
+            WHERE source IS NULL OR n_chars < 50) AS BIGINT) AS f,
+          CAST((SELECT count(*) FROM documents) AS BIGINT) AS t)
+"""
+
+
+@query(
+    "rules_corpus_run",
+    oracle=_CORPUS_ORACLE,
+    doc="Full rules-corpus completion: one Rule per remaining reference "
+    "rule file (plans/rules_corpus.py — 23 rules; with rules_library's 14 "
+    "that is 37/37 files of rules/data/rules/), each mapped onto the "
+    "fixture catalog with framework mappings (CIS/SOC2/ISO27001/"
+    "NIST-AI-RMF) and run through the Fact/Rule engine with the "
+    "compliance math of rules/runners.py:121-134. Facts span every "
+    "detection family: anti-join coverage gaps, staleness + privilege "
+    "conjunction, reachability fan-out, threshold scans, count/ratio "
+    "HAVING, org-ratio policy, telemetry anti-joins, and provenance "
+    "checks over events/documents tables.",
+    tags=("engine", "rules"),
+)
+def q_rules_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.rules import compliance_summary, run_rules
+    from cartography_spark.plans.rules_corpus import build_corpus_rules
+
+    cat = base_catalog(spark, sf_dir)
+    results = run_rules(build_corpus_rules(spark, sf_dir), cat)
+    return compliance_summary([fr for r in results for fr in r.facts])

@@ -82,7 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # orchestration / meta (sources, jobs, sync, introspection, ontology)
     "graph_job_json_roundtrip", "sync_metadata_merge", "rows_ingest_transform",
     "introspection_schema_reflect", "ontology_semantic_catalog",
-    "ontology_mapping_compile", "rules_extended_run",
+    "ontology_mapping_compile", "rules_extended_run", "rules_corpus_run",
     # redundant certifiers for rows already covered above
     "not_exists_antijoin", "pattern_multihop_read", "permission_wildcard_eval",
     # --- tier 2: LLM-data-pipeline family heads ---
