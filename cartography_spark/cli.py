@@ -68,7 +68,14 @@ def cmd_rules_run(args: argparse.Namespace) -> int:
 
     spark = get_spark("cartography-spark-rules")
     cat = GraphCatalog.load(spark, args.warehouse)
-    rules = list(CATALOG_RULES)
+    if getattr(args, "sf_dir", None):
+        # with raw tables available, run the whole ported corpus (37/37
+        # reference rule files); catalog-only mode keeps the 9 static rules
+        from cartography_spark.plans.rules_corpus import full_rule_set
+
+        rules = list(full_rule_set(spark, args.sf_dir))
+    else:
+        rules = list(CATALOG_RULES)
     if getattr(args, "framework", None):
         rules = [r for r in rules if r.has_framework(args.framework)]
     if getattr(args, "rule", None):
@@ -90,6 +97,11 @@ def cmd_rules_list(args: argparse.Namespace) -> int:
     from cartography_spark.plans.frameworks import framework_coverage
     from cartography_spark.plans.rules_library import CATALOG_RULES
 
+    if getattr(args, "full", False):
+        # builders are lazy, so the full corpus lists without a session
+        from cartography_spark.plans.rules_corpus import full_rule_set
+
+        CATALOG_RULES = full_rule_set(None, "")
     if getattr(args, "coverage", False):
         for row in framework_coverage(CATALOG_RULES):
             title = f" — {row['control_title']}" if row["control_title"] else ""
@@ -169,9 +181,14 @@ def build_parser() -> argparse.ArgumentParser:
     rr.add_argument("--framework", help="filter rules by framework short name")
     rr.add_argument("--rule", help="run a single rule by id")
     rr.add_argument("--max-findings", type=int, default=100, dest="max_findings")
+    rr.add_argument(
+        "--sf-dir", dest="sf_dir",
+        help="raw-table directory; enables the full 37-file rule corpus",
+    )
     rr.set_defaults(fn=cmd_rules_run)
     rl = rsub.add_parser("list")
     rl.add_argument("--coverage", action="store_true", help="framework coverage map")
+    rl.add_argument("--full", action="store_true", help="list the full ported corpus")
     rl.set_defaults(fn=cmd_rules_list)
 
     d = sub.add_parser("drift", help="state snapshot + drift detection")

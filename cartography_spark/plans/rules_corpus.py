@@ -576,3 +576,13 @@ def build_corpus_rules(spark: SparkSession, sf_dir: str) -> tuple[Rule, ...]:
             frameworks=(fw("nist-ai-rmf", "GOVERN-1.2"), fw("nist-ai-rmf", "MAP-2.3")),
         ),
     )
+
+
+def full_rule_set(spark: SparkSession, sf_dir: str) -> tuple[Rule, ...]:
+    """Every ported rule across the whole reference corpus (37/37 files of
+    rules/data/rules/): the 10 library rules, the 3 extended shape ports,
+    and the 23 corpus rules. All builders are lazy — table access happens
+    when a fact runs, so listing metadata needs no live session."""
+    from cartography_spark.plans.rules_library import build_extended_rules, build_rules
+
+    return build_rules(spark, sf_dir) + build_extended_rules(spark, sf_dir) + build_corpus_rules(spark, sf_dir)

@@ -310,9 +310,8 @@ def watchlist_rule(spark: SparkSession, sf_dir: str) -> Rule:
     requirements; here 'Brand#' strips from p_brand)."""
     from cartography_spark.sources.parquet import load_table
 
-    part = load_table(spark, sf_dir, "part")
-
     def _watchlist_parts(c: GraphCatalog) -> DataFrame:
+        part = load_table(spark, sf_dir, "part")
         watch = part.sparkSession.createDataFrame(
             [("STANDARD", "16"), ("PROMO", "3"), ("ECONOMY", "25")],
             "w_type string, w_brand string",
@@ -345,7 +344,7 @@ def watchlist_rule(spark: SparkSession, sf_dir: str) -> Rule:
                 query=_watchlist_parts,
                 asset_label="Part",
                 asset_id_field="asset_id",
-                count_query=lambda c: part.count(),
+                count_query=lambda c: load_table(spark, sf_dir, "part").count(),
             ),
         ),
         references=(RuleReference("Supply-chain watchlists", "https://owasp.org"),),
@@ -462,10 +461,9 @@ def cross_region_rule(spark: SparkSession, sf_dir: str) -> Rule:
     (lineitem) is not a catalog label."""
     from cartography_spark.sources.parquet import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-
     def _cross_region_suppliers(c: GraphCatalog) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
         cust = c.node("Customer").select(
             F.col("id").alias("cust_id"), F.col("c_nationkey").alias("cn")
         )
