@@ -39,12 +39,26 @@ def _register_views(spark: SparkSession, cat: GraphCatalog) -> None:
 def cmd_sync(args: argparse.Namespace) -> int:
     spark = get_spark("cartography-spark-sync")
     update_tag = args.update_tag or int(time.time())
-    from cartography_spark.plans.graph_fixture import build_catalog
+    from cartography_spark.plans.graph_fixture import stage_fns
+    from cartography_spark.sync import build_staged_sync
 
-    cat = build_catalog(spark, args.sf_dir, update_tag)
+    cat = GraphCatalog(spark)
+    cat.partition_cols["Supplier"] = "region_id"
+    try:
+        sync = build_staged_sync(
+            stage_fns(spark, args.sf_dir), getattr(args, "selected_stages", None)
+        )
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    errors = sync.run(cat, {"UPDATE_TAG": update_tag})
+    if errors:
+        for name, exc in errors.items():
+            print(f"stage {name} failed: {exc}", file=sys.stderr)
+        return 1
     cat.save(args.warehouse)
     summary = {label: cat.node(label).count() for label in sorted(cat.nodes)}
-    print(json.dumps({"update_tag": update_tag, "nodes": summary}))
+    print(json.dumps({"update_tag": update_tag, "nodes": summary, "stages": sync.metrics}))
     return 0
 
 
@@ -77,9 +91,18 @@ def cmd_rules_run(args: argparse.Namespace) -> int:
     else:
         rules = list(CATALOG_RULES)
     if getattr(args, "framework", None):
-        rules = [r for r in rules if r.has_framework(args.framework)]
+        # reference filter syntax: SHORT[:scope[:revision]], e.g. cis:aws:5.0
+        # (rules/cli.py run_cmd --framework)
+        short, scope, revision = (args.framework.split(":") + [None, None])[:3]
+        rules = [r for r in rules if r.has_framework(short, scope, revision)]
     if getattr(args, "rule", None):
         rules = [r for r in rules if r.rule_id == args.rule]
+    if getattr(args, "fact", None):
+        rules = [r for r in rules if r.get_fact_by_id(args.fact) is not None]
+        rules = [
+            type(r)(**{**r.__dict__, "facts": (r.get_fact_by_id(args.fact),)})
+            for r in rules
+        ]
     if not rules:
         print("no rules matched the filter", file=sys.stderr)
         return 1
@@ -113,6 +136,43 @@ def cmd_rules_list(args: argparse.Namespace) -> int:
         for rule in CATALOG_RULES:
             fws = ", ".join(f"{f.short_name}:{f.requirement}" for f in rule.frameworks)
             print(f"{rule.rule_id}: {rule.name} [{len(rule.facts)} facts] ({fws})")
+    return 0
+
+
+def cmd_rules_frameworks(args: argparse.Namespace) -> int:
+    """Aggregated framework summary — name, scope/revision, rule count,
+    mapped controls with titles (reference rules/cli.py:181-233
+    frameworks_cmd output shape)."""
+    from collections import defaultdict
+
+    from cartography_spark.plans.rules_corpus import full_rule_set
+
+    rules = full_rule_set(None, "")
+    by_short: dict[str, list] = defaultdict(list)
+    for rule in rules:
+        for f in rule.frameworks:
+            by_short[f.short_name].append(f)
+    for short_name in sorted(by_short):
+        fws = by_short[short_name]
+        print(short_name.upper())
+        print(f"  Name: {fws[0].name}")
+        scopes: dict[str, set] = defaultdict(set)
+        for f in fws:
+            if f.scope:
+                scopes[f.scope].add(f.revision)
+        for scope, revisions in sorted(scopes.items()):
+            revs = ", ".join(sorted(r for r in revisions if r))
+            print(f"  Scope: {scope}" + (f" (revisions: {revs})" if revs else ""))
+        n_rules = sum(1 for r in rules if r.has_framework(short_name))
+        print(f"  Rules: {n_rules}")
+        titled = sorted(
+            {(f.requirement, f.control_title) for f in fws if f.control_title}
+        )
+        if titled:
+            print("  Controls:")
+            for req, title in titled:
+                print(f"    - {req}: {title}")
+        print()
     return 0
 
 
@@ -165,6 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     s.add_argument("--warehouse", required=True)
     s.add_argument("--update-tag", type=int, default=None)
+    s.add_argument(
+        "--selected-stages", dest="selected_stages",
+        help="comma-separated subset of sync stages (reference --selected-modules)",
+    )
     s.set_defaults(fn=cmd_sync)
 
     q = sub.add_parser("query", help="run SQL over the graph warehouse views")
@@ -186,10 +250,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="raw-table directory; enables the full 37-file rule corpus",
     )
     rr.set_defaults(fn=cmd_rules_run)
+    rr.add_argument("--fact", help="run a single fact by id")
     rl = rsub.add_parser("list")
     rl.add_argument("--coverage", action="store_true", help="framework coverage map")
     rl.add_argument("--full", action="store_true", help="list the full ported corpus")
     rl.set_defaults(fn=cmd_rules_list)
+    rf = rsub.add_parser("frameworks", help="aggregated framework summary")
+    rf.set_defaults(fn=cmd_rules_frameworks)
 
     d = sub.add_parser("drift", help="state snapshot + drift detection")
     dsub = d.add_subparsers(dest="drift_cmd", required=True)

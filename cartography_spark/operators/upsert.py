@@ -176,7 +176,16 @@ def upsert_rel(
     params: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Join batch rows to the target node table via the matcher, derive
-    (src_id, dst_id) per LinkDirection, and MERGE into the edge table."""
+    (src_id, dst_id) per LinkDirection, and MERGE into the edge table.
+
+    A target label absent from the catalog matches ZERO nodes (Cypher
+    MATCH semantics: the reference's MERGE query simply binds no target
+    rows, tx.py:846-921) — so a partial sync that loads a label before
+    its relationship targets creates no edges rather than failing."""
+    if rel.target_node_label not in catalog.nodes:
+        return batch.sparkSession.createDataFrame(
+            [], "src_id string, dst_id string, lastupdated long, firstseen long"
+        )
     target = catalog.node(rel.target_node_label)
     src_id = schema.properties[schema.id_property].expr(params).cast("string")
     rows = batch.withColumn("__src_id", src_id).filter(F.col("__src_id").isNotNull())

@@ -125,32 +125,63 @@ ORDER_SCHEMA = NodeSchema(
 )
 
 
+def stage_fns(spark: SparkSession, sf_dir: str):
+    """Per-label load stages for the staged Sync — the Spark analog of the
+    reference's intel-module starters (sync.py:588-640 build_sync wires one
+    callable per selected module). Each stage reads config["UPDATE_TAG"]
+    and runs get -> transform -> load for its label; stages are
+    independently runnable because transforms join RAW tables, not catalog
+    state."""
+
+    def region_stage(cat: GraphCatalog, config) -> None:
+        load(cat, REGION_SCHEMA, load_table(spark, sf_dir, "region"), config["UPDATE_TAG"])
+
+    def nation_stage(cat: GraphCatalog, config) -> None:
+        load(cat, NATION_SCHEMA, load_table(spark, sf_dir, "nation"), config["UPDATE_TAG"])
+
+    def supplier_stage(cat: GraphCatalog, config) -> None:
+        # "transform" stage: enrich with the tenant key (region) via nation —
+        # the reference flattens/augments rows in Python before load
+        # (intel/aws/ec2/instances.py:111-297); here it's a broadcast join.
+        nation = load_table(spark, sf_dir, "nation")
+        supplier = load_table(spark, sf_dir, "supplier")
+        supplier_t = supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).withColumn("s_acctbal_positive", F.col("s_acctbal") > 0)
+        load(cat, SUPPLIER_SCHEMA, supplier_t, config["UPDATE_TAG"])
+
+    def customer_stage(cat: GraphCatalog, config) -> None:
+        nation = load_table(spark, sf_dir, "nation")
+        customer = load_table(spark, sf_dir, "customer")
+        customer_t = customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        load(cat, CUSTOMER_SCHEMA, customer_t, config["UPDATE_TAG"])
+
+    def orders_stage(cat: GraphCatalog, config) -> None:
+        load(cat, ORDER_SCHEMA, load_table(spark, sf_dir, "orders"), config["UPDATE_TAG"])
+
+    return {
+        "region": region_stage,
+        "nation": nation_stage,
+        "supplier": supplier_stage,
+        "customer": customer_stage,
+        "orders": orders_stage,
+    }
+
+
 def build_catalog(spark: SparkSession, sf_dir: str, update_tag: int = 100) -> GraphCatalog:
     """Run the real load pipeline over region/nation/customer/supplier/orders."""
+    from cartography_spark.sync import Sync
+
     cat = GraphCatalog(spark)
     cat.partition_cols["Supplier"] = "region_id"
-    region = load_table(spark, sf_dir, "region")
-    nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    orders = load_table(spark, sf_dir, "orders")
-
-    load(cat, REGION_SCHEMA, region, update_tag)
-    load(cat, NATION_SCHEMA, nation, update_tag)
-
-    # "transform" stage: enrich with the tenant key (region) via nation —
-    # the reference flattens/augments rows in Python before load
-    # (intel/aws/ec2/instances.py:111-297); here it's a broadcast join.
-    supplier_t = supplier.join(
-        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
-        supplier.s_nationkey == F.col("n_nationkey"),
-    ).withColumn("s_acctbal_positive", F.col("s_acctbal") > 0)
-    load(cat, SUPPLIER_SCHEMA, supplier_t, update_tag)
-
-    customer_t = customer.join(
-        F.broadcast(nation.select("n_nationkey", "n_regionkey")),
-        customer.c_nationkey == F.col("n_nationkey"),
-    )
-    load(cat, CUSTOMER_SCHEMA, customer_t, update_tag)
-    load(cat, ORDER_SCHEMA, orders, update_tag)
+    sync = Sync()
+    for name, fn in stage_fns(spark, sf_dir).items():
+        sync.add_stage(name, fn)
+    errors = sync.run(cat, {"UPDATE_TAG": update_tag})
+    if errors:
+        raise next(iter(errors.values()))
     return cat

@@ -85,3 +85,47 @@ class Sync:
                  "wall_s": round(time.monotonic() - t0, 3)}
             )
         return errors
+
+
+# Canonical stage set of the fixture sync, in default run order — the analog
+# of the reference's TOP_LEVEL_MODULES registry (sync.py:500-540).
+TOP_LEVEL_STAGES: tuple[str, ...] = ("region", "nation", "supplier", "customer", "orders")
+
+
+def parse_and_validate_selected_stages(selected_stages: str) -> list[str]:
+    """Parse a comma-separated stage selection, validating each name against
+    TOP_LEVEL_STAGES (reference sync.py:542-586
+    parse_and_validate_selected_modules): whitespace-tolerant, order- and
+    dedup-preserving, with an error message that lists every valid value."""
+    validated: list[str] = []
+    for stage in selected_stages.split(","):
+        stage = stage.strip()
+        if stage in TOP_LEVEL_STAGES:
+            if stage not in validated:
+                validated.append(stage)
+        else:
+            valid = ", ".join(TOP_LEVEL_STAGES)
+            raise ValueError(
+                f'Error parsing `selected_stages`. You specified "{selected_stages}". '
+                f"Please check that your string is formatted properly. "
+                f'Example valid input looks like "region,nation" or "supplier, orders". '
+                f"Our full list of valid values is: {valid}."
+            )
+    return validated
+
+
+def build_staged_sync(stages: dict[str, Any], selected_stages: str | None = None) -> "Sync":
+    """Build a Sync over ``stages`` (name -> StageFunc), optionally limited
+    to a validated selection in the order the user listed it (reference
+    sync.py:588-640 build_sync)."""
+    sync = Sync()
+    names = (
+        parse_and_validate_selected_stages(selected_stages)
+        if selected_stages
+        else [n for n in TOP_LEVEL_STAGES if n in stages] or list(stages)
+    )
+    for name in names:
+        if name not in stages:
+            raise ValueError(f"unknown stage {name!r}; available: {', '.join(stages)}")
+        sync.add_stage(name, stages[name])
+    return sync
