@@ -1,0 +1,138 @@
+"""Distributed BPE-merge training (tokenizer support for the LLM data
+pipeline).
+
+The corpus never re-tokenizes per round: training runs on the DISTINCT-WORD
+frequency table (one shuffle to build), which is the classic BPE trick —
+pair counts are vocab-bounded (|V| rows, typically 10^5-10^6) regardless of
+corpus size, so 100 TB of text costs one word-count aggregation plus
+n_merges rounds over the vocabulary. Each round:
+
+1. adjacent symbol pairs per word (transform over the symbol array),
+   weighted by word frequency, one groupBy sum;
+2. argmax merge (weight desc, pair lexical asc) — ONE row collected to the
+   driver (the merge table is the model artifact, driver-side by design,
+   like k-means centroids);
+3. apply the merge with a left-to-right non-overlapping fold over each
+   word's symbol string (greedy BPE application), entirely JVM-side.
+
+The fold is expressed identically in Spark (`aggregate`) and DuckDB
+(`list_reduce`), so the whole iterative trainer has an exact SQL oracle.
+Reference has no tokenizer; this extends the text-analysis family
+(SURVEY.md §2 LLM ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z]+"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wt, sym): lowercase word frequencies with the initial
+    space-joined character symbol string ('the' -> 't h e')."""
+    words = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .withColumn(
+            "sym",
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"
+            ),
+        )
+    )
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    # single-symbol words have no pairs; filtering first also keeps the
+    # sequence() bound positive (Spark's sequence(1, 0) DESCENDS)
+    return (
+        wf.filter(F.expr("size(split(sym, ' ')) >= 2"))
+        .select(
+            "wt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                    " i -> struct(element_at(split(sym, ' '), i) AS l,"
+                    "             element_at(split(sym, ' '), i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wt").alias("c"))
+    )
+
+
+def _apply_merge(wf: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of (left, right) in every
+    word's symbol string, as a fold: acc starts at the first symbol; a step
+    merges iff acc's TRAILING symbol is `left` and the next is `right` —
+    a symbol just produced by a merge can't merge again this round, which
+    is exactly BPE's single-pass application order."""
+    merged = left + right
+    fold = (
+        "aggregate("
+        " slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)),"
+        " element_at(split(sym, ' '), 1),"
+        " (acc, x) -> CASE"
+        f"   WHEN (acc = '{left}' OR acc LIKE '% {left}') AND x = '{right}'"
+        f"   THEN concat(substring(acc, 1, length(acc) - {len(left)}), '{merged}')"
+        "   ELSE concat(acc, ' ', x) END)"
+    )
+    return wf.withColumn("sym", F.expr(fold))
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus; returns the
+    merge table (rank, lhs, rhs, merged, weight). Per round the corpus
+    costs nothing — only the vocabulary table is re-folded (checkpointed
+    per round to truncate lineage)."""
+    wf = word_freqs(docs, text_col).localCheckpoint(eager=True)
+    rows = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(wf)
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        rows.append((rank, l, r, l + r, c))
+        if rank < n_merges:
+            wf = _apply_merge(wf, l, r).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, weight long"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: (id, n_words, n_symbols) —
+    the compression measurement you run after training. Same fold as
+    training, applied in merge-rank order."""
+    wf = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("word"),
+    ).withColumn(
+        "sym",
+        F.expr("array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), ' ')"),
+    )
+    for left, right in merges:
+        wf = _apply_merge(wf, left, right)
+    return wf.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split("sym", " "))).cast("long").alias("n_symbols"),
+    )

@@ -1571,3 +1571,116 @@ def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_cluster_collapsed(
         _docs_with_dupes(spark, sf_dir), num_perm=16, n=3, bands=4, max_iter=6
     )
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE training round (pair counts -> argmax merge ->
+    fold-applied vocabulary) as DuckDB CTEs p{k}/m{k}/w{k} over w{k-1}."""
+    return f"""
+    p{k} AS (
+      SELECT u.l AS l, u.r AS r, CAST(sum(wt) AS BIGINT) AS c FROM (
+        SELECT wt, unnest(list_transform(generate_series(1, len(string_split(sym,' '))-1),
+               i -> {{'l': string_split(sym,' ')[i], 'r': string_split(sym,' ')[i+1]}})) AS u
+        FROM w{k - 1}
+      ) GROUP BY u.l, u.r
+    ),
+    m{k} AS (SELECT {k} AS rank, l, r, l || r AS m, c FROM p{k}
+             ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    w{k} AS (
+      SELECT word, wt,
+        list_reduce(string_split(sym,' '), (acc, x) -> CASE
+          WHEN (acc = m.l OR acc LIKE '% ' || m.l) AND x = m.r
+          THEN substr(acc, 1, length(acc) - length(m.l)) || m.m
+          ELSE acc || ' ' || x END) AS sym
+      FROM w{k - 1} CROSS JOIN m{k} m
+    )"""
+
+
+_BPE_W0_SQL = """
+    w0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wt,
+             list_reduce(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+                         (a, b) -> a || ' ' || b) AS sym
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+      GROUP BY word
+    )"""
+
+
+@query(
+    "bpe_merge_table",
+    oracle="WITH "
+    + ",".join([_BPE_W0_SQL] + [_bpe_round_sql(k) for k in (1, 2, 3, 4)])
+    + """
+    SELECT rank, l AS lhs, r AS rhs, m AS merged, c AS weight
+    FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+          UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
+    """,
+    doc="Distributed BPE-merge training (operators/bpe.py): the first 4 "
+    "merges learned over the corpus. The heavy stage is VOCAB-bounded — "
+    "pair counting and merge application run on the distinct-word "
+    "frequency table, never the corpus, so 100 TB of text costs one "
+    "word-count shuffle plus n_merges vocabulary folds; the per-round "
+    "argmax collects exactly ONE row (the merge table is the model "
+    "artifact, like k-means centroids). Greedy left-to-right merge "
+    "application is the same fold in Spark aggregate() and DuckDB "
+    "list_reduce(), so the whole iterative trainer hash-matches.",
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=4)
+
+
+@query(
+    "bpe_segmentation",
+    oracle="WITH "
+    + ",".join([_BPE_W0_SQL] + [_bpe_round_sql(k) for k in (1, 2)])
+    + """
+    , dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id < 100
+    ),
+    s0 AS (
+      SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+                         (a, b) -> a || ' ' || b) AS sym
+      FROM dw
+    ),
+    s1 AS (
+      SELECT doc_id,
+        list_reduce(string_split(sym,' '), (acc, x) -> CASE
+          WHEN (acc = m.l OR acc LIKE '% ' || m.l) AND x = m.r
+          THEN substr(acc, 1, length(acc) - length(m.l)) || m.m
+          ELSE acc || ' ' || x END) AS sym
+      FROM s0 CROSS JOIN m1 m
+    ),
+    s2 AS (
+      SELECT doc_id,
+        list_reduce(string_split(sym,' '), (acc, x) -> CASE
+          WHEN (acc = m.l OR acc LIKE '% ' || m.l) AND x = m.r
+          THEN substr(acc, 1, length(acc) - length(m.l)) || m.m
+          ELSE acc || ' ' || x END) AS sym
+      FROM s1 CROSS JOIN m2 m
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(sym,' '))) AS BIGINT) AS n_symbols
+    FROM s2 GROUP BY doc_id
+    """,
+    doc="BPE segmentation (operators/bpe.py bpe_segment): apply the first "
+    "2 learned merges to a document slice and measure compression — "
+    "per-doc word and symbol counts. Merge application is the same "
+    "greedy left-to-right fold as training, run per corpus word; at "
+    "scale this is one linear pass (broadcast merge table, no shuffle "
+    "until the per-doc count).",
+    tags=("llm", "text"),
+)
+def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.bpe import bpe_learn_merges, bpe_segment
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(docs, n_merges=2).orderBy("rank").collect()
+    ]
+    return bpe_segment(docs.filter(F.col("doc_id") < 100), merges)

@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_histogram_quantiles",
     "graph_pagerank", "graph_connected_components", "graph_triangle_count",
     "graph_label_propagation",
+    "bpe_merge_table", "bpe_segmentation",
     "text_token_stats", "text_quality_score", "text_language_id",
     "text_fingerprint", "text_unigram_logprob",
     "text_pii_scrub", "doc_chunking", "contamination_ngram_overlap",
