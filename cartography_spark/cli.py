@@ -217,6 +217,25 @@ def cmd_drift_detect(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_drift_add_shortcut(args: argparse.Namespace) -> int:
+    """Alias a drift-state file (reference driftdetect/cli.py:130-153
+    add-shortcut; add_shortcut.py) — no Spark session needed."""
+    import os as _os
+
+    from cartography_spark.plans import driftarchive as da
+
+    qdir = _os.path.join(args.state_dir, args.name)
+    if not _os.path.isdir(qdir):
+        print(f"no query directory {qdir!r}; run drift init-query first", file=sys.stderr)
+        return 1
+    if not _os.path.isfile(_os.path.join(qdir, args.filename)):
+        print(f"state file {args.filename!r} not found under {qdir!r}", file=sys.stderr)
+        return 1
+    da.add_shortcut(qdir, args.shortcut, args.filename)
+    print(_os.path.join(qdir, "shortcut.json"))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cartography_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -277,6 +296,14 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--start", required=True, help="state filename or shortcut alias")
     dd.add_argument("--end", required=True, help="state filename or shortcut alias")
     dd.set_defaults(fn=cmd_drift_detect)
+    ds = dsub.add_parser(
+        "add-shortcut", help="alias a state file (reference driftdetect add-shortcut)"
+    )
+    ds.add_argument("--state-dir", required=True)
+    ds.add_argument("--name", required=True, help="query directory name")
+    ds.add_argument("--shortcut", required=True, help="alias for the filename")
+    ds.add_argument("--filename", required=True, help="state file to alias")
+    ds.set_defaults(fn=cmd_drift_add_shortcut)
 
     return p
 
