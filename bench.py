@@ -78,8 +78,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         # release checkpointed RDDs from lifecycle/dedup queries so their
-        # executor memory doesn't GC-thrash the next measurement
+        # executor memory doesn't GC-thrash the next measurement; the JVM
+        # GC hint actually reclaims the unpersisted blocks before the next
+        # timing starts (python gc only drops the driver-side references)
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
