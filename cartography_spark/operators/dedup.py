@@ -610,7 +610,7 @@ def exact_collapse(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     pair generator (LSH band buckets, hyperplane buckets) degrades
     quadratically in the copy count if fed raw — k exact copies of one doc
     turn every candidate pair into k^2 pairs. The sf1 rehearsal measured
-    exactly this: 10x replicated input made dedup_minhash_lsh 62x slower,
+    exactly this: 10x replicated input made dedup_minhash_lsh ~57x slower,
     because the PAIR OUTPUT grew ~100x. Collapsing first makes the heavy
     stage run on unique texts only; expansion back to all ids is one
     linear join on the rep key.

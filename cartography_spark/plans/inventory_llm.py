@@ -1564,7 +1564,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expansion through the rep key. Output is O(N) (doc_id, cluster, "
     "keep), never the O(pairs) candidate list that grows quadratically "
     "in the exact-copy count (10x replication made the raw pair contract "
-    "62x slower; this path stays linear).",
+    "~57x slower; this path stays linear).",
     tags=("llm", "dedup", "scale"),
 )
 def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
