@@ -30,3 +30,21 @@ def test_merge_then_merged_symbol_pairs(spark):
     rows = bpe_learn_merges(docs, n_merges=2).orderBy("rank").collect()
     assert (rows[0]["lhs"], rows[0]["rhs"]) == ("a", "b")
     assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["merged"]) == ("ab", "c", "abc")
+
+
+def test_merge_application_preserves_words(spark):
+    """Property: applying ANY learned merge sequence never changes the
+    underlying word — removing the symbol separators always reconstructs
+    the original corpus tokens (segmentation is a partition, not a
+    rewrite)."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.bpe import _apply_merge, word_freqs
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wf = word_freqs(docs)
+    for pair in [("e", "r"), ("t", "h"), ("th", "e"), ("a", "n")]:
+        wf = _apply_merge(wf, *pair)
+    bad = wf.filter(F.replace(F.col("sym"), F.lit(" "), F.lit("")) != F.col("word"))
+    assert bad.count() == 0
