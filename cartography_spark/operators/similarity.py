@@ -541,3 +541,86 @@ def ivf_pq_topk(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    query_doc_id: int = 0,
+    k_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: the dense lane ranks by
+    embedding cosine to ``query_vec``, the sparse lane by word-bigram
+    cosine to document ``query_doc_id``, and candidates fuse with
+    score = 1/(rrf_k + dense_rank) + 1/(rrf_k + sparse_rank) (a lane a
+    candidate missed contributes 0) — the standard way production search
+    merges BM25-ish lexical recall with vector recall.
+
+    Scale shape: the sparse lane is QUERY-vs-corpus, not all-pairs — the
+    query document's bigram vector broadcasts against the inverted index,
+    so cost is linear in the posting lists it touches; the dense lane is
+    one scan; each lane keeps only its top ``k_each`` before the fuse, so
+    the rank window sorts k_each rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from cartography_spark.operators.textprep import _tokens, _word_ngrams
+
+    # dense lane
+    q = F.lit(query_vec).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    dense = (
+        embeddings.filter(F.col(vec_id_col) != query_doc_id)
+        .select(F.col(vec_id_col).alias("id"), cosine_similarity(v, q).alias("dcos"))
+        .orderBy(F.col("dcos").desc(), F.col("id").asc())
+        .limit(k_each)
+    )
+    wd = Window.orderBy(F.col("dcos").desc(), F.col("id").asc())
+    dense = dense.withColumn("dr", F.row_number().over(wd)).select("id", "dr")
+
+    # sparse lane: query-doc bigram vector broadcast against the corpus index
+    grams = docs.select(
+        F.col(doc_id_col).alias("doc"), F.explode(_word_ngrams(_tokens(text_col), 2)).alias("g")
+    )
+    tf = grams.groupBy("doc", "g").agg(F.count("*").cast("bigint").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds norms + both join sides
+    norms = tf.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    qtf = tf.filter(F.col("doc") == query_doc_id).select("g", F.col("tf").alias("qtf"))
+    qnrm = norms.filter(F.col("doc") == query_doc_id).select(F.col("nrm").alias("qnrm"))
+    dots = (
+        tf.filter(F.col("doc") != query_doc_id)
+        .join(F.broadcast(qtf), "g")
+        .groupBy("doc")
+        .agg(F.sum(F.col("tf") * F.col("qtf")).alias("dot"))
+    )
+    sparse = (
+        dots.join(norms, "doc")
+        .crossJoin(F.broadcast(qnrm))
+        .select(
+            F.col("doc").alias("id"),
+            (F.col("dot") / (F.sqrt("nrm") * F.sqrt("qnrm"))).alias("scos"),
+        )
+        .orderBy(F.col("scos").desc(), F.col("id").asc())
+        .limit(k_each)
+    )
+    ws = Window.orderBy(F.col("scos").desc(), F.col("id").asc())
+    sparse = sparse.withColumn("sr", F.row_number().over(ws)).select("id", "sr")
+
+    fused = dense.join(sparse, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (rrf_k + F.col("dr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sr")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.coalesce("dr", F.lit(0)).alias("dense_rank"),
+        F.coalesce("sr", F.lit(0)).alias("sparse_rank"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)

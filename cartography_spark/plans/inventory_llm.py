@@ -1684,3 +1684,61 @@ def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_learn_merges(docs, n_merges=2).orderBy("rank").collect()
     ]
     return bpe_segment(docs.filter(F.col("doc_id") < 100), merges)
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=rf"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense0 AS (
+      SELECT vec_id AS id, {_cos64('e.v', 'q.qv')} AS dcos
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY dcos DESC, id ASC LIMIT 20
+    ),
+    dense AS (SELECT id, row_number() OVER (ORDER BY dcos DESC, id ASC) AS dr FROM dense0),
+    t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+    g AS (SELECT doc_id AS doc, unnest([toks[i] || ' ' || toks[i+1]
+                 FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS g FROM t),
+    tf AS (SELECT doc, g, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY doc, g),
+    nrm AS (SELECT doc, sum(tf * tf) AS nrm FROM tf GROUP BY doc),
+    qtf AS (SELECT g, tf AS qtf FROM tf WHERE doc = 0),
+    qn AS (SELECT nrm AS qnrm FROM nrm WHERE doc = 0),
+    dots AS (SELECT tf.doc AS doc, sum(tf.tf * qtf.qtf) AS dot
+             FROM tf JOIN qtf USING (g) WHERE tf.doc <> 0 GROUP BY tf.doc),
+    sparse0 AS (
+      SELECT dots.doc AS id, dot / (sqrt(nrm.nrm) * sqrt(qn.qnrm)) AS scos
+      FROM dots JOIN nrm ON nrm.doc = dots.doc CROSS JOIN qn
+      ORDER BY scos DESC, id ASC LIMIT 20
+    ),
+    sparse AS (SELECT id, row_number() OVER (ORDER BY scos DESC, id ASC) AS sr FROM sparse0)
+    SELECT COALESCE(dense.id, sparse.id) AS id,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + dr), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sr), 0), 6) AS rrf_score,
+           CAST(COALESCE(dr, 0) AS BIGINT) AS dense_rank,
+           CAST(COALESCE(sr, 0) AS BIGINT) AS sparse_rank
+    FROM dense FULL OUTER JOIN sparse ON dense.id = sparse.id
+    ORDER BY rrf_score DESC, id ASC LIMIT 10
+    """,
+    doc="Hybrid retrieval by Reciprocal Rank Fusion "
+    "(operators/similarity.py hybrid_rrf_topk): the dense lane ranks by "
+    "embedding cosine to vec 0, the sparse lane by word-bigram cosine of "
+    "doc 0's QUERY-vs-corpus broadcast against the inverted index "
+    "(linear in touched posting lists, never all-pairs), each lane keeps "
+    "its top-20, and candidates fuse with 1/(60+rank) per lane — the "
+    "production lexical+vector merge. Integer sparse dots; one "
+    "sqrt/divide per candidate; rank windows sort 20 rows, not the "
+    "corpus.",
+    tags=("llm", "similarity", "text"),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.hybrid_rrf_topk(
+        docs, emb, _query_vec(spark, sf_dir), query_doc_id=0, k_each=20, k=10
+    )
+    return out.select(
+        "id", "rrf_score",
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+        F.col("sparse_rank").cast("long").alias("sparse_rank"),
+    )

@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters", "dedup_substring_spans", "dedup_embedding_cosine",
     "dedup_minhash_collapsed", "dedup_embedding_collapsed",
     "similarity_cosine_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+    "hybrid_search_rrf",
     "similarity_pq_adc", "similarity_int8_scan",
     "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_countmin_heavy_hitters",
     "sketch_histogram_quantiles",

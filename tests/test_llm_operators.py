@@ -315,3 +315,30 @@ def test_ann_recall_ladder(spark, sf_dir):
     cents = trained_centroid_frame(emb, k=16)
     r_ivf_trained = recall(sim.ivf_ann_topk(emb, q, k=10, centroids=cents))
     assert r_ivf_trained >= r_ivf
+
+
+def test_hybrid_rrf_fuses_both_lanes(spark, sf_dir):
+    """RRF math: every returned score equals 1/(60+dr) + 1/(60+sr) with 0
+    for a missed lane, and any candidate ranked in BOTH lanes beats a
+    candidate holding the same single-lane rank."""
+    from cartography_spark.operators.similarity import hybrid_rrf_topk
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    rows = hybrid_rrf_topk(docs, emb, qv, query_doc_id=0, k_each=20, k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = (1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0) + (
+            1.0 / (60 + r["sparse_rank"]) if r["sparse_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-6
+        assert r["id"] != 0  # the query never retrieves itself
+    both = [r for r in rows if r["dense_rank"] and r["sparse_rank"]]
+    single = [r for r in rows if not (r["dense_rank"] and r["sparse_rank"])]
+    for b in both:
+        for s in single:
+            lone = max(s["dense_rank"], s["sparse_rank"])
+            if lone >= max(b["dense_rank"], b["sparse_rank"]):
+                assert b["rrf_score"] > s["rrf_score"]
