@@ -1509,10 +1509,8 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_collapsed",
-    oracle=f"""
-    WITH RECURSIVE base AS ({_DUPES_SQL}),
+_MINHASH_COLLAPSED_CTES = f"""
+WITH RECURSIVE base AS ({_DUPES_SQL}),
     grp AS (
       SELECT b.doc_id, g.rep
       FROM base b
@@ -1555,6 +1553,13 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
     ),
     cl AS (SELECT v, min(lbl) AS cluster FROM r GROUP BY v)
+"""
+
+
+@query(
+    "dedup_minhash_collapsed",
+    oracle=f"""
+    {_MINHASH_COLLAPSED_CTES}
     SELECT grp.doc_id, cl.cluster, (grp.doc_id = cl.cluster) AS keep
     FROM grp JOIN cl ON grp.rep = cl.v
     """,
@@ -1741,4 +1746,65 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "rrf_score",
         F.col("dense_rank").cast("long").alias("dense_rank"),
         F.col("sparse_rank").cast("long").alias("sparse_rank"),
+    )
+
+
+@query(
+    "dataset_split_leakage_safe",
+    oracle=f"""
+    {_MINHASH_COLLAPSED_CTES},
+    assigned AS (
+      SELECT grp.doc_id, cl.cluster,
+             ('0x' || substring(md5('clsplit:' || CAST(cl.cluster AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      FROM grp JOIN cl ON grp.rep = cl.v
+    ),
+    labeled AS (
+      SELECT doc_id, cluster,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM assigned
+    ),
+    leaky AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaky_clusters FROM (
+        SELECT cluster FROM labeled GROUP BY cluster HAVING count(DISTINCT split) > 1)
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           leaky.leaky_clusters
+    FROM labeled CROSS JOIN leaky
+    GROUP BY split, leaky.leaky_clusters
+    """,
+    doc="Leakage-safe train/val/test split: hash-bucket on the NEAR-DUP "
+    "CLUSTER id (minhash_cluster_collapsed), not the doc id, so exact "
+    "and near duplicates always land in the same split — the standard "
+    "guard against train/test contamination that per-doc hashing cannot "
+    "give. Self-certifying output: leaky_clusters (clusters spanning >1 "
+    "split) is computed in-plan and must be 0. Split membership stays a "
+    "pure salted-hash function, stable across engines and re-syncs.",
+    tags=("llm", "sampling", "dedup", "scale"),
+)
+def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import hash_bucket
+
+    clusters = dd.minhash_cluster_collapsed(
+        _docs_with_dupes(spark, sf_dir), num_perm=16, n=3, bands=4, max_iter=6
+    ).select("doc_id", "cluster")
+    b = hash_bucket(F.col("cluster"), 100, "clsplit")
+    labeled = clusters.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    leaky = (
+        labeled.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_clusters"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
     )

@@ -88,7 +88,7 @@ PRIORITY: tuple[str, ...] = (
     # --- tier 2: LLM-data-pipeline family heads ---
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_substring_spans", "dedup_embedding_cosine",
-    "dedup_minhash_collapsed", "dedup_embedding_collapsed",
+    "dedup_minhash_collapsed", "dedup_embedding_collapsed", "dataset_split_leakage_safe",
     "similarity_cosine_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "hybrid_search_rrf",
     "similarity_pq_adc", "similarity_int8_scan",

@@ -90,6 +90,7 @@ _SCALAR_ATTACH = {
     "embedding_label_centroids",    # x broadcast(1-row min/max arrays, via int8_quantize)
     "sketch_kmv_difference",        # x broadcast(1-row kth hash + 1-row exact count)
     "sync_metadata_merge",          # x broadcast(1-row skipped-stage count)
+    "dataset_split_leakage_safe",   # x broadcast(1-row leaky-cluster count)
 }
 
 
