@@ -91,6 +91,7 @@ _SCALAR_ATTACH = {
     "sketch_kmv_difference",        # x broadcast(1-row kth hash + 1-row exact count)
     "sync_metadata_merge",          # x broadcast(1-row skipped-stage count)
     "dataset_split_leakage_safe",   # x broadcast(1-row leaky-cluster count)
+    "hybrid_search_rrf",            # x broadcast(1-row query-doc bigram norm)
 }
 
 
