@@ -152,6 +152,62 @@ def kmeans_exact(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    threshold: float = 0.9,
+    round_digits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering followed by WITHIN-CLUSTER cosine pruning — a row is pruned
+    when its cluster contains a lower-id member with cosine >= threshold.
+
+    This is the scale contract that makes semantic dedup tractable: the
+    pair generator is an equi-join on the cluster id, so candidate pairs
+    are bounded by the largest cluster, never the corpus (at production
+    scale k grows with n to cap cluster sizes — k' ~ n/target_cluster_size
+    — which only changes the integer-exact k-means step's centroid table
+    size). Clustering reuses kmeans_exact, so assignment is bit-identical
+    to the oracle's unrolled CTE; the cosine check runs on the original
+    float vectors, left-to-right accumulation, rounded to
+    ``round_digits``.
+
+    Returns (id, cluster, pruned) for every input row.
+    """
+    from cartography_spark.operators.similarity import cosine_similarity
+
+    assign = kmeans_exact(emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cluster"
+    )
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    m = assign.join(v, id_col)
+    a = m.select(
+        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = m.select(
+        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+    )
+    pruned = (
+        a.join(b, ["cluster"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_digits)
+            >= threshold
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__p", F.lit(True))
+    )
+    return assign.join(pruned, id_col, "left").select(
+        F.col(id_col),
+        "cluster",
+        F.coalesce("__p", F.lit(False)).alias("pruned"),
+    )
+
+
 def trained_centroid_frame(
     emb: DataFrame,
     k: int = 16,

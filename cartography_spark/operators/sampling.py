@@ -69,6 +69,78 @@ def weighted_sample_topk(
     )
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how target-like its hashed-bigram distribution
+    is, then keep the ``top_k`` highest-weight documents.
+
+    The model is two bag-of-hashed-bigram distributions — the target slice
+    (rows where ``target_pred`` holds) and the raw corpus — over
+    ``n_buckets`` md5-hashed buckets with add-1 smoothing. A document's
+    importance weight is the sum over its bigram OCCURRENCES of the
+    per-bucket log-likelihood ratio log p_target(b) - log p_raw(b),
+    quantized to millinats (bigint) so the per-document sum is
+    integer-exact and engine-reproducible regardless of reduction order
+    (same discipline as textstats.unigram_surprisal).
+
+    Plan shape for 100 TB: one explode + one groupBy builds the bucket
+    counts (map-side combinable, output bounded at n_buckets rows); the
+    log-ratio model and its two scalar totals are a bounded broadcast; the
+    scoring pass is one broadcast join + one per-doc sum; selection is a
+    TakeOrdered(top_k) semi-joined back — no global window, no second
+    shuffle over the corpus. Deterministic tie-break (weight desc, id asc).
+
+    Returns (doc_id, n_grams, weight_millinats, selected).
+    """
+    from cartography_spark.operators.textprep import _tokens, _word_ngrams
+
+    base = docs.select(F.col(id_col), target_pred.alias("__t"), _tokens(text_col).alias("__toks"))
+    # small single-file parquet scans as ONE split — spread the compact
+    # pre-explode rows so the explode+md5 work parallelizes
+    base = base.repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    grams = base.select(
+        F.col(id_col), "__t", F.explode(_word_ngrams(F.col("__toks"), 2)).alias("g")
+    ).withColumn("b", portable_hash32(F.col("g"), salt="dsir") % n_buckets)
+
+    raw = grams.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = grams.filter(F.col("__t")).groupBy("b").agg(F.count("*").alias("tc"))
+    model = raw.join(tgt, "b", "left").select("b", "rc", F.coalesce("tc", F.lit(0)).alias("tc"))
+    totals = model.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    lr = (
+        F.log((F.col("tc") + F.lit(1.0)) / (F.col("tt") + F.lit(float(n_buckets))))
+        - F.log((F.col("rc") + F.lit(1.0)) / (F.col("rt") + F.lit(float(n_buckets))))
+    )
+    model = model.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(lr * 1000).cast("bigint").alias("lr_millinats")
+    )
+    scored = (
+        grams.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("lr_millinats").cast("bigint").alias("weight_millinats"),
+        )
+    )
+    chosen = (
+        scored.orderBy(F.col("weight_millinats").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(F.col(id_col), F.lit(True).alias("__sel"))
+    )
+    return scored.join(F.broadcast(chosen), id_col, "left").select(
+        id_col,
+        "n_grams",
+        "weight_millinats",
+        F.coalesce("__sel", F.lit(False)).alias("selected"),
+    )
+
+
 def stratified_sample_topk(
     df: DataFrame, group_col: str, k: int, id_col: str = "doc_id", salt: str = "strat"
 ) -> DataFrame:

@@ -145,6 +145,100 @@ def unigram_surprisal(
     )
 
 
+def nb_language_classifier(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in-engine — the
+    fastText-style shallow classifier stage of a training-data pipeline
+    (language ID, quality routing), with the model learned from the
+    corpus's own labels over hashed unigram buckets.
+
+    Train: per-(label, bucket) token counts with add-1 smoothing plus a
+    document-frequency class prior. Score: log P(label) +
+    sum_tokens log P(bucket|label), decomposed so unobserved
+    (label, bucket) pairs cost nothing — log(c+1) is 0 at c=0, so the
+    likelihood table stays at OBSERVED pairs only (<= n_buckets x
+    n_labels rows, broadcast), and the per-label normalizer
+    -n_tokens * log(ct_label + B) attaches from a label-count table of
+    n_labels rows. All log terms quantized to millinat bigints, so
+    per-document sums are reduction-order-exact across engines.
+
+    Plan at 100 TB: one explode + one (label, bucket) groupBy for the
+    model (bounded output), one broadcast join + per-(doc, label) sum for
+    scoring, one mergeable min_by argmax per doc — no window sort, no
+    shuffle wider than (doc_id, label).
+
+    Returns (doc_id, actual, pred, score_millinats, correct).
+    """
+    from cartography_spark.operators.dedup import portable_hash32
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("actual"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("b", portable_hash32(F.col("tok"), salt="nb") % n_buckets)
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+
+    counts = toks.groupBy(F.col("actual").alias("label"), "b").agg(F.count("*").alias("c"))
+    likelihood = counts.select(
+        "label", "b", F.round(F.log(F.col("c") + 1) * 1000).cast("bigint").alias("lc")
+    )
+    class_tok = counts.groupBy("label").agg(F.sum("c").alias("ct"))
+    prior = docs.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("dc"))
+    n_docs = docs.agg(F.count("*").alias("nd"))
+    classes = (
+        class_tok.join(prior, "label")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "label",
+            F.round(F.log(F.col("ct") + n_buckets) * 1000).cast("bigint").alias("norm"),
+            F.round(F.log(F.col("dc") / F.col("nd")) * 1000).cast("bigint").alias("pr"),
+        )
+    )
+
+    s1 = (
+        toks.join(F.broadcast(likelihood), "b")
+        .groupBy(F.col(id_col), "label")
+        .agg(F.sum("lc").alias("s1"))
+    )
+    per_doc = toks.groupBy(F.col(id_col), F.col("actual")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    scored = (
+        per_doc.crossJoin(F.broadcast(classes))
+        .join(s1, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "actual",
+            "label",
+            (
+                F.col("pr")
+                - F.col("n_tokens") * F.col("norm")
+                + F.coalesce(F.col("s1"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    best = scored.groupBy(F.col(id_col), F.col("actual")).agg(
+        F.min_by(
+            F.struct(F.col("label"), F.col("score")),
+            F.struct((-F.col("score")).alias("ns"), F.col("label")),
+        ).alias("best")
+    )
+    return best.select(
+        F.col(id_col),
+        "actual",
+        F.col("best.label").alias("pred"),
+        F.col("best.score").cast("bigint").alias("score_millinats"),
+        (F.col("best.label") == F.col("actual")).alias("correct"),
+    )
+
+
 def bigram_surprisal(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1808,3 +1808,60 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leaky))
     )
+
+
+@query(
+    "text_nb_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang AS actual,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    tb AS (SELECT doc_id, actual,
+                  ('0x' || substring(md5('nb:' || tok), 1, 8))::BIGINT % 64 AS b
+           FROM toks),
+    counts AS (SELECT actual AS label, b, count(*) AS c FROM tb GROUP BY actual, b),
+    likelihood AS (SELECT label, b, CAST(round(ln(c + 1) * 1000) AS BIGINT) AS lc
+                   FROM counts),
+    class_tok AS (SELECT label, sum(c) AS ct FROM counts GROUP BY label),
+    prior AS (SELECT lang AS label, count(*) AS dc FROM documents GROUP BY lang),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    classes AS (
+      SELECT t.label,
+             CAST(round(ln(ct + 64) * 1000) AS BIGINT) AS norm,
+             CAST(round(ln(dc * 1.0 / nd) * 1000) AS BIGINT) AS pr
+      FROM class_tok t JOIN prior p ON t.label = p.label CROSS JOIN nd
+    ),
+    s1 AS (SELECT tb.doc_id, l.label, sum(l.lc) AS s1
+           FROM tb JOIN likelihood l USING (b) GROUP BY tb.doc_id, l.label),
+    per_doc AS (SELECT doc_id, actual, count(*) AS n_tokens
+                FROM tb GROUP BY doc_id, actual),
+    scored AS (
+      SELECT d.doc_id, d.actual, c.label,
+             c.pr - d.n_tokens * c.norm + coalesce(s1.s1, 0) AS score
+      FROM per_doc d CROSS JOIN classes c
+      LEFT JOIN s1 ON s1.doc_id = d.doc_id AND s1.label = c.label
+    ),
+    best AS (
+      SELECT doc_id, actual, label, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, actual, label AS pred, CAST(score AS BIGINT) AS score_millinats,
+           (label = actual) AS correct
+    FROM best WHERE rn = 1
+    """,
+    doc="In-engine multinomial Naive Bayes (operators/textstats.py:"
+    "nb_language_classifier): train per-(label, hashed-bucket) token "
+    "counts with add-1 smoothing and a document-frequency prior, score "
+    "log P(label) + sum log P(bucket|label) decomposed so the likelihood "
+    "table holds observed pairs only (<= 64 x n_labels rows, broadcast), "
+    "argmax by mergeable min_by. Millinat-quantized logs keep every "
+    "per-doc sum reduction-order-exact, so the whole train+score "
+    "pipeline is hash-identical to the oracle — the fastText-style "
+    "shallow-classifier stage of a data pipeline, UDF-free.",
+    tags=("llm", "text"),
+)
+def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.nb_language_classifier(_docs(spark, sf_dir))

@@ -23,6 +23,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+_KMEANS4_CTES = """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, d, qv AS c FROM q WHERE vec_id < 4),
+    d1 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
+    d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d2) WHERE rn = 1),
+    c2 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
+    d3 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
+           FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
+    a3 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d3) WHERE rn = 1)
+"""
+
+
 @query(
     "text_repetition_stats",
     oracle=rf"""
@@ -233,35 +265,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_kmeans_exact",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
-      FROM embeddings
-    ),
-    c0 AS (SELECT vec_id AS cid, d, qv AS c FROM q WHERE vec_id < 4),
-    d1 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
-           FROM q JOIN c0 c USING (d) GROUP BY q.vec_id, c.cid),
-    a1 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d1) WHERE rn = 1),
-    c1 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
-           FROM q JOIN a1 a USING (vec_id) GROUP BY a.cid, q.d),
-    d2 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
-           FROM q JOIN c1 c USING (d) GROUP BY q.vec_id, c.cid),
-    a2 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d2) WHERE rn = 1),
-    c2 AS (SELECT a.cid, q.d, CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
-           FROM q JOIN a2 a USING (vec_id) GROUP BY a.cid, q.d),
-    d3 AS (SELECT q.vec_id, c.cid, sum((q.qv - c.c) * (q.qv - c.c)) AS dist
-           FROM q JOIN c2 c USING (d) GROUP BY q.vec_id, c.cid),
-    a3 AS (SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d3) WHERE rn = 1)
+    oracle=_KMEANS4_CTES + """
     SELECT vec_id, cid AS cluster FROM a3
     """,
     doc="Integer-exact Lloyd k-means (k=4, 3 rounds): embeddings quantized "
@@ -650,3 +654,118 @@ def q_sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return kmv_difference_estimate(a, b, "o_custkey", k=64)
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, lang,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]) AS g
+      FROM t
+    ),
+    g AS (SELECT doc_id, lang,
+                 ('0x' || substring(md5('dsir:' || g), 1, 8))::BIGINT % 256 AS b
+          FROM g0),
+    raw AS (SELECT b, count(*) AS rc FROM g GROUP BY b),
+    tgt AS (SELECT b, count(*) AS tc FROM g WHERE lang = 'de' GROUP BY b),
+    model0 AS (SELECT raw.b, rc, coalesce(tc, 0) AS tc
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+    tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM model0),
+    model AS (SELECT b,
+                     CAST(round((ln((tc + 1.0) / (tt + 256.0))
+                               - ln((rc + 1.0) / (rt + 256.0))) * 1000) AS BIGINT) AS lr
+              FROM model0, tot),
+    scored AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(lr) AS BIGINT) AS weight_millinats
+      FROM g JOIN model USING (b) GROUP BY g.doc_id
+    ),
+    chosen AS (SELECT doc_id FROM scored
+               ORDER BY weight_millinats DESC, doc_id ASC LIMIT 100)
+    SELECT s.doc_id, s.n_grams, s.weight_millinats,
+           coalesce(c.doc_id IS NOT NULL, false) AS selected
+    FROM scored s LEFT JOIN chosen c ON s.doc_id = c.doc_id
+    """,
+    doc="DSIR data selection (Xie et al. 2023, operators/sampling.py:"
+    "dsir_importance): importance-weight every document by the hashed-"
+    "bigram log-likelihood ratio between the target slice (lang='de') "
+    "and the raw corpus, add-1 smoothed over 256 md5 buckets, log-ratios "
+    "quantized to millinat bigints so per-doc sums are engine-exact; "
+    "select the top-100 by (weight desc, id). The model is a bounded "
+    "broadcast (256 rows + 2 scalar totals); scoring is one broadcast "
+    "join + per-doc sum; selection a TakeOrdered semi-join — no global "
+    "window, two corpus passes total at any scale.",
+    tags=("llm", "sampling"),
+)
+def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(_docs(spark, sf_dir), F.col("lang") == "de")
+
+
+def _cosab(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, 64), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum') "
+        f"/ (sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum')) "
+        f"* sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')))"
+    )
+
+
+@query(
+    "semdedup_within_cluster",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, (x, i) -> CASE WHEN i = 2 THEN x * 1.1 ELSE x END)
+      FROM embeddings WHERE vec_id < 20
+    ),
+    """
+    + _KMEANS4_CTES.replace("FROM embeddings\n    )", "FROM base\n    )").replace(
+        "WITH q AS", "q AS"
+    )
+    + f"""
+    , assign AS (SELECT vec_id, cid AS cluster FROM a3),
+    pruned AS (
+      SELECT DISTINCT y.vec_id AS idb
+      FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN base a ON a.vec_id = x.vec_id
+      JOIN base b ON b.vec_id = y.vec_id
+      WHERE round({_cosab('a.embedding', 'b.embedding')}, 4) >= 0.9
+    )
+    SELECT s.vec_id, s.cluster,
+           coalesce(p.idb IS NOT NULL, false) AS pruned
+    FROM assign s LEFT JOIN pruned p ON s.vec_id = p.idb
+    """,
+    doc="SemDeDup (Abbas et al. 2023, operators/clustering.py:"
+    "semdedup_prune): integer-exact k-means clustering, then cosine "
+    "pruning WITHIN clusters only — prune a vector when a lower-id "
+    "cluster-mate has cosine >= 0.9. The pair generator is an equi-join "
+    "on the cluster id, so candidate pairs are bounded by the largest "
+    "cluster, never the corpus; at production scale k grows with n to "
+    "cap cluster sizes. Assignment is hash-identical to the unrolled "
+    "k-means CTE; the float cosine recheck rounds at 4 digits.",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # near-dup twins injected deterministically, same recipe as
+    # dedup_embedding_cosine (DuckDB list index 2 == Spark index 1)
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 1, x * 1.1).otherwise(x)
+        ).alias("embedding"),
+    )
+    return semdedup_prune(emb.unionByName(perturbed), k=4, rounds=3, threshold=0.9)

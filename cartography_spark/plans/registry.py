@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "bpe_merge_table", "bpe_segmentation",
     "text_pii_scrub", "doc_chunking", "contamination_ngram_overlap",
     "dataset_split_hash", "weighted_sample", "stratified_sample",
+    "dsir_importance_resample", "text_nb_classifier", "semdedup_within_cluster",
     "range_join_error_clicks", "scd2_history", "rollup_continuous_aggregate",
     "incremental_agg_maintenance", "cdc_apply_changelog",
     # --- tier 3: the 50 queries already driver-green in CORRECTNESS_r01

@@ -342,3 +342,67 @@ def test_hybrid_rrf_fuses_both_lanes(spark, sf_dir):
             lone = max(s["dense_rank"], s["sparse_rank"])
             if lone >= max(b["dense_rank"], b["sparse_rank"]):
                 assert b["rrf_score"] > s["rrf_score"]
+
+
+def test_dsir_enriches_target_slice(spark):
+    """DSIR top-k selection must over-represent the target slice relative
+    to its corpus share, and weights must be integer-exact bigints."""
+    from cartography_spark.operators.sampling import dsir_importance
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = dsir_importance(docs, F.col("lang") == "de", top_k=100)
+    rows = out.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    assert len(rows) == docs.count()
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == 100
+    de_share_corpus = sum(1 for r in rows if r.lang == "de") / len(rows)
+    de_share_sel = sum(1 for r in sel if r.lang == "de") / len(sel)
+    assert de_share_sel > 2 * de_share_corpus
+    assert out.schema["weight_millinats"].dataType.simpleString() == "bigint"
+
+
+def test_dsir_deterministic_across_partitioning(spark):
+    from cartography_spark.operators.sampling import dsir_importance
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = dsir_importance(docs, F.col("lang") == "de", top_k=10).collect()
+    b = dsir_importance(docs.repartition(7), F.col("lang") == "de", top_k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_nb_classifier_beats_chance(spark):
+    from cartography_spark.operators.textstats import nb_language_classifier
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = nb_language_classifier(docs).collect()
+    assert len(out) == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert all(r.pred in langs for r in out)
+    acc = sum(1 for r in out if r.correct) / len(out)
+    assert acc > 1.5 / len(langs)  # comfortably above chance
+
+
+def test_semdedup_prunes_injected_twins(spark, sf_dir):
+    """A perturbed twin (cosine ~0.995 to its source) must land in the same
+    k-means cluster and be pruned; every original row must survive."""
+    from cartography_spark.operators.clustering import semdedup_prune
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: F.when(i == 1, x * 1.1).otherwise(x)).alias(
+            "embedding"
+        ),
+    )
+    out = semdedup_prune(emb.unionByName(twins), k=2, rounds=2, threshold=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    for vid in range(5):
+        twin = rows[vid + 1000000]
+        assert twin.pruned, f"twin of {vid} not pruned"
+        assert twin.cluster == rows[vid].cluster
+    assert not any(r.pruned for v, r in rows.items() if v < 1000000)

@@ -92,6 +92,8 @@ _SCALAR_ATTACH = {
     "sync_metadata_merge",          # x broadcast(1-row skipped-stage count)
     "dataset_split_leakage_safe",   # x broadcast(1-row leaky-cluster count)
     "hybrid_search_rrf",            # x broadcast(1-row query-doc bigram norm)
+    "dsir_importance_resample",     # x broadcast(1-row corpus/target totals)
+    "text_nb_classifier",           # x broadcast(1-row doc total + n_labels-row class table)
 }
 
 
