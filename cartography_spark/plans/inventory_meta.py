@@ -590,3 +590,70 @@ def q_rules_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = base_catalog(spark, sf_dir)
     results = run_rules(build_corpus_rules(spark, sf_dir), cat)
     return compliance_summary([fr for r in results for fr in r.facts])
+
+
+# ---------------------------------------------------------------------------
+# Edge-direction migration job (the reference's JSON job corpus shape)
+# ---------------------------------------------------------------------------
+
+_MIGRATION_JOB_JSON = """
+{
+  "name": "RESOURCE edge direction migration",
+  "short_name": "resource_edge_migration",
+  "statements": [
+    {"query": "SELECT src_id, dst_id, firstseen, lastupdated FROM e_Region__RESOURCE__Supplier UNION ALL SELECT l.dst_id AS src_id, l.src_id AS dst_id, l.firstseen, l.lastupdated FROM e_Supplier__RESOURCE__Region l LEFT ANTI JOIN e_Region__RESOURCE__Supplier c ON c.src_id = l.dst_id AND c.dst_id = l.src_id",
+     "writes": "Region,RESOURCE,Supplier"},
+    {"query": "SELECT * FROM e_Supplier__RESOURCE__Region WHERE 1 = 0",
+     "writes": "Supplier,RESOURCE,Region"},
+    {"query": "SELECT src_id, dst_id, firstseen, lastupdated, legacy_remaining FROM e_Region__RESOURCE__Supplier CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS legacy_remaining FROM e_Supplier__RESOURCE__Region)",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_edge_direction_migration",
+    oracle="""
+    SELECT CAST(n_regionkey AS VARCHAR) AS src_id,
+           CAST(s_suppkey AS VARCHAR) AS dst_id,
+           CAST(CASE WHEN s_suppkey % 10 = 3 THEN 50 ELSE 100 END AS BIGINT) AS firstseen,
+           CAST(CASE WHEN s_suppkey % 10 = 3 THEN 50 ELSE 100 END AS BIGINT) AS lastupdated,
+           CAST(0 AS BIGINT) AS legacy_remaining
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    doc="Edge-direction migration job, the dominant shape of the "
+    "reference's JSON job corpus (data/jobs/analysis/"
+    "gsuite_resource_edge_direction_migration.json; 16 analysis jobs are "
+    "label/edge migrations): legacy (Supplier)-[:RESOURCE]->(Region) "
+    "edges are re-created inverted under the canonical key with MERGE "
+    "ON-CREATE semantics (existing canonical edges keep their "
+    "timestamps; legacy-only edges carry theirs over, here the "
+    "pre-migration tag 50), then the legacy table is emptied (DELETE r "
+    "analogue). Pre-migration state: canonical rows for suppkey%10=3 "
+    "removed, inverted legacy rows for odd suppkeys at tag 50. The job "
+    "runs as three sequential JSON statements through GraphJob "
+    "(job.py:133-327), the final read pinning legacy_remaining=0.",
+    tags=("engine", "job"),
+)
+def q_job_edge_direction_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    key = ("Region", "RESOURCE", "Supplier")
+    canonical = cat.edges[key]
+    sup_num = F.col("dst_id").cast("bigint")
+    # pre-migration state: drop canonical rows for suppkey%10=3, seed the
+    # legacy-direction table with inverted odd-suppkey rows at tag 50
+    cat.set_edge(key, canonical.filter(sup_num % 10 != 3))
+    legacy = canonical.filter(sup_num % 2 == 1).select(
+        F.col("dst_id").alias("src_id"),
+        F.col("src_id").alias("dst_id"),
+        F.lit(50).cast("bigint").alias("firstseen"),
+        F.lit(50).cast("bigint").alias("lastupdated"),
+    )
+    cat.set_edge(("Supplier", "RESOURCE", "Region"), legacy)
+    job = GraphJob.from_json(_MIGRATION_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    return job.run(cat, params={})[-1]

@@ -94,6 +94,7 @@ _SCALAR_ATTACH = {
     "hybrid_search_rrf",            # x broadcast(1-row query-doc bigram norm)
     "dsir_importance_resample",     # x broadcast(1-row corpus/target totals)
     "text_nb_classifier",           # x broadcast(1-row doc total + n_labels-row class table)
+    "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
 }
 
 
