@@ -44,6 +44,14 @@ HEADLINE = [
     "asof_join_nearest",
     "graph_label_propagation",
     "incremental_join_maintenance",
+    # round-2 additions (not in BENCH_r01 — compare per-query, not totals)
+    "dedup_minhash_collapsed",
+    "dedup_embedding_collapsed",
+    "hybrid_search_rrf",
+    "bpe_segmentation",
+    "dsir_importance_resample",
+    "text_nb_classifier",
+    "graph_pagerank",
 ]
 
 

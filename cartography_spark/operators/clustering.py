@@ -160,6 +160,7 @@ def semdedup_prune(
     round_digits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     clustering followed by WITHIN-CLUSTER cosine pruning — a row is pruned
@@ -175,14 +176,46 @@ def semdedup_prune(
     float vectors, left-to-right accumulation, rounded to
     ``round_digits``.
 
+    ``collapse_exact`` (default on) first collapses bit-identical vectors
+    to their min-id representative and runs cluster+prune on unique
+    representatives only, then expands back through one linear join —
+    the same exact-collapse contract as dedup.py's collapsed dedups.
+    For any threshold <= 1 this is RESULT-preserving for the dedup
+    decision (an exact twin always has cosine 1.0 to its representative,
+    so non-minimal members are pruned either way); it changes only the
+    k-means weighting (each duplicate set counts once — the SemDeDup
+    reading that a duplicate set is one semantic point). Web-scale
+    corpora are dominated by exact duplicates; without the collapse a
+    duplication factor f costs f^2 pairs per bucket (measured: the 4x
+    replicated sf1 rehearsal did not finish at k=4; collapsed it matches
+    the unreplicated cost).
+
     Returns (id, cluster, pruned) for every input row.
     """
     from cartography_spark.operators.similarity import cosine_similarity
 
+    v0 = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    if collapse_exact:
+        # group/join on the raw double array: bit-exact in any engine (no
+        # float-to-string formatting), one shuffle on the vector value
+        rep = v0.groupBy("__v").agg(F.min(id_col).alias("__rep"))
+        members = v0.join(rep, "__v").select(F.col(id_col), "__rep")
+        reps = rep.select(F.col("__rep").alias(id_col), F.col("__v").alias(vec_col))
+        core = semdedup_prune(
+            reps, k=k, rounds=rounds, threshold=threshold,
+            round_digits=round_digits, id_col=id_col, vec_col=vec_col,
+            collapse_exact=False,
+        ).withColumnRenamed(id_col, "__rep")
+        return members.join(core, "__rep").select(
+            F.col(id_col),
+            "cluster",
+            (F.col("pruned") | (F.col(id_col) != F.col("__rep"))).alias("pruned"),
+        )
+
     assign = kmeans_exact(emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col).select(
         id_col, "cluster"
     )
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    v = v0
     m = assign.join(v, id_col)
     a = m.select(
         F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")

@@ -109,9 +109,11 @@ def dsir_importance(
         F.col(id_col), "__t", F.explode(_word_ngrams(F.col("__toks"), 2)).alias("g")
     ).withColumn("b", portable_hash32(F.col("g"), salt="dsir") % n_buckets)
 
-    raw = grams.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt = grams.filter(F.col("__t")).groupBy("b").agg(F.count("*").alias("tc"))
-    model = raw.join(tgt, "b", "left").select("b", "rc", F.coalesce("tc", F.lit(0)).alias("tc"))
+    # raw and target bucket counts in ONE corpus pass (map-side combinable)
+    model = grams.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.count_if(F.col("__t")).alias("tc"),
+    )
     totals = model.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     lr = (
         F.log((F.col("tc") + F.lit(1.0)) / (F.col("tt") + F.lit(float(n_buckets))))

@@ -406,3 +406,30 @@ def test_semdedup_prunes_injected_twins(spark, sf_dir):
         assert twin.pruned, f"twin of {vid} not pruned"
         assert twin.cluster == rows[vid].cluster
     assert not any(r.pruned for v, r in rows.items() if v < 1000000)
+
+
+def test_semdedup_collapse_exact_twins(spark, sf_dir):
+    """EXACT duplicate vectors take the collapse path: they never reach the
+    pair generator, yet come back pruned with their representative's
+    cluster; disabling the collapse gives the identical result."""
+    from cartography_spark.operators.clustering import semdedup_prune
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    base = emb.unionByName(twins)
+    a = semdedup_prune(base, k=2, rounds=2, threshold=0.9, collapse_exact=True)
+    ra = {r.vec_id: (r.cluster, r.pruned) for r in a.collect()}
+    assert len(ra) == base.count()
+    for vid in range(5):
+        assert ra[vid + 1000000][1], "exact twin must be pruned"
+        assert ra[vid + 1000000][0] == ra[vid][0]
+    # collapse definition: the collapsed run restricted to representatives
+    # IS a plain run over the unique vector set (k-means sees each
+    # duplicate set once — dup multiplicity must not skew centroids)
+    c = semdedup_prune(emb, k=2, rounds=2, threshold=0.9, collapse_exact=False)
+    rc = {r.vec_id: (r.cluster, r.pruned) for r in c.collect()}
+    assert rc == {v: s for v, s in ra.items() if v < 1000000}
