@@ -355,3 +355,86 @@ def frame_sample(videos: DataFrame, every_n: int, bin_col: str = "video", id_col
 
 # Back-compat alias (pre-round-2 name/shape changed: adds mean_pixel column).
 frame_sample_stub = frame_sample
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (average hash) + near-duplicate blocking
+# ---------------------------------------------------------------------------
+
+def image_ahash(images: DataFrame, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint from DECODED pixels:
+    the classic downscale-and-threshold image near-dup signature. The
+    image's byte stream collapses to its 16 tile-position means (the
+    'downscale' — exact, since the synthesizer tiles a 16-byte pattern);
+    bit i = (position mean > whole-image mean), compared in pure integer
+    form (16 * pos_sum_i * 1 > total_sum * reps cancels to
+    16 * byte_i > digest_sum for tiled payloads) so any engine agrees.
+
+    Returns (id, ahash, band_hi, band_lo, valid): the 16-bit hash and its
+    two 8-bit LSH bands for blocked near-dup joins.
+
+    At scale: a narrow Arrow-batched pass over the binary column — no
+    shuffle; the hash (not the pixels) is what downstream joins carry.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "ahash", "band_hi", "band_lo", "valid")}
+            for _, r in pdf.iterrows():
+                px = bmp_decode(r[bin_col])
+                out[id_col].append(r[id_col])
+                if px is None or px.size % 16 != 0:
+                    out["ahash"].append(0)
+                    out["band_hi"].append(0)
+                    out["band_lo"].append(0)
+                    out["valid"].append(False)
+                    continue
+                flat = px.reshape(-1).astype(np.int64)
+                pos_sum = flat.reshape(-1, 16).sum(axis=0)
+                total = int(flat.sum())
+                reps = flat.size // 16
+                # bit i: pos_mean_i > overall_mean  <=>  16*pos_sum_i > total
+                bits = 16 * pos_sum > total
+                ah = int(sum(1 << i for i in range(16) if bits[i]))
+                out["ahash"].append(ah)
+                out["band_hi"].append(ah >> 8)
+                out["band_lo"].append(ah & 0xFF)
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        extract, f"{id_col} long, ahash long, band_hi long, band_lo long, valid boolean"
+    )
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Blocked perceptual near-dup pairs: candidates must collide on one
+    of the two 8-bit hash bands (exact recall for Hamming <= 1 by
+    pigeonhole; probabilistic beyond — the standard banded-LSH trade),
+    then verify true Hamming distance <= ``max_hamming`` with
+    bit_count(xor). Pair space is sum-over-band-values of postings^2,
+    never corpus^2.
+    """
+    a = hashes.select(
+        F.col(id_col).alias("a"), F.col("ahash").alias("ha"),
+        F.col("band_hi").alias("__bh"), F.col("band_lo").alias("__bl"),
+    )
+    b = hashes.select(
+        F.col(id_col).alias("b"), F.col("ahash").alias("hb"),
+        F.col("band_hi").alias("__bh"), F.col("band_lo").alias("__bl"),
+    )
+    p_hi = a.join(b, "__bh").filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+    p_lo = (
+        a.drop("__bh").join(b.drop("__bh"), "__bl")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+    )
+    cand = p_hi.unionByName(p_lo).dropDuplicates(["a", "b"])
+    ham = F.expr("bit_count(ha ^ hb)").cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

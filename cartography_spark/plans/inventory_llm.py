@@ -1865,3 +1865,43 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.nb_language_classifier(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle=f"""
+    WITH bts AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(range(16), i ->
+                 CASE WHEN 16 * bs[i + 1] > list_aggregate(bs, 'sum')
+                      THEN (1::BIGINT << i) ELSE 0 END), 'sum') AS BIGINT) AS ahash
+      FROM bts
+    ),
+    hb AS (SELECT doc_id, ahash, ahash // 256 AS bh, ahash % 256 AS bl FROM h),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.ahash AS ha, y.ahash AS hbv
+      FROM hb x JOIN hb y ON x.bh = y.bh AND x.doc_id < y.doc_id
+      UNION
+      SELECT x.doc_id, y.doc_id, x.ahash, y.ahash
+      FROM hb x JOIN hb y ON x.bl = y.bl AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(ha, hbv)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hbv)) <= 2
+    """,
+    doc="Perceptual-hash image near-dup (operators/multimodal.py:"
+    "image_ahash + ahash_near_dup_pairs): REAL BMP decode in Arrow "
+    "mapInPandas -> 16-bit average-hash (tile-position mean vs whole-"
+    "image mean, integer-exact comparison) -> banded LSH blocking on the "
+    "two 8-bit halves -> bit_count(xor) Hamming verify <= 2 inside "
+    "buckets only. The multimodal counterpart of the text/embedding "
+    "near-dup family: hash extraction is a narrow no-shuffle pass, and "
+    "the pair space is posting-list-bounded, never corpus^2. The oracle "
+    "recomputes the hash in closed form from the md5 digest bytes the "
+    "synthesizer tiles into each image.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = mm.synthesize_image_column(_docs(spark, sf_dir))
+    hashes = mm.image_ahash(images)
+    return mm.ahash_near_dup_pairs(hashes, max_hamming=2)

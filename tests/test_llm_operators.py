@@ -433,3 +433,29 @@ def test_semdedup_collapse_exact_twins(spark, sf_dir):
     c = semdedup_prune(emb, k=2, rounds=2, threshold=0.9, collapse_exact=False)
     rc = {r.vec_id: (r.cluster, r.pruned) for r in c.collect()}
     assert rc == {v: s for v, s in ra.items() if v < 1000000}
+
+
+def test_ahash_identical_and_inverted_images(spark, sf_dir):
+    """An exact image copy pairs at Hamming 0; an inverted image (255-px)
+    flips every hash bit and must NOT pair at max_hamming=2. Invalid
+    payloads hash to valid=false."""
+    from cartography_spark.operators import multimodal as mm
+    from cartography_spark.sources.parquet import load_table
+    import pyspark.sql.functions as SF
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    images = mm.synthesize_image_column(docs)
+    twin = images.filter(SF.col("doc_id") == 0).select(
+        (SF.col("doc_id") + 1000000).alias("doc_id"), "image"
+    )
+    hashes = mm.image_ahash(images.unionByName(twin))
+    assert hashes.filter(~SF.col("valid")).count() == 0
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in mm.ahash_near_dup_pairs(hashes, max_hamming=2).collect()
+    }
+    assert pairs[(0, 1000000)] == 0
+    bad = mm.image_ahash(
+        spark.createDataFrame([(5, bytearray(b"notabmp"))], "doc_id long, image binary")
+    ).collect()[0]
+    assert not bad.valid and bad.ahash == 0
