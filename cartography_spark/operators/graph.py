@@ -174,7 +174,7 @@ def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:
 
     Returns (node, cost) for nodes reachable within the hop bound.
     """
-    edges.persist().count()
+    edges = _persist_copartitioned(edges, "src")
     dist = edges.sparkSession.createDataFrame([(source, 0)], "node BIGINT, cost BIGINT")
     for _ in range(rounds):
         relaxed = (
@@ -453,7 +453,7 @@ def temporal_reachability(
     bounded fixed point bit-exact in any engine. Lineage truncated per
     round (same pattern as bellman_ford above).
     """
-    edges.persist()
+    edges = _persist_copartitioned(edges, "src")
     arr = edges.sparkSession.createDataFrame(
         [(source, 0)], "node BIGINT, arrival BIGINT"
     )

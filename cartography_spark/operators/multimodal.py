@@ -417,6 +417,9 @@ def ahash_near_dup_pairs(
     bit_count(xor). Pair space is sum-over-band-values of postings^2,
     never corpus^2.
     """
+    # the hash relation is consumed four times (two bands x two sides);
+    # materialize it so the upstream decode pass runs ONCE, not four times
+    hashes = hashes.localCheckpoint(eager=True)
     a = hashes.select(
         F.col(id_col).alias("a"), F.col("ahash").alias("ha"),
         F.col("band_hi").alias("__bh"), F.col("band_lo").alias("__bl"),

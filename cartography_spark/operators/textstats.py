@@ -207,8 +207,11 @@ def nb_language_classifier(
         .groupBy(F.col(id_col), "label")
         .agg(F.sum("lc").alias("s1"))
     )
-    per_doc = toks.groupBy(F.col(id_col), F.col("actual")).agg(
-        F.count("*").alias("n_tokens")
+    # n_tokens as a narrow projection on docs — no third explode pass
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("actual"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).cast("long").alias("n_tokens"),
     )
     scored = (
         per_doc.crossJoin(F.broadcast(classes))
