@@ -381,6 +381,48 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_delta_pairs(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental LSH index maintenance: the candidate near-dup pairs that
+    APPEAR when ``delta_docs`` arrive — every pair has at least one delta
+    side; base-base pairs (already known) are never regenerated.
+
+    This is the daily-increment contract of a crawl pipeline: signatures
+    are computed for the delta only (here base signatures are recomputed
+    for self-containment; in production they are the stored index), and
+    the band join probes DELTA band rows against the full band index, so
+    the pair space is delta-postings x bucket — cost proportional to the
+    increment, never |base|^2. Composes with cluster_min_label /
+    exact_collapse exactly like the batch pair generator.
+
+    Returns distinct (a, b) with a < b and at least one side in delta.
+    """
+    wb = minhash_wide(base_docs, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    wd = minhash_wide(delta_docs, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
+    bb = band_signatures(wb, bands=bands, id_col=id_col)
+    bd = band_signatures(wd, bands=bands, id_col=id_col)
+    bd = bd.localCheckpoint(eager=True)  # probe side feeds the union AND the join
+    index = bb.unionByName(bd)
+    probe = bd.select(F.col(id_col).alias("__da"), "band", "bsig")
+    hit = index.select(F.col(id_col).alias("__db"), "band", "bsig")
+    return (
+        probe.join(hit, ["band", "bsig"])
+        .filter(F.col("__da") != F.col("__db"))
+        .select(
+            F.least("__da", "__db").alias("a"),
+            F.greatest("__da", "__db").alias("b"),
+        )
+        .distinct()
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 32,

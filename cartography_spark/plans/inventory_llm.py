@@ -1905,3 +1905,49 @@ def q_multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = mm.synthesize_image_column(_docs(spark, sf_dir))
     hashes = mm.image_ahash(images)
     return mm.ahash_near_dup_pairs(hashes, max_hamming=2)
+
+
+@query(
+    "dedup_lsh_incremental",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p,
+             CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
+                       + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p % 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY p) AS bsig
+      FROM mh GROUP BY doc_id, band
+    ),
+    probe AS (SELECT * FROM bands WHERE doc_id % 5 = 0)
+    SELECT DISTINCT least(d.doc_id, u.doc_id) AS a, greatest(d.doc_id, u.doc_id) AS b
+    FROM probe d JOIN bands u ON d.band = u.band AND d.bsig = u.bsig
+    WHERE d.doc_id <> u.doc_id
+    """,
+    doc="Incremental LSH maintenance (operators/dedup.py:lsh_delta_pairs): "
+    "the docs with doc_id%5=0 arrive as a delta against the rest as the "
+    "existing index; only pairs with a delta side are generated — the "
+    "band join probes delta band rows against the full index, so cost is "
+    "proportional to the increment, never |base|^2. The daily-crawl "
+    "counterpart of dedup_minhash_lsh, composing IVM (delta "
+    "decomposition, cf. operators/incremental.py) with the banded-LSH "
+    "dedup family; signatures reproduce bit-exactly in the oracle.",
+    tags=("llm", "dedup", "incremental"),
+)
+def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.lsh_delta_pairs(base, delta, num_perm=16, bands=4, n=3)

@@ -90,6 +90,7 @@ PRIORITY: tuple[str, ...] = (
     "range_join_error_clicks", "scd2_history", "rollup_continuous_aggregate",
     "incremental_agg_maintenance", "cdc_apply_changelog",
     "job_edge_direction_migration", "multimodal_phash_near_dup",
+    "dedup_lsh_incremental",
     # --- tier 3: the 50 queries already driver-green in CORRECTNESS_r01
     # (unchanged since that run; re-verified every round by the local gate) ---
     "projection", "filter_eq", "filter_bool_null", "coalesce_default",

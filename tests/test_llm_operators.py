@@ -459,3 +459,21 @@ def test_ahash_identical_and_inverted_images(spark, sf_dir):
         spark.createDataFrame([(5, bytearray(b"notabmp"))], "doc_id long, image binary")
     ).collect()[0]
     assert not bad.valid and bad.ahash == 0
+
+
+def test_lsh_delta_equals_full_minus_base(spark):
+    """IVM contract: delta pairs == full-run pairs restricted to pairs with
+    at least one delta side; base-base pairs never regenerate."""
+    from cartography_spark.operators.dedup import lsh_delta_pairs, lsh_candidate_pairs, minhash_wide
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    got = {(r.a, r.b) for r in lsh_delta_pairs(base, delta).collect()}
+    full = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(minhash_wide(docs), bands=4, wide=True).collect()
+    }
+    want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
+    assert got == want
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in got)
