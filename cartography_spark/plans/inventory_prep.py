@@ -751,7 +751,12 @@ def _cosab(a: str, b: str) -> str:
     "on the cluster id, so candidate pairs are bounded by the largest "
     "cluster, never the corpus; at production scale k grows with n to "
     "cap cluster sizes. Assignment is hash-identical to the unrolled "
-    "k-means CTE; the float cosine recheck rounds at 4 digits.",
+    "k-means CTE; the float cosine recheck rounds at 4 digits. The "
+    "operator's exact-collapse default is a no-op on this input (all "
+    "520 vectors are bit-distinct — the injected twins are perturbed), "
+    "so the uncollapsed oracle CTE describes the executed path exactly; "
+    "the collapse path itself is pinned by "
+    "test_semdedup_collapse_exact_twins.",
     tags=("llm", "dedup", "similarity"),
 )
 def q_semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
