@@ -477,3 +477,38 @@ def test_lsh_delta_equals_full_minus_base(spark):
     want = {(a, b) for a, b in full if a % 5 == 0 or b % 5 == 0}
     assert got == want
     assert all(a % 5 == 0 or b % 5 == 0 for a, b in got)
+
+
+def test_dsir_empty_target_slice(spark):
+    """An empty target slice must not crash: every bucket's target count is
+    0, the smoothed log-ratio is finite, and top-k still selects."""
+    from cartography_spark.operators.sampling import dsir_importance
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = dsir_importance(docs, F.lit(False), top_k=5).collect()
+    assert len(out) == docs.count()
+    assert sum(1 for r in out if r.selected) == 5
+    assert all(r.weight_millinats is not None for r in out)
+
+
+def test_nb_single_label_degenerate(spark):
+    """With one label the classifier must predict it for every doc."""
+    from cartography_spark.operators.textstats import nb_language_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "xx"), (2, "gamma delta", "xx"), (3, "alpha gamma", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = nb_language_classifier(docs).collect()
+    assert len(out) == 3 and all(r.pred == "xx" and r.correct for r in out)
+
+
+def test_lsh_delta_empty_delta(spark):
+    """An empty increment yields zero new pairs (and no crash)."""
+    from cartography_spark.operators.dedup import lsh_delta_pairs
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    empty = docs.filter(F.lit(False))
+    assert lsh_delta_pairs(docs, empty).count() == 0
