@@ -236,6 +236,37 @@ def cmd_drift_add_shortcut(args: argparse.Namespace) -> int:
     return 0
 
 
+
+def cmd_inventory_list(args: argparse.Namespace) -> int:
+    from cartography_spark.plans.registry import _ordered
+
+    for name, spec in _ordered().items():
+        if args.tag and args.tag not in spec.tags:
+            continue
+        tags = ",".join(spec.tags)
+        print(f"{name}\t[{tags}]")
+    return 0
+
+
+def cmd_inventory_run(args: argparse.Namespace) -> int:
+    from cartography_spark.plans.registry import _ordered
+    from cartography_spark.session import get_spark
+
+    reg = _ordered()
+    if args.name not in reg:
+        print(f"unknown query {args.name!r}; see `inventory list`", file=sys.stderr)
+        return 2
+    spark = get_spark("inventory")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = reg[args.name].spark(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(row.asDict())
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cartography_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -304,6 +335,18 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--shortcut", required=True, help="alias for the filename")
     ds.add_argument("--filename", required=True, help="state file to alias")
     ds.set_defaults(fn=cmd_drift_add_shortcut)
+
+    inv = sub.add_parser("inventory", help="the oracle-verified query registry")
+    isub = inv.add_subparsers(dest="inventory_cmd", required=True)
+    il = isub.add_parser("list", help="list registry queries (verification order)")
+    il.add_argument("--tag", help="filter by tag, e.g. dedup / graph / llm")
+    il.set_defaults(fn=cmd_inventory_list)
+    ir = isub.add_parser("run", help="run one registry query against an sf dir")
+    ir.add_argument("name")
+    ir.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ir.add_argument("--limit", type=int, default=20)
+    ir.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
+    ir.set_defaults(fn=cmd_inventory_run)
 
     return p
 

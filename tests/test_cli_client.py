@@ -75,3 +75,15 @@ def test_client_read_sinks(spark):
     empty = df.filter("k > 5")
     assert client.read_single_value(empty) is None
     assert client.read_single_dict(empty) is None
+
+
+def test_cli_inventory(capsys):
+    from cartography_spark.cli import main
+    from tests.conftest import SF_SMOKE
+
+    assert main(["inventory", "list", "--tag", "multimodal"]) == 0
+    names = [l.split("\t")[0] for l in capsys.readouterr().out.splitlines()]
+    assert "multimodal_phash_near_dup" in names
+    assert main(["inventory", "run", "projection", "--sf-dir", SF_SMOKE, "--limit", "2"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2
+    assert main(["inventory", "run", "no_such_query"]) == 2
