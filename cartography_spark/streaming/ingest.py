@@ -42,3 +42,56 @@ def run_stream_upsert(
     q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
     return catalog
+
+
+def run_stream_lsh_dedup(
+    base_docs: DataFrame,
+    stream_docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous near-dup detection: each micro-batch of arriving documents
+    probes the accumulated corpus with the incremental LSH maintenance
+    operator (operators/dedup.lsh_delta_pairs) and is then folded into the
+    base — the streaming form of the daily-increment dedup contract.
+
+    Per batch: pair cost is batch-postings x bucket (never corpus^2), and
+    the growing base is localCheckpointed so plan lineage stays bounded
+    across batches. State lives in the accumulated DataFrames, not the
+    streaming state store, so every batch gets full Catalyst planning.
+
+    Returns (all_pairs, final_base): the pairs discovered across the whole
+    stream (each with at least one side in the batch that surfaced it) and
+    the merged corpus.
+    """
+    from cartography_spark.operators.dedup import lsh_delta_pairs
+
+    state = {
+        "base": base_docs.select(id_col, text_col).localCheckpoint(eager=True),
+        "pairs": None,
+    }
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.select(id_col, text_col)
+        if delta.isEmpty():
+            return
+        new_pairs = lsh_delta_pairs(
+            state["base"], delta, num_perm=num_perm, bands=bands, n=n,
+            text_col=text_col, id_col=id_col,
+        ).localCheckpoint(eager=True)
+        state["pairs"] = (
+            new_pairs if state["pairs"] is None
+            else state["pairs"].unionByName(new_pairs).localCheckpoint(eager=True)
+        )
+        state["base"] = (
+            state["base"].unionByName(delta).localCheckpoint(eager=True)
+        )
+
+    q = stream_docs.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    spark = base_docs.sparkSession
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    return (state["pairs"] if state["pairs"] is not None else empty), state["base"]

@@ -237,3 +237,36 @@ def test_transform_with_state_activity(spark, sf_dir):
         )
     )
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dup detection == the one-shot batch delta run: every
+    pair is discovered exactly once, when its later member arrives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.dedup import lsh_delta_pairs
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.ingest import run_stream_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    arriving = docs.filter(F.col("doc_id") % 3 != 0)
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    arriving.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(str(d / "p1"))
+    arriving.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(str(d / "p2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    pairs, merged = run_stream_lsh_dedup(base, stream)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    want = {(r.a, r.b) for r in lsh_delta_pairs(base, arriving).collect()}
+    assert got == want and len(got) > 0
+    assert merged.count() == docs.count()
