@@ -107,16 +107,21 @@ class AddToSet:
         table = catalog.node(self.target_label)
         has = self.prop in table.columns
         joined = table.join(vals, "id", "left")
-        # empty-array base must match the VALUE's element type (an
-        # array<string> literal would fail to concat with e.g. int sets)
+        # never-set base is a typed NULL (not an empty array: unmatched
+        # nodes must keep the property NULL); the cast matches the VALUE's
+        # element type so concat typechecks for e.g. int sets
         base = (
             F.col(self.prop)
             if has
-            else F.array().cast(vals.schema["__vs"].dataType.simpleString())
+            else F.lit(None).cast(vals.schema["__vs"].dataType.simpleString())
         )
-        newcol = F.array_distinct(
-            F.concat(F.coalesce(base, F.array()), F.coalesce(F.col("__vs"), F.array()))
-        )
+        # SET only fires on MATCHED nodes (reference analysisbuilder.py:
+        # 285-307 compiles MATCH ... SET): unmatched nodes — and matches
+        # contributing only NULL values — keep their previous property
+        # (NULL if never set); they do NOT gain an empty array. Surfaced
+        # by the one orderless customer at sf0.1.
+        appended = F.array_distinct(F.concat(F.coalesce(base, F.array()), F.col("__vs")))
+        newcol = F.when(F.size(F.col("__vs")) > 0, appended).otherwise(base)
         out = joined.withColumn("__new", newcol).drop("__vs")
         if has:
             out = out.drop(self.prop)
@@ -221,14 +226,20 @@ class AddValuesToSet:
         table = catalog.node(self.target_label)
         has = self.prop in table.columns
         joined = table.join(vals, "id", "left")
+        # typed-NULL base: unmatched nodes keep the property NULL (see
+        # AddToSet above)
         base = (
             F.col(self.prop)
             if has
-            else F.array().cast(vals.schema["__vs"].dataType.simpleString())
+            else F.lit(None).cast(vals.schema["__vs"].dataType.simpleString())
         )
-        newcol = F.array_distinct(
-            F.concat(F.coalesce(base, F.array()), F.coalesce(F.col("__vs"), F.array()))
-        )
+        # SET only fires on MATCHED nodes (reference analysisbuilder.py:
+        # 285-307 compiles MATCH ... SET): unmatched nodes — and matches
+        # contributing only NULL values — keep their previous property
+        # (NULL if never set); they do NOT gain an empty array. Surfaced
+        # by the one orderless customer at sf0.1.
+        appended = F.array_distinct(F.concat(F.coalesce(base, F.array()), F.col("__vs")))
+        newcol = F.when(F.size(F.col("__vs")) > 0, appended).otherwise(base)
         out = joined.withColumn("__new", newcol).drop("__vs")
         if has:
             out = out.drop(self.prop)

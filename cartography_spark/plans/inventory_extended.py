@@ -111,6 +111,10 @@ def q_matchlink_scoped_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analysis_add_to_set",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR) AS id,
+           -- an orderless customer is never MATCHED, so AddToSet leaves its
+           -- property NULL (array_to_string of the empty list is NULL in
+           -- DuckDB — exactly the never-set marker the engine now produces;
+           -- surfaced by the one orderless customer at sf0.1)
            array_to_string(list_sort(coalesce(
              list(DISTINCT o_orderpriority) FILTER (o_orderpriority IS NOT NULL), []
            )), ',') AS priorities
