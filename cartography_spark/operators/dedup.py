@@ -479,7 +479,13 @@ def cluster_min_label(
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    und = und.distinct().localCheckpoint(eager=True)
+    # static side of every round: persist it hash-partitioned on the
+    # per-round join key so the round joins consume the cache without an
+    # exchange (localCheckpoint would lose the partitioning info; persist
+    # keeps it — same pattern as graph._persist_copartitioned)
+    n_part = int(und.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = und.distinct().repartition(n_part, "dst")
+    und.persist()
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
@@ -505,6 +511,7 @@ def cluster_min_label(
         labels = stepped.drop("prev")
         if obs.get["changed"] == 0:
             break
+    und.unpersist()  # labels is checkpointed per round — safe to release
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster"),
