@@ -125,6 +125,7 @@ def _ordered() -> dict[str, QuerySpec]:
     import cartography_spark.plans.inventory_catalog  # noqa: F401
     import cartography_spark.plans.inventory_analytics  # noqa: F401
     import cartography_spark.plans.inventory_warehouse  # noqa: F401
+    import cartography_spark.plans.inventory_tpch  # noqa: F401
     import cartography_spark.plans.inventory_scale  # noqa: F401
     import cartography_spark.plans.inventory_meta  # noqa: F401
 

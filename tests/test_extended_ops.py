@@ -71,9 +71,11 @@ def test_add_to_set_idempotent(spark):
     stmt = AnalysisStatement(lambda c: matched, (AddToSet("N", "nid", "vals", F.col("v")),))
     AnalysisJob("j", (stmt,)).run(cat, 1)
     AnalysisJob("j", (stmt,)).run(cat, 2)  # re-run: no duplicates
-    rows = {r.id: sorted(r.vals) for r in cat.node("N").collect()}
+    rows = {r.id: (sorted(r.vals) if r.vals is not None else None) for r in cat.node("N").collect()}
     assert rows["1"] == ["a", "b"]
-    assert rows["2"] == []
+    # unmatched nodes are never touched by the statement, so the property
+    # stays NULL (reference MERGE-SET semantics), not an empty list
+    assert rows["2"] is None
 
 
 def test_tenant_scoped_upsert_fast_path(spark):

@@ -95,6 +95,8 @@ _SCALAR_ATTACH = {
     "dsir_importance_resample",     # x broadcast(1-row corpus/target totals)
     "text_nb_classifier",           # x broadcast(1-row doc total + n_labels-row class table)
     "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
+    "tpch_q11_important_stock",     # x broadcast(1-row global value total)
+    "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)
 }
 
 
