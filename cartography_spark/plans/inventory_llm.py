@@ -1951,3 +1951,84 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     return dd.lsh_delta_pairs(base, delta, num_perm=16, bands=4, n=3)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    qt AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'vector', 'window') GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS dfreq FROM qt GROUP BY tok),
+    scored AS (
+      SELECT qt.doc_id,
+             CAST(round(
+               ((CAST(s.n_docs AS DOUBLE) - CAST(df.dfreq AS DOUBLE) + 0.5) / (CAST(df.dfreq AS DOUBLE) + 0.5))
+               * ((CAST(qt.tf AS DOUBLE) * 2.2)
+                  / (CAST(qt.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dlen AS DOUBLE) / s.avgdl))))
+               * 1000000) AS BIGINT) AS micro
+      FROM qt JOIN df ON qt.tok = df.tok JOIN dl ON qt.doc_id = dl.doc_id CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query — the "
+    "sparse-retrieval scoring standard (Robertson/Sparck-Jones), "
+    "complementing hybrid_search_rrf's bigram-cosine sparse leg. "
+    "Determinism: the idf uses the raw odds ratio (N-df+.5)/(df+.5) "
+    "instead of its log — division/multiply/add are exactly-rounded IEEE "
+    "ops identical in any engine, unlike libm ln — and each per-term "
+    "score is quantized to integer micros BEFORE the per-doc sum, so no "
+    "float accumulation order exists. Plan: tokenize once, tf only for "
+    "query terms (IN-filter prunes at the explode), df and doc-length "
+    "join on bounded sides, corpus stats a 1-row broadcast. Top-20 under "
+    "a (score, doc_id) total order.",
+    tags=("llm", "text", "similarity"),
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ("spark", "vector", "window")
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qt = toks.filter(F.col("tok").isin(*terms)).groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = qt.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    idf = (F.col("n_docs").cast("double") - F.col("dfreq").cast("double") + F.lit(0.5)) / (
+        F.col("dfreq").cast("double") + F.lit(0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dlen").cast("double") / F.col("avgdl"))
+    )
+    micro = F.round(idf * ((tfd * F.lit(2.2)) / denom) * F.lit(1000000)).cast("bigint")
+    scored = (
+        qt.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("micro").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
