@@ -1534,7 +1534,7 @@ WITH RECURSIVE base AS ({_DUPES_SQL}),
       SELECT doc_id, p,
              CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
                        + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
-      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p)
       GROUP BY doc_id, p
     ),
     bands AS (
@@ -1565,7 +1565,10 @@ WITH RECURSIVE base AS ({_DUPES_SQL}),
     """,
     doc="The 100 TB-sane MinHash dedup contract (sf1-rehearsal fix): "
     "exact-collapse on md5(text) BEFORE the pair generator, MinHash+LSH "
-    "among unique texts only, bounded min-label clustering, linear "
+    "among unique texts only (32 perms / 4 bands: 8-row bands put the "
+    "s-curve threshold at ~0.84 Jaccard, which keeps candidate volume "
+    "~40x smaller than 4-row bands on this deliberately homogeneous "
+    "corpus), bounded min-label clustering, linear "
     "expansion through the rep key. Output is O(N) (doc_id, cluster, "
     "keep), never the O(pairs) candidate list that grows quadratically "
     "in the exact-copy count (10x replication made the raw pair contract "
@@ -1574,7 +1577,7 @@ WITH RECURSIVE base AS ({_DUPES_SQL}),
 )
 def q_dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_cluster_collapsed(
-        _docs_with_dupes(spark, sf_dir), num_perm=16, n=3, bands=4, max_iter=6
+        _docs_with_dupes(spark, sf_dir), num_perm=32, n=3, bands=4, max_iter=6
     )
 
 
@@ -1787,7 +1790,7 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.sampling import hash_bucket
 
     clusters = dd.minhash_cluster_collapsed(
-        _docs_with_dupes(spark, sf_dir), num_perm=16, n=3, bands=4, max_iter=6
+        _docs_with_dupes(spark, sf_dir), num_perm=32, n=3, bands=4, max_iter=6
     ).select("doc_id", "cluster")
     b = hash_bucket(F.col("cluster"), 100, "clsplit")
     labeled = clusters.withColumn(
