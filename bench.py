@@ -52,6 +52,8 @@ HEADLINE = [
     "dsir_importance_resample",
     "text_nb_classifier",
     "graph_pagerank",
+    "tpch_q9_product_profit",
+    "text_bm25_topk",
 ]
 
 
