@@ -320,3 +320,55 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("bigint").alias("price_cents"),
         )
     )
+
+
+@query(
+    "topk_per_group_salted",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC
+             ) AS rnk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, price_cents, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per priority via SALTED two-phase top-k — the hot-key "
+    "defense for the top-k-per-group shape (5 groups x ~N/5 rows each is "
+    "the worst case for a single per-group window sort). Phase 1 ranks "
+    "inside (group, salt=hash(id)%16) buckets and keeps each bucket's "
+    "top-3 — 16 parallel small sorts per hot group instead of one giant "
+    "one. Phase 2 re-ranks the <= 48 survivors per group. The (price "
+    "desc, orderkey asc) total order makes the per-bucket top-3 superset "
+    "property exact, so the result is bit-identical to the oracle's "
+    "single-window form. argmax_mergeable_top1 is the k=1 degenerate of "
+    "this plan; this is the general-k rung of the same ladder.",
+    tags=("scale", "window", "skew"),
+)
+def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    salted = o.withColumn("__salt", F.pmod(F.hash("o_orderkey"), F.lit(16)))
+    w1 = Window.partitionBy("o_orderpriority", "__salt").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    survivors = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= 3)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "price_cents", "rnk")
+    )
