@@ -774,3 +774,46 @@ def q_semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return semdedup_prune(emb.unionByName(perturbed), k=4, rounds=3, threshold=0.9)
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+             count(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+           (group_size < 5) AS suppress
+    FROM cells
+    """,
+    doc="k-anonymity audit over the quasi-identifier triple (nation, "
+    "segment, coarsened balance band): any equivalence class smaller than "
+    "k=5 is re-identifiable and flagged for suppression — the release "
+    "gate that runs next to PII scrubbing (text_pii_scrub) before a "
+    "training corpus or report leaves the warehouse. One map-side-"
+    "combined groupBy; the flag is a row-local predicate on the group "
+    "size, so the audit costs exactly one shuffle of the QI cells "
+    "regardless of table size.",
+    tags=("llm", "prep", "privacy"),
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+    )
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "group_size",
+        (F.col("group_size") < 5).alias("suppress"),
+    )

@@ -44,7 +44,17 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # Verification priority: the driver's oracle gate walks ``queries()`` in
 # insertion order under a budget — round 1 recorded EXACTLY the first 50
 # entries, so we treat the budget as a 50-query prefix and optimize for
-# CUMULATIVE driver-green coverage across rounds. CORRECTNESS_r01.json
+# CUMULATIVE driver-green coverage across rounds.
+#
+# ROTATION PROCEDURE (do this at the START of each round, never mid-round
+# — the driver snapshots CORRECTNESS with whatever order exists at round
+# end): move the 50 highest-value queries that still have no CORRECTNESS
+# row in ANY prior round's file to the front of PRIORITY, keeping
+# already-driver-green queries behind them. After r02 certifies tier 1
+# below, r03's front-50 should be tier 2 + the r2-added queries (TPC-H
+# completions, graph_hits_authorities, text_bm25_topk,
+# topk_per_group_salted, privacy_k_anonymity) + the start of the
+# remaining unverified tail; r04 covers the rest. CORRECTNESS_r01.json
 # already certifies 50 queries (they are listed in tier 3 below, byte-for-
 # byte unchanged since that run); tier 1 here is the next 50 most
 # load-bearing queries that have NO r01 row: the 10 SURVEY §2 rows the
