@@ -495,37 +495,37 @@ def hits_exact(
     Returns ``(hubs, auths)`` as (node, h) / (node, a). The static edge
     side is persisted co-partitioned on src (hub join key); the auth join
     probes the same cache (one extra shuffle per round, same as the
-    textbook message-passing dataflow). Reference delegates all graph
-    analytics to Neo4j (SURVEY §2.3); this is the Spark-native
+    textbook message-passing dataflow). The renorm divisor ``max(a)`` is
+    read from a ``Dataset.observe`` metric gathered DURING the half-step's
+    checkpoint job — so each half-step runs exactly ONE job and the
+    division is a narrow map over the checkpointed rows (no scalar
+    broadcast join, no second aggregate job; same trick as
+    connected_components' convergence counter). Reference delegates all
+    graph analytics to Neo4j (SURVEY §2.3); this is the Spark-native
     link-analysis companion to pagerank_exact.
     """
+    from pyspark.sql import Observation
+
     e = _persist_copartitioned(edges.select("src", "dst"), "src")
     hubs = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1).cast("bigint").alias("h")
     )
     auths = None
+
+    def half_step(frontier: DataFrame, probe, val: str) -> DataFrame:
+        raw = (
+            e.join(frontier, probe == frontier.node)
+            .groupBy("dst" if val == "a" else "src")
+            .agg(F.sum("h" if val == "a" else "a").alias(val))
+            .select(F.col("dst" if val == "a" else "src").alias("node"), val)
+        )
+        obs = Observation()
+        raw = raw.observe(obs, F.max(val).alias("m")).localCheckpoint(eager=True)
+        m = int(obs.get["m"])
+        return raw.select("node", F.expr(f"({val} * {scale}) div {m}").alias(val))
+
     for _ in range(iterations):
-        raw_a = (
-            e.join(hubs, e.src == hubs.node)
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
-            .select(F.col("dst").alias("node"), "a")
-        )
-        amax = raw_a.agg(F.max("a").alias("m"))
-        auths = raw_a.crossJoin(F.broadcast(amax)).select(
-            "node", F.expr(f"(a * {scale}) div m").alias("a")
-        )
-        auths = auths.localCheckpoint(eager=True)
-        raw_h = (
-            e.join(auths, e.dst == auths.node)
-            .groupBy("src")
-            .agg(F.sum("a").alias("h"))
-            .select(F.col("src").alias("node"), "h")
-        )
-        hmax = raw_h.agg(F.max("h").alias("m"))
-        hubs = raw_h.crossJoin(F.broadcast(hmax)).select(
-            "node", F.expr(f"(h * {scale}) div m").alias("h")
-        )
-        hubs = hubs.localCheckpoint(eager=True)
+        auths = half_step(hubs, e.src, "a")
+        hubs = half_step(auths, e.dst, "h")
     e.unpersist()
     return hubs, auths
