@@ -97,7 +97,6 @@ _SCALAR_ATTACH = {
     "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
     "tpch_q11_important_stock",     # x broadcast(1-row global value total)
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)
-    "graph_hits_authorities",       # x broadcast(1-row max per renorm half-step)
     "text_bm25_topk",               # x broadcast(1-row corpus N/avgdl stats)
 }
 
