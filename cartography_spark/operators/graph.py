@@ -155,8 +155,13 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFram
         new = reached.join(labels, "node", "left_anti").select(
             "node", F.lit(d).cast("long").alias("distance")
         )
-        new = new.localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        # frontier size from an observe metric gathered during the same
+        # checkpoint job — no separate count action per level
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = new.observe(obs, F.count("*").alias("n")).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
             break
         labels = labels.unionByName(new)
         frontier = new.select("node")
