@@ -28,13 +28,22 @@ def transitive_closure(
     vertex (the ``*0..`` variant).
 
     Each round joins the frontier (pairs found last round) against the base
-    edge set, anti-joins out already-reached pairs, and unions into the
-    result. localCheckpoint() truncates the exponentially growing lineage —
-    without it Catalyst replans the whole chain every iteration.
+    edge set, anti-joins out already-reached pairs, and checkpoints ONLY
+    the new chunk — the accumulated result stays a lazy union of the
+    per-hop checkpointed chunks (flat lineage, each leaf a checkpoint
+    scan), so no round rewrites the whole reached set. Frontier emptiness
+    comes from an observe metric gathered during the chunk's checkpoint
+    job: one job per hop, total materialized bytes O(result), not
+    O(result x hops).
     """
+    from functools import reduce
+
+    from pyspark.sql import Observation
+
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    reached = base.withColumn("hops", F.lit(1))
-    frontier = reached
+    base = base.localCheckpoint(eager=True)  # probed every round (join + anti)
+    chunks = [base.withColumn("hops", F.lit(1))]
+    frontier = chunks[0]
 
     for hop in range(2, max_hops + 1):
         grown = (
@@ -44,12 +53,16 @@ def transitive_closure(
             .distinct()
             .withColumn("hops", F.lit(hop))
         )
-        new_pairs = grown.join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
-        new_pairs = new_pairs.localCheckpoint(eager=True)
-        if new_pairs.isEmpty():
+        seen = reduce(DataFrame.unionByName, [c.select("src", "dst") for c in chunks])
+        new_pairs = grown.join(seen, ["src", "dst"], "left_anti")
+        obs = Observation()
+        new_pairs = new_pairs.observe(obs, F.count("*").alias("n")).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
             break
-        reached = reached.unionByName(new_pairs).localCheckpoint(eager=True)
+        chunks.append(new_pairs)
         frontier = new_pairs
+
+    reached = reduce(DataFrame.unionByName, chunks)
 
     if include_zero:
         verts = base.select("src").union(base.select(F.col("dst").alias("src"))).distinct()
