@@ -526,8 +526,10 @@ def hits_exact(
         )
         obs = Observation()
         raw = raw.observe(obs, F.max(val).alias("m")).localCheckpoint(eager=True)
-        m = int(obs.get["m"])
-        return raw.select("node", F.expr(f"({val} * {scale}) div {m}").alias(val))
+        m = obs.get["m"]
+        if m is None:  # empty frontier (no edges): propagate the empty frame
+            return raw
+        return raw.select("node", F.expr(f"({val} * {scale}) div {int(m)}").alias(val))
 
     for _ in range(iterations):
         auths = half_step(hubs, e.src, "a")

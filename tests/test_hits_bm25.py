@@ -96,3 +96,12 @@ def test_bm25_score_is_sum_of_integer_micros(spark, sf_dir):
             score = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
             total += int(math.floor(score * 1_000_000 + 0.5))
         assert total == want[doc_id], doc_id
+
+
+def test_hits_empty_graph_returns_empty(spark):
+    """No edges -> empty hubs/auths frames, not an opaque TypeError."""
+    from cartography_spark.operators.graph import hits_exact
+
+    e = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    hubs, auths = hits_exact(e, iterations=2)
+    assert hubs.count() == 0 and auths.count() == 0
