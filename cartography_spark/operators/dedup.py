@@ -519,6 +519,75 @@ def cluster_min_label(
     )
 
 
+def cluster_min_label_bipartite(
+    memberships: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 6,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Min-label clustering over BUCKET MEMBERSHIPS instead of pairs —
+    star contraction on the hypergraph whose hyperedges are LSH buckets.
+
+    Two docs are connected iff they share a bucket, so connected
+    components over the (doc, bucket) bipartite graph equal components
+    over the pair graph — WITHOUT ever materializing the pairs. A bucket
+    with k members contributes k membership rows here versus k(k-1)/2
+    pair rows in :func:`cluster_min_label`: the quadratic emit that LSH
+    banding is supposed to bound disappears from the dataflow entirely,
+    which is the difference between O(sum k) and O(sum k^2) at a hot
+    bucket. One bipartite round (doc -> bucket min -> doc min) covers one
+    pair-graph hop, so ``max_iter`` bounds the same radius as the
+    pair-based form and both converge to the identical fixed point the
+    oracle's recursive CTE describes.
+
+    Per round: two joins + two min-aggregates over the membership rows;
+    convergence read from a Dataset.observe metric during the round's
+    checkpoint job (one job per round).
+    """
+    from pyspark.sql import Observation
+
+    n_part = int(memberships.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    mem = (
+        memberships.select(F.col(id_col).alias("mv"), F.col(bucket_col).alias("mb"))
+        .distinct()
+        .repartition(n_part, "mv")
+    )
+    mem.persist()
+    labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    for _ in range(max_iter):
+        bmin = (
+            mem.join(labels, mem.mv == labels.v)
+            .groupBy("mb")
+            .agg(F.min("lbl").alias("blbl"))
+        )
+        nmin = (
+            mem.join(bmin, "mb")
+            .groupBy(F.col("mv").alias("v"))
+            .agg(F.min("blbl").alias("nlbl"))
+        )
+        stepped = labels.join(nmin, "v", "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            F.col("lbl").alias("prev"),
+        )
+        obs = Observation()
+        stepped = stepped.observe(
+            obs, F.count_if(F.col("lbl") != F.col("prev")).alias("changed")
+        ).localCheckpoint(eager=True)
+        labels = stepped.drop("prev")
+        if obs.get["changed"] == 0:
+            break
+    mem.unpersist()
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("lbl").alias("cluster"),
+        (F.col("v") == F.col("lbl")).alias("keep"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
@@ -703,8 +772,17 @@ def minhash_cluster_collapsed(
     idmap = mapped.select(F.col(id_col), "rep").localCheckpoint(eager=True)
     reps = mapped.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col), F.col(text_col))
     wide = minhash_wide(reps, num_perm=num_perm, n=n, text_col=text_col, id_col=id_col)
-    pairs = lsh_candidate_pairs(wide, bands=bands, id_col=id_col, wide=True)
-    cl = cluster_min_label(pairs, reps.select(id_col), max_iter=max_iter, id_col=id_col)
+    # cluster straight over (doc, band-bucket) memberships — candidate
+    # PAIRS are never materialized (see cluster_min_label_bipartite: the
+    # components over shared-bucket membership equal components over the
+    # pair graph, minus the per-bucket quadratic emit)
+    mem = band_signatures(wide, bands=bands, id_col=id_col).select(
+        F.col(id_col),
+        F.concat_ws(":", F.col("band"), F.col("bsig")).alias("bucket"),
+    )
+    cl = cluster_min_label_bipartite(
+        mem, reps.select(id_col), max_iter=max_iter, id_col=id_col
+    )
     return (
         idmap.join(
             cl.select(F.col(id_col).alias("rep"), "cluster"), "rep"
