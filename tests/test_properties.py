@@ -227,3 +227,49 @@ def test_int8_quantize_preserves_per_dim_order(spark, vecs):
                 assert codes[i][0] <= codes[j][0]
             if f32(yi) <= f32(yj):
                 assert codes[i][1] <= codes[j][1]
+
+
+memberships_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 6)),  # (doc, bucket)
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(mem=memberships_strategy)
+def test_bipartite_cluster_equals_pair_cluster(spark, mem):
+    """cluster_min_label_bipartite over (doc, bucket) memberships must
+    equal cluster_min_label over the expanded shared-bucket pair graph —
+    the star-contraction equivalence the collapsed dedup path relies on."""
+    from itertools import combinations
+
+    from cartography_spark.operators.dedup import (
+        cluster_min_label,
+        cluster_min_label_bipartite,
+    )
+
+    docs = sorted({d for d, _ in mem}) or [0]
+    verts = spark.createDataFrame([(d,) for d in docs], "doc_id BIGINT")
+    mdf = spark.createDataFrame(
+        [(d, f"b{b}") for d, b in mem] or [(0, "b0")], "doc_id BIGINT, bucket STRING"
+    )
+    got = {
+        (r.doc_id, r.cluster, r.keep)
+        for r in cluster_min_label_bipartite(mdf, verts, max_iter=16).collect()
+    }
+    by_bucket: dict = {}
+    for d, b in mem:
+        by_bucket.setdefault(b, set()).add(d)
+    pairs = sorted(
+        {tuple(sorted(p)) for ds in by_bucket.values() for p in combinations(ds, 2)}
+    )
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(-1, -2)], "a BIGINT, b BIGINT"
+    )
+    want = {
+        (r.doc_id, r.cluster, r.keep)
+        for r in cluster_min_label(pdf, verts, max_iter=16, id_col="doc_id").collect()
+        if r.doc_id in set(docs)
+    }
+    assert got == want
