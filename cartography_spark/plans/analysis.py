@@ -33,6 +33,63 @@ Matcher = Callable[[GraphCatalog], DataFrame]
 
 
 @dataclass(frozen=True)
+class ScopeById:
+    """Restrict an AnalysisJob — matches AND generated cleanup — to the
+    sub-resources of one scoping node (reference analysis.py:12-24
+    ScopeById; compiled as a ``(scope {id: $param})-[:RESOURCE]->(var)``
+    match prefix by analysisbuilder.py:173-194).
+
+    ``id_param`` names the key in ``AnalysisJob.run(params=...)`` holding
+    the scope node's id; ``scope_on`` names the matched-frame COLUMN
+    (one string for every statement, or one per statement in order)
+    whose ids must belong to the scope. Spark-native compilation: the
+    member-id set is read from the catalog's ``rel_label`` edge tables
+    touching ``label`` and semi-joined onto each statement's matched
+    frame; effect cleanup receives the same id set so out-of-scope
+    derived state (other tenants) is never clobbered — the multi-tenant
+    guarantee the reference gets from the Cypher scope prefix."""
+
+    label: str
+    id_param: str
+    id_property: str = "id"
+    rel_label: str = "RESOURCE"
+    scope_on: str | tuple[str, ...] | None = None
+    # The reference leans on Neo4j's globally-unique node ids (ARNs); in a
+    # label-keyed catalog, raw fixture ids collide across labels, so the
+    # member set can optionally be typed to the label(s) the scoped
+    # statements actually touch.
+    member_label: str | None = None
+
+
+def _scope_member_ids(catalog: GraphCatalog, scope: ScopeById, scope_id: Any) -> DataFrame:
+    """ids of nodes attached to the scope node via ``rel_label`` edges,
+    whichever way the edge table is oriented; restricted to
+    ``member_label`` edge tables when set."""
+    parts = []
+    for (sl, rl, dl), edf in catalog.edges.items():
+        if rl != scope.rel_label:
+            continue
+        if scope.member_label is not None and scope.member_label not in (sl, dl):
+            continue
+        if sl == scope.label:
+            parts.append(
+                edf.filter(F.col("src_id") == scope_id).select(F.col("dst_id").alias("id"))
+            )
+        elif dl == scope.label:
+            parts.append(
+                edf.filter(F.col("dst_id") == scope_id).select(F.col("src_id").alias("id"))
+            )
+    if not parts:
+        raise KeyError(
+            f"no {scope.rel_label!r} edges touching label {scope.label!r} in the catalog"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+@dataclass(frozen=True)
 class SetProperty:
     """Set ``prop`` = ``value`` on nodes of ``target_label`` whose id is in
     the matched frame's ``id_col``.
@@ -76,16 +133,32 @@ class SetProperty:
             "__newt", tagc
         )
 
-    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
-        """Null out values whose tag was not refreshed this run (REMOVE)."""
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
+        """Null out values whose tag was not refreshed this run (REMOVE).
+        With ``scope_ids``, only in-scope nodes are cleaned — other
+        tenants' derived values survive (scoped generated cleanup,
+        analysisbuilder.py:385-490 with the ScopeById prefix)."""
         table = catalog.node(self.target_label)
         tagc = self._tag_col()
         if self.prop not in table.columns or tagc not in table.columns:
             return
-        fresh = F.col(tagc) == update_tag
+        keep = F.col(tagc) == update_tag
+        if scope_ids is not None:
+            marked = table.join(
+                scope_ids.withColumn("__in_scope", F.lit(True)), "id", "left"
+            )
+            keep = keep | F.col("__in_scope").isNull()
+            catalog.nodes[self.target_label] = (
+                marked.withColumn(self.prop, F.when(keep, F.col(self.prop)))
+                .withColumn(tagc, F.when(keep, F.col(tagc)))
+                .drop("__in_scope")
+            )
+            return
         catalog.nodes[self.target_label] = table.withColumn(
-            self.prop, F.when(fresh, F.col(self.prop))
-        ).withColumn(tagc, F.when(fresh, F.col(tagc)))
+            self.prop, F.when(keep, F.col(self.prop))
+        ).withColumn(tagc, F.when(keep, F.col(tagc)))
 
 
 @dataclass(frozen=True)
@@ -127,7 +200,9 @@ class AddToSet:
             out = out.drop(self.prop)
         catalog.nodes[self.target_label] = out.withColumnRenamed("__new", self.prop)
 
-    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
         pass
 
 
@@ -158,12 +233,31 @@ class AddRelationship:
         existing = catalog.edges.get(self.key())
         catalog.edges[self.key()] = edges if existing is None else _merge_edges(existing, edges)
 
-    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
         """Auto-cleanup: drop derived edges not refreshed this run
-        (analysisbuilder.py:385-490)."""
+        (analysisbuilder.py:385-490). With ``scope_ids``, only edges whose
+        SOURCE is in scope are candidates (reference scoped_to="source"
+        default) — other tenants' derived edges survive."""
         key = self.key()
-        if key in catalog.edges:
-            catalog.edges[key] = catalog.edges[key].filter(F.col("lastupdated") == update_tag)
+        if key not in catalog.edges:
+            return
+        edges = catalog.edges[key]
+        fresh = F.col("lastupdated") == update_tag
+        if scope_ids is not None:
+            marked = edges.join(
+                scope_ids.select(F.col("id").alias("src_id")).withColumn(
+                    "__in_scope", F.lit(True)
+                ),
+                "src_id",
+                "left",
+            )
+            catalog.edges[key] = marked.filter(
+                fresh | F.col("__in_scope").isNull()
+            ).drop("__in_scope")
+            return
+        catalog.edges[key] = edges.filter(fresh)
 
 
 @dataclass(frozen=True)
@@ -198,7 +292,9 @@ class SetRelationshipProperty:
             out = out.drop(self.prop)
         catalog.edges[self.edge_key] = out.withColumnRenamed("__new", self.prop)
 
-    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
         pass
 
 
@@ -245,7 +341,9 @@ class AddValuesToSet:
             out = out.drop(self.prop)
         catalog.nodes[self.target_label] = out.withColumnRenamed("__new", self.prop)
 
-    def cleanup(self, catalog: GraphCatalog, update_tag: int) -> None:
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
         pass
 
 
@@ -287,10 +385,41 @@ class AnalysisJob:
 
     name: str
     statements: tuple[AnalysisStatement, ...]
+    scope: ScopeById | None = None
 
-    def run(self, catalog: GraphCatalog, update_tag: int, incremental: bool = False) -> None:
-        for stmt in self.statements:
+    def run(
+        self,
+        catalog: GraphCatalog,
+        update_tag: int,
+        incremental: bool = False,
+        params: dict[str, Any] | None = None,
+    ) -> None:
+        scope_ids: DataFrame | None = None
+        scope_cols: tuple[str, ...] = ()
+        if self.scope is not None:
+            if self.scope.scope_on is None:
+                raise ValueError("Scoped AnalysisJob requires ScopeById.scope_on.")
+            so = self.scope.scope_on
+            scope_cols = (
+                (so,) * len(self.statements) if isinstance(so, str) else tuple(so)
+            )
+            if len(scope_cols) != len(self.statements):
+                raise ValueError(
+                    "ScopeById.scope_on must contain one column per statement."
+                )
+            if params is None or self.scope.id_param not in params:
+                raise KeyError(f"missing scope parameter {self.scope.id_param!r}")
+            scope_ids = _scope_member_ids(
+                catalog, self.scope, params[self.scope.id_param]
+            ).localCheckpoint(eager=True)  # reused by every statement + cleanup
+        for i, stmt in enumerate(self.statements):
             matched = stmt.matcher(catalog)
+            if scope_ids is not None:
+                matched = matched.join(
+                    scope_ids.select(F.col("id").alias(scope_cols[i])),
+                    scope_cols[i],
+                    "left_semi",
+                )
             if incremental and stmt.incremental_on:
                 for col in stmt.incremental_on:
                     matched = matched.filter(F.col(col) == update_tag)
@@ -298,4 +427,4 @@ class AnalysisJob:
                 effect.apply(catalog, matched, update_tag)
         for stmt in self.statements:
             for effect in stmt.effects:
-                effect.cleanup(catalog, update_tag)
+                effect.cleanup(catalog, update_tag, scope_ids=scope_ids)

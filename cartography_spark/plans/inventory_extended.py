@@ -1275,3 +1275,60 @@ def q_dedup_embedding_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cluster_collapsed(
         base, dim=64, threshold=0.99, n_planes=8, max_iter=6
     )
+
+
+@query(
+    "analysis_scoped_set_property",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id,
+           CASE WHEN n_regionkey = 0 THEN s_acctbal > 7000
+                ELSE s_acctbal > 5000 END AS flagged
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    doc="ScopeById lifecycle (reference analysis.py:12-24 + "
+    "analysisbuilder.py:173-194 scope prefix): run 1 flags suppliers with "
+    "balance > 5000 globally; run 2 re-runs SCOPED to Region 0 with a "
+    "stricter > 7000 match. The scoped auto-cleanup nulls region-0 flags "
+    "not refreshed by run 2, while every other region keeps its run-1 "
+    "flag untouched — the multi-tenant guarantee: one tenant's analysis "
+    "sync can never clobber another tenant's derived state. Scope "
+    "members come from the RESOURCE edge table filtered to the scope id "
+    "(partition-prunable on a tenant-partitioned warehouse).",
+    tags=("engine", "analysis"),
+)
+def q_analysis_scoped_set_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+        SetProperty,
+    )
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+
+    cat = base_catalog(spark, sf_dir)
+
+    def high_bal(threshold: float):
+        def matcher(c: GraphCatalog) -> DataFrame:
+            return (
+                c.node("Supplier")
+                .filter(F.col("acctbal") > threshold)
+                .select(F.col("id").alias("sid"))
+            )
+
+        return matcher
+
+    effect = lambda: (SetProperty("Supplier", "sid", "flagged", True),)  # noqa: E731
+    # run 1 (T2): global flag at > 5000
+    AnalysisJob("flag-global", (AnalysisStatement(high_bal(5000), effect()),)).run(cat, T2)
+    # run 2 (T2+1): scoped to Region 0, stricter threshold; scoped cleanup
+    # must null ONLY region-0 flags that run 2 didn't refresh
+    scoped = AnalysisJob(
+        "flag-region0",
+        (AnalysisStatement(high_bal(7000), effect()),),
+        scope=ScopeById("Region", "region_id", scope_on="sid", member_label="Supplier"),
+    )
+    scoped.run(cat, T2 + 1, params={"region_id": "0"})
+    return cat.node("Supplier").select(
+        "id", F.coalesce("flagged", F.lit(False)).alias("flagged")
+    )

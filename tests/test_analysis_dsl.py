@@ -231,3 +231,65 @@ def test_exposure_chain_lifecycle(spark, sf_dir):
     # SetProperty auto-cleanup nulled flags for orders no longer matched
     flagged = cat.node("Order").filter(F.col("exposes") == True)  # noqa: E712
     assert flagged.filter(F.col("id").cast("long") % 2 != 0).count() == 0
+
+
+def test_scoped_job_requires_param_and_scope_on(spark):
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+        SetProperty,
+    )
+    import pytest
+
+    cat = GraphCatalog(spark)
+    cat.nodes["N"] = spark.createDataFrame([("1",)], "id string")
+    cat.edges[("T", "RESOURCE", "N")] = spark.createDataFrame(
+        [("t1", "1")], "src_id string, dst_id string"
+    )
+    stmt = AnalysisStatement(lambda c: c.node("N").select(F.col("id").alias("nid")), (SetProperty("N", "nid", "p", 1),))
+    with pytest.raises(ValueError):
+        AnalysisJob("j", (stmt,), scope=ScopeById("T", "tid")).run(cat, 1, params={"tid": "t1"})
+    with pytest.raises(KeyError):
+        AnalysisJob("j", (stmt,), scope=ScopeById("T", "tid", scope_on="nid")).run(cat, 1)
+
+
+def test_scoped_add_relationship_cleanup_preserves_other_tenants(spark):
+    """Derived edges of tenant B must survive a scoped re-run for tenant A
+    that no longer matches anything — the multi-tenant cleanup guarantee."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+    )
+
+    cat = GraphCatalog(spark)
+    cat.nodes["N"] = spark.createDataFrame([("a1",), ("b1",)], "id string")
+    cat.edges[("T", "RESOURCE", "N")] = spark.createDataFrame(
+        [("A", "a1"), ("B", "b1")], "src_id string, dst_id string"
+    )
+
+    def match_all(c: GraphCatalog):
+        return c.node("N").select(F.col("id").alias("nid"), F.lit("x").alias("tgt"))
+
+    def match_none(c: GraphCatalog):
+        return match_all(c).filter(F.lit(False))
+
+    eff = AddRelationship("N", "DERIVED", "X", "nid", "tgt")
+    scope = ScopeById("T", "tid", scope_on="nid", member_label="N")
+    # run 1: both tenants derive an edge (scoped to A then B)
+    AnalysisJob("j", (AnalysisStatement(match_all, (eff,)),), scope=scope).run(
+        cat, 1, params={"tid": "A"}
+    )
+    AnalysisJob("j", (AnalysisStatement(match_all, (eff,)),), scope=scope).run(
+        cat, 2, params={"tid": "B"}
+    )
+    assert {r.src_id for r in cat.edge("N", "DERIVED", "X").collect()} == {"a1", "b1"}
+    # run 2 scoped to A matches nothing: A's edge is cleaned, B's survives
+    AnalysisJob("j", (AnalysisStatement(match_none, (eff,)),), scope=scope).run(
+        cat, 3, params={"tid": "A"}
+    )
+    assert {r.src_id for r in cat.edge("N", "DERIVED", "X").collect()} == {"b1"}
