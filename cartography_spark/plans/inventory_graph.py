@@ -637,3 +637,126 @@ def q_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.asc("node"))
         .limit(20)
     )
+
+
+@query(
+    "graph_neighbor_features",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    feat AS (
+      SELECT c_custkey AS c, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    layer1 AS (
+      SELECT e.s, count(*) AS n1,
+             CAST(sum(f.bal_cents) AS BIGINT) AS sum1,
+             CAST(max(f.bal_cents) AS BIGINT) AS max1
+      FROM e JOIN feat f ON e.c = f.c GROUP BY e.s
+    )
+    SELECT e.c AS c_custkey, count(*) AS n_suppliers,
+           CAST(sum(l1.sum1) AS BIGINT) AS sum_of_sums,
+           CAST(sum(l1.n1) AS BIGINT) AS sum_of_counts,
+           CAST(max(l1.max1) AS BIGINT) AS max_of_max
+    FROM e JOIN layer1 l1 ON e.s = l1.s
+    GROUP BY e.c
+    """,
+    doc="Two-layer GraphSAGE-style neighborhood feature aggregation over "
+    "the bipartite trade graph: layer 1 pools each supplier's customer "
+    "balances (count/sum/max in exact cents), layer 2 pools each "
+    "customer's suppliers' layer-1 features. Means are carried as "
+    "(sum, count) integer pairs instead of floats, so the two-hop "
+    "aggregation is bit-exact and mergeable — the feature-engineering "
+    "primitive for graph-ML pipelines (GNN feature propagation without "
+    "a GNN framework). Per layer: one hash join + one map-side-combined "
+    "aggregate; identical dataflow at any depth.",
+    tags=("graph", "llm"),
+)
+def q_graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism, "s")
+    feat = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    layer1 = (
+        e.join(F.broadcast(feat), "c")
+        .groupBy("s")
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum("bal_cents").alias("sum1"),
+            F.max("bal_cents").alias("max1"),
+        )
+    )
+    return (
+        e.join(layer1, "s")
+        .groupBy(F.col("c").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("sum1").alias("sum_of_sums"),
+            F.sum("n1").alias("sum_of_counts"),
+            F.max("max1").alias("max_of_max"),
+        )
+    )
+
+
+@query(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    tf AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ta.n_t AS n_a, tb.n_t AS n_b,
+           CAST(n.n_users * p.n_ab AS BIGINT) AS lift_num,
+           CAST(ta.n_t * tb.n_t AS BIGINT) AS lift_den
+    FROM pairs p
+    JOIN tf ta ON p.type_a = ta.event_type
+    JOIN tf tb ON p.type_b = tb.event_type
+    CROSS JOIN n
+    """,
+    doc="Market-basket co-occurrence with lift over the event stream: "
+    "distinct (user, type) pairs self-join on user (the item side is 5 "
+    "types, so postings are bounded), pair counts vs marginal counts, "
+    "lift reported as the exact integer ratio N*n_ab / (n_a*n_b) — "
+    "numerator and denominator separately, no float division. The "
+    "association-rule primitive (recommendations, error-correlation) "
+    "with the corpus size attached as a 1-row broadcast.",
+    tags=("graph", "aggregation", "llm"),
+)
+def q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    ev = ev.localCheckpoint(eager=False)
+    n = ev.select(F.count_distinct("user_id").alias("n_users"))
+    tf = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(tf.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))), "type_a")
+        .join(F.broadcast(tf.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b",
+            (F.col("n_users") * F.col("n_ab")).alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).alias("lift_den"),
+        )
+    )
