@@ -162,6 +162,37 @@ class SetProperty:
 
 
 @dataclass(frozen=True)
+class SetProperties:
+    """Set MULTIPLE properties on matched nodes in one pass (reference
+    analysis.py:81-88 SetProperties) — compiled as one join + N
+    withColumns instead of N statements, sharing SetProperty's per-prop
+    audit tag + scoped-cleanup semantics."""
+
+    target_label: str
+    id_col: str
+    properties: dict[str, Any]  # prop -> Column or literal
+
+    def _parts(self) -> tuple[SetProperty, ...]:
+        return tuple(
+            SetProperty(self.target_label, self.id_col, p, v)
+            for p, v in self.properties.items()
+        )
+
+    def apply(self, catalog: GraphCatalog, matched: DataFrame, update_tag: int) -> None:
+        # one matched frame, applied per property (each rewrite is a narrow
+        # withColumn chain over the same join; Catalyst collapses the
+        # projections into a single stage)
+        for part in self._parts():
+            part.apply(catalog, matched, update_tag)
+
+    def cleanup(
+        self, catalog: GraphCatalog, update_tag: int, scope_ids: DataFrame | None = None
+    ) -> None:
+        for part in self._parts():
+            part.cleanup(catalog, update_tag, scope_ids=scope_ids)
+
+
+@dataclass(frozen=True)
 class AddToSet:
     """Append ``value`` to the array property ``prop``, dedup'd —
     coalesce(n.p, []) + filter idiom (analysisbuilder.py:285-307)."""
@@ -359,7 +390,14 @@ def _as_col(v: Any) -> Column:
     return v if isinstance(v, Column) else F.lit(v)
 
 
-Effect = SetProperty | AddToSet | AddValuesToSet | AddRelationship | SetRelationshipProperty
+Effect = (
+    SetProperty
+    | SetProperties
+    | AddToSet
+    | AddValuesToSet
+    | AddRelationship
+    | SetRelationshipProperty
+)
 
 
 @dataclass(frozen=True)

@@ -293,3 +293,28 @@ def test_scoped_add_relationship_cleanup_preserves_other_tenants(spark):
         cat, 3, params={"tid": "A"}
     )
     assert {r.src_id for r in cat.edge("N", "DERIVED", "X").collect()} == {"b1"}
+
+
+def test_set_properties_multi_prop_with_cleanup(spark):
+    """SetProperties sets N props in one statement; auto-cleanup nulls all
+    of them on nodes a later run stops matching."""
+    from cartography_spark.catalog import GraphCatalog
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        AnalysisStatement,
+        SetProperties,
+    )
+
+    cat = GraphCatalog(spark)
+    cat.nodes["N"] = spark.createDataFrame([("1", 5), ("2", 50)], "id string, v int")
+
+    def over(th):
+        return lambda c: c.node("N").filter(F.col("v") > th).select(F.col("id").alias("nid"))
+
+    eff = lambda: (SetProperties("N", "nid", {"risk": "HIGH", "reviewed": True}),)  # noqa: E731
+    AnalysisJob("j", (AnalysisStatement(over(0), eff()),)).run(cat, 1)
+    rows = {r.id: (r.risk, r.reviewed) for r in cat.node("N").collect()}
+    assert rows == {"1": ("HIGH", True), "2": ("HIGH", True)}
+    AnalysisJob("j", (AnalysisStatement(over(10), eff()),)).run(cat, 2)
+    rows = {r.id: (r.risk, r.reviewed) for r in cat.node("N").collect()}
+    assert rows == {"1": (None, None), "2": ("HIGH", True)}
