@@ -817,3 +817,108 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < 5).alias("suppress"),
     )
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n_blocked
+      FROM toks WHERE tok IN ('error', 'slow', 'leak') GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.n_blocked, 0) AS n_blocked,
+           (h.doc_id IS NOT NULL) AS blocked
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="C4-style blocklist filtering: flag documents containing any "
+    "blocklisted term, with the per-doc hit count for threshold tuning. "
+    "The blocklist lives in the token IN-filter (pushed into the "
+    "post-explode filter; for large lists it becomes a broadcast "
+    "semi-join against a blocklist table — same plan either way). One "
+    "explode + one aggregate + one left join back to the doc spine; "
+    "unblocked docs never enter the aggregate.",
+    tags=("llm", "prep", "text"),
+)
+def q_text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    hits = (
+        toks.filter(F.col("tok").isin("error", "slow", "leak"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_blocked"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits.withColumnRenamed("doc_id", "h_doc"), d.doc_id == F.col("h_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+            F.col("h_doc").isNotNull().alias("blocked"),
+        )
+    )
+
+
+@query(
+    "mixture_apportionment",
+    oracle="""
+    WITH src AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM src),
+    quota AS (
+      SELECT s.source, s.n_docs,
+             CAST((s.n_docs * 1000) // t.n AS BIGINT) AS floor_permille,
+             CAST((s.n_docs * 1000) % t.n AS BIGINT) AS remainder
+      FROM src s CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rnk,
+             CAST(1000 - (SELECT sum(floor_permille) FROM quota) AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT source, n_docs,
+           CAST(floor_permille + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS permille
+    FROM ranked
+    """,
+    doc="Largest-remainder (Hamilton) apportionment of a 1000-slot "
+    "training-mix budget across sources: integer floor quotas, then the "
+    "leftover slots go to the largest remainders with a deterministic "
+    "(remainder, source) tie-break — the quotas sum to exactly 1000 by "
+    "construction, which proportional float rounding cannot guarantee. "
+    "The op that turns measured source sizes into an exact sampling "
+    "schedule for dataset mixing. Runs entirely on the |sources|-row "
+    "aggregate; the only full-table work is the initial count.",
+    tags=("llm", "prep", "sampling"),
+)
+def q_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = _docs(spark, sf_dir).groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(n_docs * 1000) div n").alias("floor_permille"),  # integer div, same floor as the oracle's //
+        ((F.col("n_docs") * 1000) % F.col("n")).alias("remainder"),
+    )
+    quota = quota.localCheckpoint(eager=False)
+    used = quota.agg(F.sum("floor_permille").alias("used"))
+    # |sources| rows: the single-partition rank window is sketch-sized
+    w = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    return (
+        quota.crossJoin(F.broadcast(used))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("floor_permille")
+                + F.when(F.col("rnk") <= 1000 - F.col("used"), 1).otherwise(0)
+            ).cast("bigint").alias("permille"),
+        )
+    )

@@ -99,6 +99,7 @@ _SCALAR_ATTACH = {
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)
     "text_bm25_topk",               # x broadcast(1-row corpus N/avgdl stats)
     "events_cooccurrence_lift",     # x broadcast(1-row distinct-user count)
+    "mixture_apportionment",        # x broadcast(1-row total + 1-row used-slots)
 }
 
 
