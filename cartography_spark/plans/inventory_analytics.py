@@ -272,3 +272,54 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score", "rn")
     )
+
+
+@query(
+    "timeseries_ewma_exact",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x, ts, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, list(x ORDER BY ts, event_id) AS xs
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(list_reduce(xs, (a, b) -> (3 * a + b) // 4) AS BIGINT) AS ewma_cents,
+           CAST(len(xs) AS BIGINT) AS n_events
+    FROM seq
+    """,
+    doc="Integer-exact exponentially weighted moving average per user "
+    "(alpha = 1/4): s_t = (3*s_{t-1} + x_t) div 4 over the time-ordered "
+    "event values in cents. A sequential recurrence can't be a window "
+    "function (the decay multiplies, partial sums don't merge), so the "
+    "legitimate distributed dataflow is a per-key fold: collect the "
+    "key's sequence (sorted by (ts, event_id) — a total order), fold "
+    "with the higher-order aggregate() — all JVM-side, no UDF. State "
+    "per key is one long; keys parallelize, the fold within a key is "
+    "inherently serial on any engine. Floor division makes the result "
+    "bit-identical to the oracle's list_reduce.",
+    tags=("temporal", "analytics"),
+)
+def q_timeseries_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    return seq.select(
+        "user_id",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+            " (a, b) -> (3 * a + b) div 4)"
+        ).alias("ewma_cents"),
+        F.size("xs").cast("bigint").alias("n_events"),
+    )
