@@ -323,3 +323,82 @@ def q_timeseries_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma_cents"),
         F.size("xs").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "events_pattern_count",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ',') AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, 'view,click,purchase')) AS BIGINT) AS n_patterns,
+           CAST(len(string_split(s, ',')) AS BIGINT) AS n_events
+    FROM seq
+    """,
+    doc="Ordered sequence-pattern counting per user (MATCH_RECOGNIZE's "
+    "bread-and-butter case): serialize each user's time-ordered event "
+    "types ((ts, event_id) total order) and count ADJACENT "
+    "view->click->purchase runs with one regexp pass — complementing "
+    "events_funnel (first-occurrence staged conversion) with repeated-"
+    "occurrence counting. The per-key serialize-then-scan dataflow is "
+    "the same shape as the EWMA fold: keys parallelize, the sequence "
+    "scan within a key is inherently serial, state is one string.",
+    tags=("temporal", "analytics"),
+)
+def q_events_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.regexp_count("s", F.lit("view,click,purchase")).cast("bigint").alias("n_patterns"),
+        F.size(F.split("s", ",")).cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS n_a FROM orders GROUP BY o_orderkey),
+    b AS (SELECT l_orderkey AS k, count(*) AS n_b FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(sum(a.n_a * b.n_b) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(max(a.n_a * b.n_b) AS BIGINT) AS hottest_key_rows
+    FROM a JOIN b ON a.k = b.k
+    """,
+    doc="Exact join-cardinality estimation WITHOUT running the join: "
+    "|A join B| = sum over keys of n_a(k)*n_b(k), from two per-key "
+    "count aggregates joined on the key — cost is two map-side-combined "
+    "aggregates plus a join of the collapsed count tables (|keys| rows, "
+    "not |join| rows). The operational pre-flight for any big fact-fact "
+    "join: the hottest-key product also quantifies skew (whether an AQE "
+    "skew split or salting is warranted) before committing the shuffle.",
+    tags=("analytics", "scale"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    prod = F.col("n_a") * F.col("n_b")
+    return a.join(b, "k").agg(
+        F.sum(prod).alias("join_rows"),
+        F.count("*").alias("n_join_keys"),
+        F.max(prod).alias("hottest_key_rows"),
+    )
