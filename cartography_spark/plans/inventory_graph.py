@@ -760,3 +760,55 @@ def q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).alias("lift_den"),
         )
     )
+
+
+@query(
+    "graph_harmonic_2hop",
+    oracle=f"""
+    WITH base_e AS ({_TRADE_EDGES_SQL}),
+    e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),
+    h1 AS (SELECT src, dst FROM e),
+    h2 AS (
+      SELECT DISTINCT a.src, b.dst
+      FROM e a JOIN e b ON a.dst = b.src
+      WHERE b.dst <> a.src
+        AND NOT EXISTS (SELECT 1 FROM e d WHERE d.src = a.src AND d.dst = b.dst)
+    ),
+    n1 AS (SELECT src AS node, count(*) AS c1 FROM h1 GROUP BY src),
+    n2 AS (SELECT src AS node, count(*) AS c2 FROM h2 GROUP BY src)
+    SELECT n1.node, CAST(2 * n1.c1 + COALESCE(n2.c2, 0) AS BIGINT) AS harmonic_2x
+    FROM n1 LEFT JOIN n2 ON n1.node = n2.node
+    ORDER BY harmonic_2x DESC, n1.node ASC LIMIT 20
+    """,
+    doc="Hop-bounded harmonic centrality (top-20): sum of 1/d over "
+    "neighbors at distance 1 and 2, carried as the integer 2*|N1| + |N2| "
+    "(doubled to avoid the 1/2 fraction). Distance-2 nodes are the "
+    "2-hop closure MINUS direct neighbors and self — one self-join, one "
+    "distinct, one anti-join, two degree counts; the centrality family's "
+    "reach-weighted member next to degree (n1), PageRank (flow), and "
+    "HITS (mutual endorsement). At larger radii this becomes iterated "
+    "frontier BFS (bfs_distances) feeding the same 1/d sum.",
+    tags=("graph",),
+)
+def q_graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
+    e = e.localCheckpoint(eager=False)  # scanned three times below
+    two = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .filter(F.col("y.dst") != F.col("x.src"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        .distinct()
+        .join(e.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    n1 = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("c1"))
+    n2 = two.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("c2"))
+    return (
+        n1.join(n2, "node", "left")
+        .select(
+            "node",
+            (2 * F.col("c1") + F.coalesce("c2", F.lit(0))).cast("bigint").alias("harmonic_2x"),
+        )
+        .orderBy(F.col("harmonic_2x").desc(), F.col("node").asc())
+        .limit(20)
+    )
