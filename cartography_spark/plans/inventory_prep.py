@@ -922,3 +922,53 @@ def q_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("permille"),
         )
     )
+
+
+@query(
+    "budget_token_trim",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= 800
+    """,
+    doc="Per-source token-budget trimming: rank each source's documents "
+    "by a quality proxy (length here; any score column slots in) under "
+    "a deterministic (score, doc_id) total order, keep the prefix whose "
+    "cumulative token count fits the budget — the greedy fill step that "
+    "turns mixture_apportionment's quotas into an actual document "
+    "selection. One window shuffle partitioned by source; the cumulative "
+    "sum never materializes per-group orderings beyond the window sort.",
+    tags=("llm", "prep", "sampling"),
+)
+def q_budget_token_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
