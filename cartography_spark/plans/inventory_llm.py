@@ -2035,3 +2035,86 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, p,
+             CAST(min((h * (((p + 1) * 2654435761) % 2147483647)
+                       + (((p + 1) * 40503) % 2147483647)) % 2147483647) AS BIGINT) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)
+      GROUP BY doc_id, p
+    ),
+    bands AS (
+      SELECT doc_id, p % 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY p) AS bsig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS ninter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           CAST(i.ninter AS BIGINT) AS n_inter,
+           CAST(sa.sz + sb.sz - i.ninter AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE 3 * i.ninter >= sa.sz + sb.sz
+    """,
+    doc="Production fuzzy-dedup shape: MinHash+LSH generates bounded "
+    "candidates (recall stage), exact trigram Jaccard verifies each one "
+    "(precision stage) — the candidates-then-verify pipeline Dolma/"
+    "RedPajama run, eliminating LSH false positives without an all-pairs "
+    "scan. The >= 0.5 threshold is the integer cross-multiplication "
+    "3*|A intersect B| >= |A|+|B| (equivalent to J >= 1/2 via "
+    "|union| = |A|+|B|-|inter|), so the boundary is engine-exact. "
+    "Intersections are computed only for candidate pairs: cost is "
+    "|candidates| x shingles, never n^2.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wide = dd.minhash_wide(docs, num_perm=16, n=3)
+    cand = dd.lsh_candidate_pairs(wide, bands=4, wide=True).select("a", "b")
+    cand = cand.localCheckpoint(eager=False)  # probed by both shingle joins
+    sh = dd.doc_shingles(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(3 * F.col("n_inter") >= F.col("sza") + F.col("szb"))
+        .select(
+            "a",
+            "b",
+            F.col("n_inter").cast("bigint"),
+            (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("bigint").alias("n_union"),
+        )
+    )
