@@ -146,3 +146,38 @@ def asof_join_nearest(
         for c in (ts, *value_cols)
     ]
     return j.select(*left.columns, *picked)
+
+
+def asof_join_backward_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+    tolerance: int,
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join with a maximum lookback window (pandas
+    ``merge_asof(tolerance=...)`` / kdb windowed-join semantics): a match
+    older than ``tolerance`` axis units (microseconds for timestamp
+    columns, raw units for numeric timelines) is nulled, not carried.
+
+    Same single-shuffle union-merge plan as :func:`asof_join_backward` —
+    the tolerance is one row-local predicate applied after the
+    carry-forward, so it adds zero data movement. (Applying it BEFORE the
+    carry would be wrong: an out-of-window match must not resurrect an
+    even older in-window one; the reference pandas semantics null it.)
+    """
+    out = asof_join_backward(left, right, by, ts, value_cols, tie_col, prefix)
+    is_ts = isinstance(left.schema[ts].dataType, TimestampType)
+
+    def _axis(c):
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
+    ok = F.col(prefix + ts).isNotNull() & (
+        (_axis(F.col(ts)) - _axis(F.col(prefix + ts))) <= F.lit(tolerance)
+    )
+    for c in (ts, *value_cols):
+        out = out.withColumn(prefix + c, F.when(ok, F.col(prefix + c)))
+    return out

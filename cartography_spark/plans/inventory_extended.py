@@ -1332,3 +1332,59 @@ def q_analysis_scoped_set_property(spark: SparkSession, sf_dir: str) -> DataFram
     return cat.node("Supplier").select(
         "id", F.coalesce("flagged", F.lit(False)).alias("flagged")
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+             v.ts AS view_ts, v.value AS view_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) AS rn
+      FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+    )
+    SELECT click_id, user_id, click_ts,
+           CASE WHEN view_ts >= click_ts - INTERVAL 10 MINUTE THEN view_ts END AS view_ts,
+           CASE WHEN view_ts >= click_ts - INTERVAL 10 MINUTE THEN view_value END AS view_value
+    FROM j WHERE rn = 1
+    """,
+    doc="Backward as-of join with a 10-minute tolerance (pandas "
+    "merge_asof(tolerance=...) semantics): a click's most recent view is "
+    "attributed only if it happened within the window; staler matches "
+    "null out rather than resurrecting older ones. Same one-shuffle "
+    "union-merge plan as asof_join_attribution — the tolerance is a "
+    "row-local predicate after the carry-forward, zero extra movement. "
+    "Completes the as-of family: backward / forward / nearest / "
+    "windowed.",
+    tags=("window", "temporal"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.asof import asof_join_backward_tolerance
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("click_ts"), "event_id", F.col("value").alias("view_value")
+    )
+    out = asof_join_backward_tolerance(
+        clicks,
+        views,
+        by="user_id",
+        ts="click_ts",
+        value_cols=("view_value",),
+        tolerance=600 * 1_000_000,  # 10 min on the unix_micros axis
+        tie_col="event_id",
+        prefix="v_",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("v_click_ts").alias("view_ts"),
+        F.col("v_view_value").alias("view_value"),
+    )
