@@ -173,7 +173,9 @@ def asof_join_backward_tolerance(
     is_ts = isinstance(left.schema[ts].dataType, TimestampType)
 
     def _axis(c):
-        return F.unix_micros(c) if is_ts else c.cast("long")
+        # double (not long) for numeric timelines — matching asof_join_nearest —
+        # so a fractional distance like 1.1 is not truncated under the tolerance
+        return F.unix_micros(c) if is_ts else c.cast("double")
 
     ok = F.col(prefix + ts).isNotNull() & (
         (_axis(F.col(ts)) - _axis(F.col(prefix + ts))) <= F.lit(tolerance)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cartography_spark.session import shuffle_partition_count
+
 
 def portable_hash32(col: Column, salt: Column | str | int | None = None) -> Column:
     """Unsigned-32-bit hash derived from md5, reproducible in any engine
@@ -483,7 +485,7 @@ def cluster_min_label(
     # per-round join key so the round joins consume the cache without an
     # exchange (localCheckpoint would lose the partitioning info; persist
     # keeps it — same pattern as graph._persist_copartitioned)
-    n_part = int(und.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(und.sparkSession)
     und = und.distinct().repartition(n_part, "dst")
     und.persist()
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
@@ -547,7 +549,7 @@ def cluster_min_label_bipartite(
     """
     from pyspark.sql import Observation
 
-    n_part = int(memberships.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(memberships.sparkSession)
     mem = (
         memberships.select(F.col(id_col).alias("mv"), F.col(bucket_col).alias("mb"))
         .distinct()

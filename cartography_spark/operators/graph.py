@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cartography_spark.session import finalize_iterative, shuffle_partition_count
+
 PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
 
 
@@ -53,7 +55,7 @@ def _persist_copartitioned(df: DataFrame, key: str) -> DataFrame:
     At cluster scale this is the difference between shuffling the edge
     list once vs once-per-round (measured ~2x cold wall-clock on the
     sf0.1 trade graph for 3-round LPA)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = shuffle_partition_count(df.sparkSession)
     out = df.repartition(n, key)
     out.persist()
     return out
@@ -93,10 +95,9 @@ def pagerank_exact(edges: DataFrame, iterations: int = 5) -> DataFrame:
                 (F.lit(base) + F.expr(f"(85 * inflow) div 100")).alias("r"),
             )
         )
-    # final checkpoint bounds the returned plan and lets the edge cache go
-    ranks = ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    return ranks
+    # session mode: checkpoint bounds the returned plan and the edge cache
+    # is released; oneshot mode skips the extra materialization barrier
+    return finalize_iterative(ranks, e)
 
 
 def orient_by_degree(edges: DataFrame) -> DataFrame:
@@ -127,9 +128,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     closed = wedges.join(o.alias("e3"), (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst")))
     tri = closed.agg(F.count("*").alias("n_triangles"))
-    out = tri.crossJoin(edges.agg(F.count("*").alias("n_edges"))).localCheckpoint(eager=True)
-    o.unpersist()
-    return out
+    out = tri.crossJoin(edges.agg(F.count("*").alias("n_edges")))
+    return finalize_iterative(out, o)
 
 
 def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFrame:
@@ -323,10 +323,9 @@ def label_propagation(
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
-    # final checkpoint bounds the returned plan and lets the edge cache go
-    labels = labels.localCheckpoint(eager=True)
-    e.unpersist()
-    return labels
+    # session mode: checkpoint bounds the returned plan and the edge cache
+    # is released; oneshot mode skips the extra materialization barrier
+    return finalize_iterative(labels, e)
 
 
 def neighbor_jaccard_pairs(
@@ -437,9 +436,7 @@ def pagerank_personalized(
             .select(F.col("dst").alias("node"), "r")
         )
         ranks = inflow.unionByName(bonus).groupBy("node").agg(F.sum("r").alias("r"))
-    ranks = ranks.localCheckpoint(eager=True)
-    e.unpersist()
-    return ranks
+    return finalize_iterative(ranks, e)
 
 
 def temporal_reachability(
@@ -511,6 +508,8 @@ def hits_exact(
     """
     from pyspark.sql import Observation
 
+    if iterations < 1:
+        raise ValueError(f"hits_exact requires iterations >= 1, got {iterations}")
     e = _persist_copartitioned(edges.select("src", "dst"), "src")
     hubs = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1).cast("bigint").alias("h")

@@ -111,6 +111,36 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index build: assign every stored vector to its max-cosine cell
+    (ties -> lowest cid). Returns (id, cid, __v array<double>) — the
+    inverted lists. Cell assignment is a broadcast cross join (|emb| x K
+    cosine evaluations, JVM-side) folded by a mergeable ``min_by``
+    aggregate — partial aggregation map-side, no per-id window sort
+    (negation of a double is exact, so the ordering is identical to
+    ORDER BY cos DESC, cid ASC). At very large K you'd move the
+    assignment into a pandas-UDF matmul — the surrounding plan shape is
+    unchanged. Run once per corpus snapshot; probes reuse the result."""
+    v = F.col(vec_col).cast("array<double>")
+    cents = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
+    scored = embeddings.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(cents))
+    scored = scored.withColumn("__cos", cosine_similarity(F.col("__v"), F.col("cv")))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cid", "__v"), F.struct((-F.col("__cos")).alias("nc"), F.col("cid"))
+            ).alias("__b")
+        )
+        .select(id_col, F.col("__b.cid").alias("cid"), F.col("__b.__v").alias("__v"))
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -121,10 +151,17 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     round_digits: int = 4,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
     ``n_centroids`` cells; the query probes only its ``n_probe`` nearest
     cells and re-ranks exactly inside them.
+
+    ``assigned`` (id, cid, __v) supplies the PREBUILT inverted lists from
+    :func:`ivf_assign` — the index-build/probe split production IVF uses:
+    stored vectors are assigned to cells once at index time, so a query
+    costs only the probe-cell selection (K broadcast rows) plus the exact
+    re-rank over ~n_probe/n_centroids of the data.
 
     ``centroids`` (cid, cv array<double>) supplies a TRAINED coarse
     quantizer — typically clustering.trained_centroid_frame (integer-exact
@@ -146,20 +183,8 @@ def ivf_ann_topk(
         cents = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
     q = F.lit(query_vec).cast("array<double>")
 
-    scored = embeddings.select(F.col(id_col), v.alias("__v")).crossJoin(F.broadcast(cents))
-    scored = scored.withColumn("__cos", cosine_similarity(F.col("__v"), F.col("cv")))
-    # argmax-cos (tie: lowest cid) as a mergeable min_by aggregate — partial
-    # aggregation map-side, no per-id window sort (negation of a double is
-    # exact, so the ordering is identical to ORDER BY cos DESC, cid ASC)
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.min_by(
-                F.struct("cid", "__v"), F.struct((-F.col("__cos")).alias("nc"), F.col("cid"))
-            ).alias("__b")
-        )
-        .select(id_col, F.col("__b.cid").alias("cid"), F.col("__b.__v").alias("__v"))
-    )
+    if assigned is None:
+        assigned = ivf_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
 
     probes = (
         cents.withColumn("__qcos", cosine_similarity(F.col("cv"), q))

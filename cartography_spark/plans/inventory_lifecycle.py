@@ -412,6 +412,176 @@ def q_analysis_exposure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analysis_k8s_exposure",
+    oracle="""
+    WITH lbs AS (
+      SELECT n_nationkey FROM nation
+      WHERE n_nationkey % 5 = 0 OR (n_regionkey = 2 AND n_name LIKE 'C%')
+    ),
+    svc AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 0 AND c_nationkey IN (SELECT n_nationkey FROM lbs)
+    ),
+    pod AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM svc)
+    ),
+    cont AS (
+      SELECT DISTINCT s.c_nationkey AS lb_id, l.l_suppkey AS supp_id
+      FROM pod p JOIN svc s ON p.o_custkey = s.c_custkey
+      JOIN lineitem l ON l.l_orderkey = p.o_orderkey
+    )
+    SELECT CAST(supp_id AS VARCHAR) AS supplier_id,
+           CAST(count(DISTINCT lb_id) AS BIGINT) AS n_exposing_lbs,
+           CAST('via_lb_only' AS VARCHAR) AS exposure_type,
+           TRUE AS exposed_internet
+    FROM cont GROUP BY supp_id
+    """,
+    doc="Port of the reference's KUBERNETES internet-exposure analysis "
+    "package (analysis/kubernetes/analysis.py:8-150) onto the fixture "
+    "graph — the second end-to-end AnalysisJob family after the AWS "
+    "chain. The k8s shape distinctives all appear: a ScopeById tenant "
+    "anchor restricting every statement AND the generated cleanup to one "
+    "cluster (here Region 0; scope members via RESOURCE edges, "
+    "analysis.py:12-24), the disjunctive LB predicate "
+    "(lb.exposed_internet OR (scheme='internet-facing' AND "
+    "type='network') -> nationkey%5=0 OR (regionkey=2 AND name LIKE "
+    "'C%')), and the CASCADING svc->pod->container exposure: statement 2 "
+    "matches on the exposed_internet flag statement 1 just wrote "
+    "(K8S_POD_ASSET_EXPOSURE matching {exposed_internet: true}), and "
+    "statement 3 on statement 2's. SetProperties writes the pod's "
+    "multi-prop update in one pass (analysis.py:81-88); AddToSet "
+    "accumulates exposed_internet_type; AddRelationship + "
+    "SetRelationshipPropertyIfMissing derive the "
+    "(lb)-[:EXPOSE {exposure_type}]->(container) edges of "
+    "K8S_LB_CONTAINER_EXPOSURE. The oracle recomputes the whole cascade "
+    "relationally.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_k8s_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AddToSet,
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+        SetProperties,
+        SetProperty,
+        SetRelationshipPropertyIfMissing,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # the "internet-facing load balancer" analog: a disjunctive predicate
+    # over the Nation label, mirroring `lb.exposed_internet = true OR
+    # (lb.scheme = 'internet-facing' AND lb.type = 'network')`
+    def lb_nations(c: GraphCatalog) -> DataFrame:
+        n = c.node("Nation")
+        cond = (F.col("n_nationkey") % 5 == 0) | (
+            (F.col("n_regionkey") == 2) & F.col("name").startswith("C")
+        )
+        return n.filter(cond).select(F.col("id").alias("lb_id"))
+
+    # statement 1 — service exposure: customers LOCATED_IN an exposed LB
+    # nation (K8S_SERVICE_ASSET_EXPOSURE's svc-[:USES_LOAD_BALANCER]->lb)
+    def svc_matcher(c: GraphCatalog) -> DataFrame:
+        e = c.edge("Customer", "LOCATED_IN", "Nation")
+        return (
+            e.join(lb_nations(c), e.dst_id == F.col("lb_id"))
+            .select(F.col("src_id").alias("cid"))
+            .distinct()
+        )
+
+    # statement 2 — pod exposure: orders PLACED_BY a service exposed by
+    # statement 1 (matching on the flag the previous statement wrote)
+    def pod_matcher(c: GraphCatalog) -> DataFrame:
+        exposed = (
+            c.node("Customer")
+            .filter(F.col("exposed_internet") == True)  # noqa: E712
+            .select(F.col("id").alias("cid"))
+        )
+        orders = c.node("Order").select(
+            F.col("id").alias("oid"), F.col("o_custkey").cast("string").alias("cid")
+        )
+        return orders.join(exposed, "cid")
+
+    # statement 3 — container exposure + derived LB->container EXPOSE
+    # edges: exposed pods' lineitems reach suppliers; the exposing LB is
+    # the service's nation
+    def cont_matcher(c: GraphCatalog) -> DataFrame:
+        pods = (
+            c.node("Order")
+            .filter(F.col("exposed_internet") == True)  # noqa: E712
+            .select(F.col("id").alias("oid"), F.col("o_custkey").cast("string").alias("cid"))
+        )
+        loc = c.edge("Customer", "LOCATED_IN", "Nation").select(
+            F.col("src_id").alias("cid"), F.col("dst_id").alias("lb_id")
+        )
+        items = li.select(
+            F.col("l_orderkey").cast("string").alias("oid"),
+            F.col("l_suppkey").cast("string").alias("sid"),
+        )
+        return pods.join(loc, "cid").join(items, "oid")
+
+    job = AnalysisJob(
+        name="k8s-compute-exposure",
+        scope=ScopeById("Region", "CLUSTER_ID", scope_on="cid", member_label="Customer"),
+        statements=(
+            AnalysisStatement(
+                svc_matcher,
+                (
+                    SetProperty("Customer", "cid", "exposed_internet", True),
+                    AddToSet("Customer", "cid", "exposed_internet_type", "lb"),
+                ),
+            ),
+            AnalysisStatement(
+                pod_matcher,
+                (
+                    SetProperties(
+                        "Order", "oid", {"exposed_internet": True, "exposure_surface": "pod"}
+                    ),
+                    AddToSet("Order", "oid", "exposed_internet_type", "lb"),
+                ),
+            ),
+            AnalysisStatement(
+                cont_matcher,
+                (
+                    SetProperty("Supplier", "sid", "exposed_internet", True),
+                    AddToSet("Supplier", "sid", "exposed_internet_type", "lb"),
+                    AddRelationship("Nation", "EXPOSE", "Supplier", "lb_id", "sid"),
+                    SetRelationshipPropertyIfMissing(
+                        ("Nation", "EXPOSE", "Supplier"),
+                        "lb_id",
+                        "sid",
+                        "exposure_type",
+                        "via_lb_only",
+                    ),
+                ),
+            ),
+        ),
+    )
+    job.run(cat, T1, params={"CLUSTER_ID": "0"})
+
+    edges = cat.edge("Nation", "EXPOSE", "Supplier")
+    exposed_sup = (
+        cat.node("Supplier")
+        .filter(F.col("exposed_internet") == True)  # noqa: E712
+        .select(F.col("id").alias("supplier_id"), "exposed_internet")
+    )
+    return (
+        edges.groupBy(F.col("dst_id").alias("supplier_id"))
+        .agg(
+            F.countDistinct("src_id").alias("n_exposing_lbs"),
+            F.max("exposure_type").alias("exposure_type"),
+        )
+        .join(exposed_sup, "supplier_id")
+        .select("supplier_id", "n_exposing_lbs", "exposure_type", "exposed_internet")
+    )
+
+
+@query(
     "rule_compliance_counts",
     oracle="""
     SELECT CAST('negative-balance-customers' AS VARCHAR) AS fact_id,

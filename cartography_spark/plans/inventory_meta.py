@@ -657,3 +657,72 @@ def q_job_edge_direction_migration(spark: SparkSession, sf_dir: str) -> DataFram
     job = GraphJob.from_json(_MIGRATION_JOB_JSON)
     assert GraphJob.from_json(job.as_json()) == job
     return job.run(cat, params={})[-1]
+
+
+# ---------------------------------------------------------------------------
+# Typed read sinks round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "client_read_sinks",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS name_dict,
+           n_name AS name_tuple,
+           n_name AS name_iter,
+           (SELECT min(n_nationkey) FROM nation WHERE n_regionkey = 0) AS first_key,
+           (SELECT n_name FROM nation WHERE n_regionkey = 0
+            ORDER BY n_nationkey LIMIT 1) AS first_name
+    FROM nation WHERE n_regionkey = 0
+    """,
+    doc="Typed read-sink round-trip (reference client/core/tx.py:367-569: "
+    "read_list_of_values / read_single_value / read_list_of_dict_values / "
+    "read_single_dict / read_list_of_tuples): one small ordered read query "
+    "is materialized through ALL FIVE typed sinks plus the streaming "
+    "iterate_rows variant, and the resulting Python structures are zipped "
+    "back into a DataFrame — so a value produced by any sink that "
+    "disagrees with any other (wrong column, wrong order, wrong type) "
+    "breaks the oracle hash. Driver-side by contract: these sinks exist "
+    "for small result sets (rule findings, lookups).",
+    tags=("engine", "source"),
+)
+def q_client_read_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.client import (
+        iterate_rows,
+        read_list_of_dicts,
+        read_list_of_tuples,
+        read_list_of_values,
+        read_single_dict,
+        read_single_value,
+    )
+    from cartography_spark.sources.parquet import load_table
+
+    small = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .orderBy("n_nationkey")
+        .select("n_nationkey", "n_name")
+    )
+    values = read_list_of_values(small)
+    single = read_single_value(small)
+    dicts = read_list_of_dicts(small)
+    sdict = read_single_dict(small)
+    tuples = read_list_of_tuples(small)
+    iterated = list(iterate_rows(small))
+    rows = [
+        (
+            int(values[i]),
+            dicts[i]["n_name"],
+            tuples[i][1],
+            iterated[i]["n_name"],
+            int(single),
+            sdict["n_name"],
+        )
+        for i in range(len(values))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_nationkey bigint, name_dict string, name_tuple string, "
+        "name_iter string, first_key bigint, first_name string",
+    )

@@ -12,6 +12,50 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Engine session mode. "session" (default) = long-lived process running many
+# queries: iterative operators materialize their final result and release
+# their iteration caches before returning (cache hygiene — nothing leaks into
+# the next query). "oneshot" = bench / single-query runs: the final
+# materialization barrier (~1.5 s/query at sf0.1) is skipped and the lazy
+# plan is returned; the caller's single action consumes the still-persisted
+# iteration caches and the process exits. Identical results either way.
+_SESSION_MODE = os.environ.get("SPARK_GRAFT_MODE", "session")
+
+
+def set_session_mode(mode: str) -> None:
+    global _SESSION_MODE
+    if mode not in ("session", "oneshot"):
+        raise ValueError(f"unknown session mode {mode!r}")
+    _SESSION_MODE = mode
+
+
+def session_mode() -> str:
+    return _SESSION_MODE
+
+
+def finalize_iterative(df, *caches):
+    """Close out an iterative operator: in session mode, checkpoint the
+    result (bounds the returned plan) and unpersist the iteration caches;
+    in oneshot mode, hand back the lazy plan and leave the caches warm."""
+    if _SESSION_MODE == "session":
+        df = df.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist()
+    return df
+
+
+def shuffle_partition_count(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``sparkContext.defaultParallelism`` when the conf is non-numeric
+    (e.g. Databricks sets it to ``"auto"`` under AQE).
+    """
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(app_name: str = "cartography-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

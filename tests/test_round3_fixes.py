@@ -1,0 +1,153 @@
+"""Round-3 fixes: session-mode cache hygiene gating, the IVF
+index-build/probe split, fractional as-of tolerance axes, hits_exact
+argument validation, and shuffle-partition conf fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.session import (
+    finalize_iterative,
+    session_mode,
+    set_session_mode,
+    shuffle_partition_count,
+)
+
+
+def test_shuffle_partition_count_numeric(spark):
+    assert shuffle_partition_count(spark) == 8
+
+
+def test_shuffle_partition_count_non_numeric_falls_back():
+    # Spark 4 validates the conf at set-time, so simulate an environment
+    # (e.g. Databricks "auto") where the getter returns a non-numeric value
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 12
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_partition_count(_Spark()) == 12
+
+
+def test_set_session_mode_rejects_unknown():
+    with pytest.raises(ValueError):
+        set_session_mode("turbo")
+
+
+def test_session_mode_gates_finalize(spark):
+    df = spark.range(10)
+    cache = spark.range(5).persist()
+    try:
+        assert session_mode() == "session"
+        out = finalize_iterative(df, cache)
+        # session mode: result checkpointed (plan becomes an RDD scan) and
+        # the iteration cache released
+        assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
+        assert not cache.is_cached
+        cache2 = spark.range(5).persist()
+        set_session_mode("oneshot")
+        out2 = finalize_iterative(df, cache2)
+        assert out2 is df  # lazy plan returned untouched
+        assert cache2.is_cached  # cache left warm for the single consumer
+        cache2.unpersist()
+    finally:
+        set_session_mode("session")
+
+
+def test_graph_results_identical_across_modes(spark):
+    from cartography_spark.operators.graph import label_propagation, pagerank_exact, symmetrize
+
+    edges = symmetrize(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+        )
+    )
+    try:
+        set_session_mode("session")
+        pr_session = {(r.node, r.r) for r in pagerank_exact(edges, iterations=3).collect()}
+        lp_session = {(r.node, r.label) for r in label_propagation(edges, rounds=2).collect()}
+        set_session_mode("oneshot")
+        pr_oneshot = {(r.node, r.r) for r in pagerank_exact(edges, iterations=3).collect()}
+        lp_oneshot = {(r.node, r.label) for r in label_propagation(edges, rounds=2).collect()}
+    finally:
+        set_session_mode("session")
+    assert pr_session == pr_oneshot
+    assert lp_session == lp_oneshot
+
+
+def test_hits_exact_rejects_non_positive_iterations(spark):
+    from cartography_spark.operators.graph import hits_exact
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_exact(edges, iterations=0)
+
+
+def test_asof_tolerance_fractional_numeric_axis(spark):
+    """A numeric-axis match at distance 1.1 with tolerance 1 must be nulled
+    (long-cast truncation used to keep it: 1-0 <= 1)."""
+    from cartography_spark.operators.asof import asof_join_backward_tolerance
+
+    left = spark.createDataFrame([(1, 7, 1.5)], "lid long, k long, ts double")
+    right = spark.createDataFrame([(10, 7, 0.4, 9.0)], "rid long, k long, ts double, rv double")
+    out = asof_join_backward_tolerance(
+        left, right, by="k", ts="ts", value_cols=("rv",), tolerance=1
+    ).collect()[0]
+    assert out["asof_ts"] is None and out["asof_rv"] is None
+
+
+def test_ivf_assign_matches_inline_assignment(spark):
+    """Prebuilt inverted lists (index build) must give the same top-k as the
+    inline assignment path."""
+    from cartography_spark.operators.similarity import ivf_ann_topk, ivf_assign
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = rows[3][1]
+    inline = ivf_ann_topk(emb, q, k=5, n_centroids=4, n_probe=2, centroids=cents).collect()
+    prebuilt = ivf_ann_topk(
+        emb,
+        q,
+        k=5,
+        n_centroids=4,
+        n_probe=2,
+        centroids=cents,
+        assigned=ivf_assign(emb, cents).localCheckpoint(eager=True),
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in inline] == [(r.vec_id, r.cosine) for r in prebuilt]
+
+
+def test_analysis_k8s_exposure_cascade(spark):
+    """The k8s-exposure AnalysisJob cascade writes svc/pod/container flags
+    scoped to one cluster tenant, and derives EXPOSE edges with
+    exposure_type (reference analysis/kubernetes/analysis.py:8-150)."""
+    from cartography_spark.plans.inventory_lifecycle import q_analysis_k8s_exposure
+
+    out = q_analysis_k8s_exposure(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "expected exposed suppliers at sf0.001"
+    assert all(r.exposure_type == "via_lb_only" and r.exposed_internet for r in rows)
+    assert all(r.n_exposing_lbs >= 1 for r in rows)
+
+
+def test_client_read_sinks_roundtrip(spark):
+    from cartography_spark.plans.inventory_meta import q_client_read_sinks
+
+    rows = q_client_read_sinks(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5  # region 0 has 5 nations
+    first = min(rows, key=lambda r: r.n_nationkey)
+    assert all(r.first_key == first.n_nationkey for r in rows)
+    assert all(r.name_dict == r.name_tuple == r.name_iter for r in rows)
