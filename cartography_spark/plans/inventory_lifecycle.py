@@ -581,6 +581,117 @@ def q_analysis_k8s_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PART_SCHEMA = NodeSchema(
+    label="Part",
+    properties={
+        "id": PropertyRef("p_partkey"),
+        "name": PropertyRef("p_name"),
+        "brand": PropertyRef("p_brand"),
+        "size": PropertyRef("p_size"),
+    },
+    scoped_cleanup=False,
+)
+
+
+@query(
+    "analysis_gcp_ontology_projection",
+    oracle="""
+    WITH ret AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT CAST(p_partkey AS VARCHAR) AS part_id,
+           CASE WHEN coalesce(p_brand, '') = 'Brand#11' THEN FALSE
+                ELSE coalesce(p_size > 40, FALSE)
+                     OR (p_partkey IN (SELECT l_partkey FROM ret)) END AS ont_public,
+           CASE WHEN p_size > 45 THEN TRUE ELSE FALSE END AS exposed_internet,
+           CASE WHEN p_size > 45 THEN 'direct' ELSE NULL END AS exposed_internet_type
+    FROM part
+    """,
+    doc="Port of the reference's GCP analysis package shapes "
+    "(analysis/gcp/analysis.py) onto the fixture graph — closing the "
+    "analysis family alongside the AWS chain and the Kubernetes cascade. "
+    "Exercises the VALUE-TERM AST of SURVEY §2.8: "
+    "GCP_BUCKET_PUBLIC_PROJECTION's Case(when=..., else_=RawCypher(...)) "
+    "effect value (analysis/gcp/analysis.py:52-77) becomes an F.when "
+    "whose else-branch is an F.expr over matcher-computed columns — the "
+    "EXISTS{} subquery inside the RawCypher is the matcher's left-semi "
+    "flag join. Also mirrors GCP_COMPUTE_FORWARDING_RULE_EXPOSURE's "
+    "two-statement idiom (:79-100): SetProperties(exposed_internet, "
+    "type) on the matched subset, then a DEFAULT-FILL statement matching "
+    "`exposed_internet IS NULL` and setting false — so the projected "
+    "column is total (no null booleans) without touching rows the first "
+    "statement wrote.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_gcp_ontology_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        AnalysisStatement,
+        SetProperties,
+        SetProperty,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+    load(cat, _PART_SCHEMA, load_table(spark, sf_dir, "part"), T1)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # GCPBucket -> Part: the public-access projection over EVERY node of
+    # the label (MATCH (b:GCPBucket), no WHERE)
+    def bucket_matcher(c: GraphCatalog) -> DataFrame:
+        parts = c.node("Part").select(F.col("id").alias("pid"), "brand", "size")
+        returned = (
+            li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_partkey").cast("string").alias("pid"))
+            .distinct()
+            .withColumn("__r", F.lit(True))
+        )
+        return parts.join(returned, "pid", "left").withColumn(
+            "has_return", F.coalesce("__r", F.lit(False))
+        )
+
+    # Case(when=(prevention='enforced', False), else_=RawCypher(acl OR EXISTS))
+    ont_public = F.when(
+        F.coalesce(F.col("brand"), F.lit("")) == "Brand#11", F.lit(False)
+    ).otherwise(F.expr("coalesce(size > 40, false) OR has_return"))
+
+    def external_matcher(c: GraphCatalog) -> DataFrame:
+        return c.node("Part").filter(F.col("size") > 45).select(F.col("id").alias("pid"))
+
+    def unset_matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Part")
+            .filter(F.col("exposed_internet").isNull())
+            .select(F.col("id").alias("pid"))
+        )
+
+    job = AnalysisJob(
+        name="gcp-ontology-projection",
+        statements=(
+            AnalysisStatement(
+                bucket_matcher, (SetProperty("Part", "pid", "ont_public", ont_public),)
+            ),
+            AnalysisStatement(
+                external_matcher,
+                (
+                    SetProperties(
+                        "Part",
+                        "pid",
+                        {"exposed_internet": True, "exposed_internet_type": "direct"},
+                    ),
+                ),
+            ),
+            AnalysisStatement(
+                unset_matcher, (SetProperty("Part", "pid", "exposed_internet", False),)
+            ),
+        ),
+    )
+    job.run(cat, T1)
+    return cat.node("Part").select(
+        F.col("id").alias("part_id"),
+        "ont_public",
+        "exposed_internet",
+        "exposed_internet_type",
+    )
+
+
 @query(
     "rule_compliance_counts",
     oracle="""

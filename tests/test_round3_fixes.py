@@ -151,3 +151,20 @@ def test_client_read_sinks_roundtrip(spark):
     first = min(rows, key=lambda r: r.n_nationkey)
     assert all(r.first_key == first.n_nationkey for r in rows)
     assert all(r.name_dict == r.name_tuple == r.name_iter for r in rows)
+
+
+def test_analysis_gcp_case_projection_total(spark):
+    """The GCP-style Case/RawCypher projection plus default-fill leaves no
+    null booleans and marks only size>45 parts exposed."""
+    from cartography_spark.plans.inventory_lifecycle import (
+        q_analysis_gcp_ontology_projection,
+    )
+
+    rows = q_analysis_gcp_ontology_projection(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.ont_public is not None and r.exposed_internet is not None for r in rows)
+    assert all(
+        (r.exposed_internet and r.exposed_internet_type == "direct")
+        or (not r.exposed_internet and r.exposed_internet_type is None)
+        for r in rows
+    )
