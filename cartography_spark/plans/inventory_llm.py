@@ -2155,3 +2155,35 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("bigint").alias("n_union"),
         )
     )
+
+
+@query(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents)
+    SELECT doc_id,
+           8 AS width,
+           CAST(4 * (1 + bs[1] % 4) AS INT) AS height,
+           CAST((4 * (1 + bs[1] % 4) / 2) * list_aggregate(bs, 'sum') AS BIGINT) AS sum_pixel,
+           CAST(list_aggregate(bs, 'min') AS INT) AS min_pixel,
+           CAST(list_aggregate(bs, 'max') AS INT) AS max_pixel,
+           list_aggregate(bs, 'sum') / 16.0 AS mean_pixel,
+           TRUE AS valid
+    FROM b
+    """,
+    doc="Multimodal COMPRESSED-codec decode: synthesize a real 8-bit "
+    "grayscale PNG per doc (8 x 4*(1+b0%4) px, pixels = md5(text) digest "
+    "tiled, scanline filter = row % 5 so None/Sub/Up/Average/Paeth all "
+    "appear in every image), then decode it with the stdlib-zlib PNG "
+    "parser (signature + chunk walk with CRC32 verification + inflate + "
+    "full filter reconstruction incl. the Paeth predictor) in "
+    "Arrow-batched mapInPandas (operators/multimodal.py:png_decode). "
+    "Closes part of the round-2 'uncompressed formats only' limitation "
+    "without any codec library. The oracle recomputes dims and exact "
+    "sum/min/max/mean from the digest bytes — a single wrong "
+    "reconstructed pixel anywhere breaks the sum.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = mm.synthesize_png_column(_docs(spark, sf_dir))
+    return mm.decode_png_meta(images)

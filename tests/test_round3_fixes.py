@@ -168,3 +168,24 @@ def test_analysis_gcp_case_projection_total(spark):
         or (not r.exposed_internet and r.exposed_internet_type is None)
         for r in rows
     )
+
+
+def test_png_roundtrip_all_filters():
+    """PNG encode/decode round-trips across every scanline filter type and
+    rejects corrupted CRCs and foreign bytes."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    for _ in range(8):
+        h, w = int(rng.randint(1, 16)), int(rng.randint(1, 16))
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for filters in (None, np.zeros(h, dtype=int), np.full(h, 4), rng.randint(0, 5, h)):
+            dec = png_decode(png_encode(px, filters))
+            assert dec is not None and (dec == px).all()
+    blob = bytearray(png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    blob[-5] ^= 0xFF
+    assert png_decode(bytes(blob)) is None
+    assert png_decode(b"notapng") is None
+    assert png_decode(None) is None
