@@ -972,3 +972,81 @@ def q_budget_token_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source,
+             (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://www.site' || (doc_id % 5)
+               || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                                   WHEN 2 THEN '.org' ELSE '.com' END)
+               || '/docs/' || source || '/' || (doc_id % 10)
+               || (CASE WHEN doc_id % 3 IN (0, 1)
+                        THEN '?id=' || (doc_id % 10) ELSE '' END) AS canonical_url,
+             'site' || (doc_id % 5)
+               || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                                   WHEN 2 THEN '.org' ELSE '.com' END) AS domain
+      FROM documents
+    )
+    SELECT canonical_url, domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM u GROUP BY canonical_url, domain
+    """,
+    doc="URL-level dedup, the FIRST dedup stage of web-corpus pipelines "
+    "(before any content hashing): deterministic MESSY urls are "
+    "synthesized per doc (upper-case scheme/host, scheme-default ports, "
+    "doubled slashes, trailing slashes, utm_*/tracking params mixed into "
+    "real params, fragments), canonicalized with the pure-Column "
+    "normalizer (functions/urls.py:canonicalize_url — lower scheme+host, "
+    "strip :80/:443, collapse //, drop trailing slash and fragment, "
+    "remove tracking params keeping real ones in order), keyed by "
+    "registrable domain (eTLD+1 incl. two-level suffixes like .co.uk), "
+    "and grouped to (canonical, domain, n_docs, keep=min id). The oracle "
+    "constructs the EXPECTED canonical form directly from doc_id "
+    "arithmetic — the messy->canonical normalization must land exactly "
+    "on it, end-to-end. All string ops are JVM-side regexp/substr "
+    "expressions: canonicalization runs inside the scan at 100 TB, no "
+    "UDF, and the groupBy key is the only shuffle.",
+    tags=("llm", "prep", "dedup"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.urls import canonicalize_url, registrable_domain, split_url
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(d % 2 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site"))
+    tld = (
+        F.when(d % 4 == 0, F.lit(".co.uk"))
+        .when(d % 4 == 1, F.lit(".com"))
+        .when(d % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com"))
+    )
+    port = F.when(
+        (d % 3 == 0) & (d % 2 == 0), F.lit(":80")
+    ).when((d % 3 == 0) & (d % 2 == 1), F.lit(":443")).otherwise(F.lit(""))
+    query_s = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 10).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 10).cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit(""))
+    )
+    messy = F.concat(
+        scheme, F.lit("://"), www, (d % 5).cast("string"), tld, port,
+        F.lit("/docs//"), F.col("source"), F.lit("/"), (d % 10).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        query_s,
+        F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", messy.alias("url"))
+    canon = urls.select(
+        "doc_id",
+        canonicalize_url("url").alias("canonical_url"),
+        registrable_domain(split_url("url")["hostport"]).alias("domain"),
+    )
+    return canon.groupBy("canonical_url", "domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )

@@ -189,3 +189,27 @@ def test_png_roundtrip_all_filters():
     assert png_decode(bytes(blob)) is None
     assert png_decode(b"notapng") is None
     assert png_decode(None) is None
+
+
+def test_url_canonicalization_edges(spark):
+    from cartography_spark.functions.urls import canonicalize_url, registrable_domain, split_url
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://WWW.Example.COM:80//a/b/?utm_source=x&q=1#frag",
+         "http://www.example.com/a/b?q=1", "example.com"),
+        ("https://Sub.Shop.co.uk:443/", "https://sub.shop.co.uk/", "shop.co.uk"),
+        ("https://example.org", "https://example.org/", "example.org"),
+        # href= must NOT be treated as the tracking param ref=
+        ("http://a.com/p?href=keep&ref=drop", "http://a.com/p?href=keep", "a.com"),
+        ("http://10.1.2.3:8080/x/", "http://10.1.2.3:8080/x", "10.1.2.3"),
+        ("https://b.net/?utm_campaign=only", "https://b.net/", "b.net"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _, _ in cases], "url string")
+    got = df.select(
+        canonicalize_url("url").alias("c"),
+        registrable_domain(split_url("url")["hostport"]).alias("d"),
+    ).collect()
+    for (_, want_c, want_d), row in zip(cases, got):
+        assert row.c == want_c, (row.c, want_c)
+        assert row.d == want_d, (row.d, want_d)
