@@ -2187,3 +2187,85 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = mm.synthesize_png_column(_docs(spark, sf_dir))
     return mm.decode_png_meta(images)
+
+
+def _logreg_oracle(iterations: int = 3) -> str:
+    """Unrolled hard-sigmoid GD training in DuckDB SQL — replays
+    operators/linear.py:logreg_train's integer updates exactly."""
+    S, HALF = 1_000_000, 500_000
+    fld4 = "CAST((z - (((z % 4) + 4) % 4)) // 4 AS BIGINT)"
+    err = f"y * {S} - GREATEST(0, LEAST({S}, {fld4} + {HALF}))"
+
+    def fldn(g: str) -> str:
+        return f"CAST(({g} - ((({g} % dn) + dn) % dn)) // dn AS BIGINT)"
+
+    ctes = [
+        """d AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                 FROM lineitem)""",
+        "nn AS (SELECT CAST(count(*) * 100 AS BIGINT) AS dn FROM d)",
+        "it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"it{i-1}"
+        ctes.append(f"""it{i} AS (
+          SELECT w0 + {fldn('g0')} AS w0, w1 + {fldn('g1')} AS w1, w2 + {fldn('g2')} AS w2
+          FROM (
+            SELECT (SELECT w0 FROM {p}) AS w0, (SELECT w1 FROM {p}) AS w1,
+                   (SELECT w2 FROM {p}) AS w2, (SELECT dn FROM nn) AS dn,
+                   sum(err) AS g0, sum(err * x1) AS g1, sum(err * x2) AS g2
+            FROM (
+              SELECT {err} AS err, x1, x2
+              FROM (SELECT x1, x2, y,
+                           (SELECT w0 FROM {p}) + (SELECT w1 FROM {p}) * x1
+                           + (SELECT w2 FROM {p}) * x2 AS z
+                    FROM d)
+            )
+          )
+        )""")
+    last = f"it{iterations}"
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT w0, w1, w2,
+           (SELECT count(*) FROM d) AS n,
+           (SELECT CAST(sum(CASE WHEN (CASE WHEN GREATEST(0, LEAST({S}, {fld4} + {HALF})) >= {HALF}
+                                  THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS BIGINT)
+            FROM (SELECT x1, x2, y,
+                         (SELECT w0 FROM {last}) + (SELECT w1 FROM {last}) * x1
+                         + (SELECT w2 FROM {last}) * x2 AS z
+                  FROM d)) AS n_correct
+    FROM {last}
+    """
+
+
+@query(
+    "logreg_train_exact",
+    oracle=_logreg_oracle(3),
+    doc="Distributed model training beyond NB/k-means: full-batch gradient "
+    "descent for logistic regression with a HARD-SIGMOID link "
+    "(clamp(z/4 + 1/2, 0, 1) — the quantized-network sigmoid), all "
+    "arithmetic integer fixed-point (operators/linear.py). Features: "
+    "lineitem quantity + discount-percent; label: returnflag = 'R'; 3 "
+    "iterations, lr = 1/100. Per iteration the d-vector of weights "
+    "broadcasts into the scan as literals and ONE aggregate computes the "
+    "gradient sums with map-side partial aggregation — the classic "
+    "parameter-broadcast GD dataflow (MLlib's aggregate-based "
+    "optimizers), minus float non-determinism: floor division uses "
+    "fld(a,b) = (a - pmod(a,b))/b, exact for negative gradients under "
+    "both engines' truncated %%. The oracle unrolls the identical "
+    "3-iteration recurrence in SQL; output = final weights + "
+    "integer-exact training accuracy.",
+    tags=("llm", "ml", "iterative"),
+)
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.linear import logreg_score, logreg_train
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    li = li.localCheckpoint(eager=True)  # scanned once per iteration + scoring
+    w = logreg_train(li, ("x1", "x2"), "y", iterations=3, lr_inv=100)
+    return logreg_score(li, w, ("x1", "x2"), "y")

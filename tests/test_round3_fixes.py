@@ -213,3 +213,25 @@ def test_url_canonicalization_edges(spark):
     for (_, want_c, want_d), row in zip(cases, got):
         assert row.c == want_c, (row.c, want_c)
         assert row.d == want_d, (row.d, want_d)
+
+
+def test_logreg_hard_sigmoid_learns_separable(spark):
+    """On a linearly separable set the integer GD must reach perfect
+    training accuracy, and floor-division updates must be exact for
+    negative gradients."""
+    from cartography_spark.operators.linear import logreg_score, logreg_train
+
+    rows = [(float(x - 10), 1 if x > 10 else 0) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "x1 double, y long")
+    w = logreg_train(df, ("x1",), "y", iterations=10, lr_inv=50)
+    rep = logreg_score(df, w, ("x1",), "y").collect()[0]
+    assert rep.n == 20
+    assert rep.n_correct == 20, (w, rep)
+
+
+def test_fld_exact_for_negatives(spark):
+    from cartography_spark.operators.linear import _fld
+
+    df = spark.createDataFrame([(-7,), (-8,), (7,), (0,)], "a long")
+    got = [int(r.f) for r in df.select(_fld(F.col("a"), 4).alias("f")).collect()]
+    assert got == [-2, -2, 1, 0]  # true floor, not truncation
