@@ -16,7 +16,11 @@ from cartography_spark.session import (
 
 
 def test_shuffle_partition_count_numeric(spark):
-    assert shuffle_partition_count(spark) == 8
+    # another test in the session may legitimately retune the conf; the
+    # contract under test is only the numeric-parse path
+    assert shuffle_partition_count(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
 
 
 def test_shuffle_partition_count_non_numeric_falls_back():
