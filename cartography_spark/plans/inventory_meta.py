@@ -726,3 +726,54 @@ def q_client_read_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, name_dict string, name_tuple string, "
         "name_iter string, first_key bigint, first_name string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: the API "get" stage as a partition-parallel scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "api_source_paged_ingest",
+    oracle="""
+    WITH rows_ AS (
+      SELECT i AS asset_id, CAST(i % 5 AS INT) AS region,
+             (i * 2654435761) % 1000 AS value
+      FROM (SELECT unnest(generate_series(0, 8 * 250 - 1)) AS i)
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(value) AS BIGINT) AS total_value,
+           CAST(min(asset_id) AS BIGINT) AS first_asset,
+           CAST(max(asset_id) AS BIGINT) AS last_asset
+    FROM rows_ GROUP BY region
+    """,
+    doc="The reference's API get stage (intel/aws/ec2/instances.py:95-109: "
+    "paginate a provider API into row batches) as a Spark 4 PYTHON "
+    "DATASOURCE (sources/api_source.py): pagination IS the partitioning "
+    "— each InputPartition owns a page range, executors fetch pages "
+    "concurrently, and rows enter the plan as a real scan instead of a "
+    "driver-side list[dict] -> createDataFrame staging step. The bundled "
+    "endpoint is a deterministic Knuth-hash sequence standing in for "
+    "HTTP (sandbox has no network), so the oracle recomputes the exact "
+    "rows; a deployment swaps one function for the provider SDK call. 8 "
+    "pages x 250 rows over 4 partitions -> per-region asset counts.",
+    tags=("engine", "source"),
+)
+def q_api_source_paged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.sources.api_source import register
+
+    register(spark)
+    rows = (
+        spark.read.format("paged_api")
+        .option("n_pages", 8)
+        .option("page_size", 250)
+        .option("pages_per_partition", 2)
+        .load()
+    )
+    return rows.groupBy("region").agg(
+        F.count("*").cast("bigint").alias("n_assets"),
+        F.sum("value").cast("bigint").alias("total_value"),
+        F.min("asset_id").cast("bigint").alias("first_asset"),
+        F.max("asset_id").cast("bigint").alias("last_asset"),
+    )

@@ -936,3 +936,36 @@ def q_scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(ws, F.lit(["green", "blue"]))).cast("long").alias("n_colors"),
         F.size(F.array_union(ws, F.lit(["tape", "green"]))).cast("long").alias("n_union"),
     )
+
+
+@query(
+    "events_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(count(*) AS BIGINT) AS n_missing_path
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured processing via Spark 4 VARIANT — the successor to "
+    "string-JSON extraction at scale (one parse into the binary variant "
+    "encoding, then typed path access, instead of re-parsing the JSON "
+    "text per get_json_object call): parse_json(props) once, "
+    "variant_get('$.k', 'bigint') feeds the aggregate, and "
+    "try_variant_get on an absent path ('$.missing') yields NULL (not an "
+    "error, counted here to pin the semantics). Complements the "
+    "string-path `json_extraction` query; the oracle uses DuckDB's JSON "
+    "path functions over the same props column.",
+    tags=("scalar", "variant"),
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing_path"),
+    )

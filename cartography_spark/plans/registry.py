@@ -60,7 +60,8 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # (re-verified every round by the local gate, tools/oracle_check.py).
 PRIORITY: tuple[str, ...] = (
     "analysis_k8s_exposure", "client_read_sinks", "analysis_gcp_ontology_projection",
-    "multimodal_png_decode", "url_canonical_dedup", "logreg_train_exact", "dedup_minhash_collapsed",
+    "multimodal_png_decode", "url_canonical_dedup", "logreg_train_exact",
+    "api_source_paged_ingest", "events_variant_semistructured", "dedup_minhash_collapsed",
     "dedup_embedding_collapsed", "dataset_split_leakage_safe", "hybrid_search_rrf",
     "bpe_merge_table", "bpe_segmentation", "text_pii_scrub", "doc_chunking",
     "contamination_ngram_overlap", "dataset_split_hash", "weighted_sample", "stratified_sample",

@@ -239,3 +239,33 @@ def test_fld_exact_for_negatives(spark):
     df = spark.createDataFrame([(-7,), (-8,), (7,), (0,)], "a long")
     got = [int(r.f) for r in df.select(_fld(F.col("a"), 4).alias("f")).collect()]
     assert got == [-2, -2, 1, 0]  # true floor, not truncation
+
+
+def test_paged_api_source_partitions(spark):
+    """The Python DataSource's pagination is the partitioning: 8 pages at 2
+    pages/partition -> 4 input partitions, rows exactly the deterministic
+    sequence."""
+    from cartography_spark.sources.api_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("n_pages", 8)
+        .option("page_size", 10)
+        .option("pages_per_partition", 2)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted((r.asset_id, r.region, r.value) for r in df.collect())
+    assert len(rows) == 80
+    assert rows[0] == (0, 0, 0)
+    assert rows[7] == (7, 2, (7 * 2654435761) % 1000)
+
+
+def test_variant_missing_path_is_null(spark):
+    df = spark.createDataFrame([('{"k": 3}',)], "props string")
+    out = df.select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.parse_json("props"), "$.absent", "bigint").alias("m"),
+    ).collect()[0]
+    assert out.k == 3 and out.m is None
