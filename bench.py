@@ -111,7 +111,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
     secondary: dict[str, float] = {}
-    for name in SECONDARY:
+    # the raw pair-list contracts are quadratic under exact-dup replication
+    # BY CONTRACT; at high replication factors (sf5 rehearsal = 50 copies)
+    # they would dominate the run without informing anything — skippable
+    skip_secondary = os.environ.get("SPARK_GRAFT_SKIP_SECONDARY", "") == "1"
+    for name in () if skip_secondary else SECONDARY:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
