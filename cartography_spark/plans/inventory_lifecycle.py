@@ -882,3 +882,180 @@ def q_analysis_ontology_owns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     job.run(cat, update_tag=100)
     return cat.edge("Customer", "OWNS", "Supplier").select("src_id", "dst_id")
+
+
+@query(
+    "analysis_semgrep_risk_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS k,
+             CASE substring(o_orderpriority, 1, 1)
+               WHEN '1' THEN 'CRITICAL' WHEN '2' THEN 'HIGH'
+               WHEN '3' THEN 'MEDIUM' WHEN '4' THEN 'LOW'
+               ELSE 'INFO' END AS severity,
+             CASE o_orderkey % 3 WHEN 0 THEN 'REACHABLE'
+               WHEN 1 THEN 'UNREACHABLE' ELSE 'MANUAL REVIEW' END AS reachability,
+             CASE o_orderkey % 4 WHEN 0 THEN 'NO REACHABILITY ANALYSIS'
+               WHEN 1 THEN 'CONDITIONALLY REACHABLE'
+               WHEN 2 THEN 'ALWAYS REACHABLE'
+               ELSE 'REACHABLE' END AS rcheck,
+             (c_custkey % 7 = 0) AS archived
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT CAST(k AS VARCHAR) AS finding_id, severity, reachability,
+           rcheck AS reachability_check,
+           COALESCE(CASE
+             WHEN archived THEN 'INFO'
+             WHEN reachability = 'UNREACHABLE' AND rcheck = 'NO REACHABILITY ANALYSIS'
+                  AND severity = 'CRITICAL' THEN 'LOW'
+             WHEN reachability = 'UNREACHABLE' THEN 'INFO'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'CONDITIONALLY REACHABLE'
+                  AND severity IN ('LOW', 'MEDIUM') THEN 'LOW'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'CONDITIONALLY REACHABLE'
+                  AND severity = 'HIGH' THEN 'MEDIUM'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'CONDITIONALLY REACHABLE'
+                  AND severity = 'CRITICAL' THEN 'HIGH'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'ALWAYS REACHABLE'
+                  AND severity IN ('LOW', 'MEDIUM') THEN 'LOW'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'ALWAYS REACHABLE'
+                  AND severity = 'HIGH' THEN 'MEDIUM'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'ALWAYS REACHABLE'
+                  AND severity = 'CRITICAL' THEN 'CRITICAL'
+             WHEN reachability = 'REACHABLE' AND rcheck = 'REACHABLE' THEN severity
+           END, 'UNSET') AS reachability_risk
+    FROM f
+    """,
+    doc="Port of the reference's SEMGREP SCA reachability-risk matrix "
+    "(analysis/semgrep/analysis.py:30-132, SEMGREP_SCA_RISK_ANALYSIS) "
+    "onto the fixture graph — the fourth end-to-end AnalysisJob family "
+    "(after the AWS exposure chain, k8s exposure, GCP Case projection). "
+    "Its DSL distinctives: ELEVEN ordered statements where a LATER "
+    "SetProperty on the same (node, prop) OVERRIDES an earlier one "
+    "(statement 2 writes INFO for every UNREACHABLE finding, statement 4 "
+    "then upgrades the NRA+CRITICAL slice to LOW — Neo4j sequential SET "
+    "semantics, preserved by the engine's coalesce-latest apply), and a "
+    "Var-valued SetProperty (reachability_risk := s.severity, the "
+    "reference's Var('s.severity')) compiled as a matched-frame Column. "
+    "Findings=Orders (severity/reachability/check derived "
+    "deterministically from orderkey+priority), repos=Customers "
+    "(archived = custkey%7=0) via FOUND_IN=PLACED_BY. Deployment "
+    "ScopeById is exercised by analysis_k8s_exposure / "
+    "analysis_scoped_set_property and omitted here. The oracle restates "
+    "the whole matrix as one precedence-ordered CASE; unmatched findings "
+    "stay UNSET (prop never written, nulled by auto-cleanup).",
+    tags=("engine", "analysis"),
+)
+def q_analysis_semgrep_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AnalysisJob,
+        AnalysisStatement,
+        SetProperty,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+
+    def findings(c: GraphCatalog) -> DataFrame:
+        o = c.node("Order")
+        k = F.col("id").cast("long")
+        sev = (
+            F.when(F.substring("priority", 1, 1) == "1", "CRITICAL")
+            .when(F.substring("priority", 1, 1) == "2", "HIGH")
+            .when(F.substring("priority", 1, 1) == "3", "MEDIUM")
+            .when(F.substring("priority", 1, 1) == "4", "LOW")
+            .otherwise("INFO")
+        )
+        reach = (
+            F.when(k % 3 == 0, "REACHABLE")
+            .when(k % 3 == 1, "UNREACHABLE")
+            .otherwise("MANUAL REVIEW")
+        )
+        rcheck = (
+            F.when(k % 4 == 0, "NO REACHABILITY ANALYSIS")
+            .when(k % 4 == 1, "CONDITIONALLY REACHABLE")
+            .when(k % 4 == 2, "ALWAYS REACHABLE")
+            .otherwise("REACHABLE")
+        )
+        repos = c.node("Customer").select(
+            F.col("id").alias("cid"),
+            (F.col("c_custkey").cast("long") % 7 == 0).alias("archived"),
+        )
+        return (
+            o.select(
+                F.col("id").alias("fid"),
+                F.col("o_custkey").cast("string").alias("cid"),
+                sev.alias("sev"),
+                reach.alias("reach"),
+                rcheck.alias("rcheck"),
+            )
+            .join(repos, "cid")
+        )
+
+    # Every predicate in the reference job matches on IMMUTABLE ingest
+    # attributes (severity/reachability/check/archived) — never on the
+    # risk property the statements write — so the findings frame is
+    # derived ONCE from the pre-job catalog. Deriving it per-statement
+    # from the evolving node table would embed the accumulated
+    # SetProperty layers into every matcher and double the plan per
+    # statement (2^11 growth); with the fixed base frame the node
+    # table accrues the 11 write layers linearly.
+    fbase = findings(cat)
+
+    def m(pred):
+        """matcher: base findings frame filtered by the statement's predicate"""
+        return lambda c: fbase.filter(pred)
+
+    RISK = lambda v: SetProperty("Order", "fid", "reachability_risk", v)  # noqa: E731
+    not_arch = ~F.col("archived")
+    unreach = F.col("reach") == "UNREACHABLE"
+    reachable = F.col("reach") == "REACHABLE"
+    nra = F.col("rcheck") == "NO REACHABILITY ANALYSIS"
+    cond = F.col("rcheck") == "CONDITIONALLY REACHABLE"
+    alway = F.col("rcheck") == "ALWAYS REACHABLE"
+    job = AnalysisJob(
+        name="semgrep-sca-risk",
+        statements=(
+            AnalysisStatement(m(F.col("archived")), (RISK("INFO"),)),
+            AnalysisStatement(m(unreach), (RISK("INFO"),)),
+            AnalysisStatement(
+                m(not_arch & unreach & nra & F.col("sev").isin("LOW", "MEDIUM", "HIGH")),
+                (RISK("INFO"),),
+            ),
+            AnalysisStatement(
+                m(not_arch & unreach & nra & (F.col("sev") == "CRITICAL")), (RISK("LOW"),)
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & cond & F.col("sev").isin("LOW", "MEDIUM")),
+                (RISK("LOW"),),
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & cond & (F.col("sev") == "HIGH")), (RISK("MEDIUM"),)
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & cond & (F.col("sev") == "CRITICAL")), (RISK("HIGH"),)
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & alway & F.col("sev").isin("LOW", "MEDIUM")),
+                (RISK("LOW"),),
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & alway & (F.col("sev") == "HIGH")), (RISK("MEDIUM"),)
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & alway & (F.col("sev") == "CRITICAL")),
+                (RISK("CRITICAL"),),
+            ),
+            AnalysisStatement(
+                m(not_arch & reachable & (F.col("rcheck") == "REACHABLE")),
+                (RISK(F.col("sev")),),
+            ),
+        ),
+    )
+    job.run(cat, update_tag=T1)
+    risk = cat.node("Order").select(F.col("id").alias("fid"), "reachability_risk")
+    return fbase.join(risk, "fid").select(
+        F.col("fid").alias("finding_id"),
+        F.col("sev").alias("severity"),
+        F.col("reach").alias("reachability"),
+        F.col("rcheck").alias("reachability_check"),
+        F.coalesce("reachability_risk", F.lit("UNSET")).alias("reachability_risk"),
+    )

@@ -1050,3 +1050,95 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
     )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+             count(*) AS group_size,
+             count(DISTINCT c_mktsegment) AS l_distinct
+      FROM customer
+      GROUP BY c_nationkey, bal_band
+    )
+    SELECT c_nationkey, bal_band, group_size, l_distinct,
+           (l_distinct < 3) AS suppress
+    FROM cells
+    """,
+    doc="l-diversity audit, the companion gate to privacy_k_anonymity: a "
+    "quasi-identifier class can be large (k-anonymous) yet still leak if "
+    "every member shares the same sensitive value, so each (nation, "
+    "balance-band) class is checked for >= l distinct sensitive values "
+    "(market segment here, l=3). One map-side-combined groupBy with a "
+    "count-distinct — at 100 TB the distinct runs as a partial-aggregate "
+    "two-phase plan on the same single shuffle of QI cells; the flag is "
+    "row-local.",
+    tags=("llm", "prep", "privacy"),
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("suppress"),
+        )
+    )
+
+
+@query(
+    "shard_assignment_balanced",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ),
+    assigned AS (
+      SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard, n_chars FROM ranked
+    )
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           max(n_chars) AS max_chars, min(n_chars) AS min_chars
+    FROM assigned
+    GROUP BY shard
+    """,
+    doc="Balanced training-shard assignment: documents are totally "
+    "ordered by size (largest first) and dealt round-robin into 8 "
+    "shards — the classic LPT-style greedy that keeps per-shard byte "
+    "totals within one max-document of each other, so no data-loader "
+    "worker straggles. The global rank uses the distributed "
+    "ordered_dense_ids dataflow (range-partition + per-partition "
+    "row_number + P-row offset map), NOT a single-partition window — "
+    "the same rank at 100 TB costs one range shuffle. Returns per-shard "
+    "balance stats for the planner to verify.",
+    tags=("llm", "prep", "sampling"),
+)
+def q_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import ordered_dense_ids
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg_chars")
+    )
+    ranked = ordered_dense_ids(d, ["neg_chars", "doc_id"], "rid")
+    return (
+        ranked.select((F.col("rid") % 8).cast("bigint").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )

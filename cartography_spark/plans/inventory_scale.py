@@ -197,9 +197,14 @@ _BUCKET_US = 300_000_000  # 5-minute interval width and bucket size, microsecond
     doc="Interval self-overlap join (5-minute error windows overlapping "
     "across users). The oracle states the naive quadratic theta join; the "
     "Spark plan buckets each interval into the <=2 fixed 5-minute bins it "
-    "touches and equi-joins on bin + residual overlap filter + pair "
-    "distinct — candidate pairs are bin-local, so cost scales with "
-    "events-per-bin, not events^2. Same blocking discipline as the LSH "
+    "touches and equi-joins on bin + residual overlap filter — candidate "
+    "pairs are bin-local, so cost scales with events-per-bin, not "
+    "events^2. A pair that shares both bins is counted exactly once by a "
+    "ROW-LOCAL owner-bucket predicate (the bin containing max(st_a, "
+    "st_b), which both intervals provably touch) instead of a distinct — "
+    "the pair set is quadratic in per-bin density by contract, and this "
+    "keeps that set out of any shuffle: it flows straight from the join "
+    "into the partial aggregate. Same blocking discipline as the LSH "
     "dedup family.",
     tags=("scale", "events", "join"),
 )
@@ -217,22 +222,25 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.st") <= F.col("b.en"))
-            & (F.col("b.st") <= F.col("a.en")),
-        )
-        # an overlapping pair can share both of its bins — dedup before counting
-        .select(
-            F.col("a.event_id").alias("ea"),
-            F.col("b.event_id").alias("eb"),
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-        )
-        .distinct()
+    # owner-bucket rule: an overlapping pair is counted only in the bin
+    # holding max(st_a, st_b) — inside both intervals (overlap means
+    # max(st) <= min(en)), so exactly one of the <=2 shared bins owns the
+    # pair; a row-local predicate replaces a distinct over the quadratic
+    # pair set (the only shuffle left after the join is the final
+    # partial-aggregated pair count).
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.st") <= F.col("b.en"))
+        & (F.col("b.st") <= F.col("a.en"))
+        & (
+            F.floor(F.greatest(F.col("a.st"), F.col("b.st")) / _BUCKET_US)
+            == F.col("a.bucket")
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
     )
     return pairs.groupBy("user_a", "user_b").agg(F.count(F.lit(1)).alias("n_overlaps"))
 

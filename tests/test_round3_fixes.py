@@ -269,3 +269,42 @@ def test_variant_missing_path_is_null(spark):
         F.try_variant_get(F.parse_json("props"), "$.absent", "bigint").alias("m"),
     ).collect()[0]
     assert out.k == 3 and out.m is None
+
+
+def test_shard_assignment_balance_property(spark, sf_dir):
+    """LPT round-robin invariant: per-shard char totals differ by at most
+    8x the largest single document (round-robin over a size-sorted order
+    bounds the spread by one document per dealing round, and the last
+    incomplete round can skip shards)."""
+    from cartography_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    out = REGISTRY["shard_assignment_balanced"].spark(spark, sf_dir).collect()
+    assert len(out) == 8
+    totals = [r.total_chars for r in out]
+    max_doc = max(r.max_chars for r in out)
+    assert max(totals) - min(totals) <= 8 * max_doc
+    assert max(r.n_docs for r in out) - min(r.n_docs for r in out) <= 1
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    rows = [
+        # nation 0, band 0: 3 distinct segments -> diverse
+        (0, "A", 100.0), (1, "B", 200.0), (2, "C", 300.0),
+        # nation 1, band 0: one segment repeated -> suppress
+        (3, "A", 100.0), (4, "A", 200.0), (5, "A", 300.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, seg, bal, n) for (i, seg, bal), n in zip(rows, [0, 0, 0, 1, 1, 1])],
+        "c_custkey int, c_mktsegment string, c_acctbal double, c_nationkey int",
+    )
+    cells = (
+        df.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        )
+        .agg(F.countDistinct("c_mktsegment").alias("l_distinct"))
+        .collect()
+    )
+    by_nation = {r.c_nationkey: r.l_distinct for r in cells}
+    assert by_nation[0] == 3 and by_nation[1] == 1
