@@ -777,3 +777,96 @@ def q_api_source_paged_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("asset_id").cast("bigint").alias("first_asset"),
         F.max("asset_id").cast("bigint").alias("last_asset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-swap migration job (the reference's other dominant migration shape)
+# ---------------------------------------------------------------------------
+
+_LABEL_SWAP_JOB_JSON = """
+{
+  "name": "Azure container label swap migration",
+  "short_name": "container_label_swap",
+  "statements": [
+    {"query": "SELECT * FROM n_AzureContainerInstance WHERE group_id IS NULL",
+     "writes": "_AzureGroupSwapTmp"},
+    {"query": "SELECT * FROM n_AzureContainerInstance WHERE group_id IS NOT NULL",
+     "writes": "AzureContainerInstance"},
+    {"query": "SELECT * FROM n_AzureContainerInstance UNION ALL SELECT * FROM n_AzureGroupContainer WHERE group_id IS NOT NULL",
+     "writes": "AzureContainerInstance"},
+    {"query": "SELECT * FROM n_AzureGroupContainer WHERE group_id IS NULL",
+     "writes": "AzureGroupContainer"},
+    {"query": "SELECT * FROM n_AzureGroupContainer UNION ALL SELECT * FROM n__AzureGroupSwapTmp",
+     "writes": "AzureGroupContainer"},
+    {"query": "SELECT * FROM n__AzureGroupSwapTmp WHERE 1 = 0",
+     "writes": "_AzureGroupSwapTmp"},
+    {"query": "SELECT id, group_id, CAST(FALSE AS BOOLEAN) AS is_container, firstseen, lastupdated FROM n_AzureGroupContainer",
+     "writes": "AzureGroupContainer"},
+    {"query": "SELECT 'AzureContainerInstance' AS label, id, COALESCE(group_id, -1) AS group_id, is_container FROM n_AzureContainerInstance UNION ALL SELECT 'AzureGroupContainer' AS label, id, COALESCE(group_id, -1) AS group_id, is_container FROM n_AzureGroupContainer",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_label_swap_migration",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey AS k,
+             CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_nationkey END AS group_id,
+             (s_suppkey % 5 = 0) AS is_container
+      FROM supplier
+    )
+    SELECT 'AzureContainerInstance' AS label, CAST(k AS VARCHAR) AS id,
+           CAST(COALESCE(group_id, -1) AS BIGINT) AS group_id, is_container
+    FROM s WHERE group_id IS NOT NULL
+    UNION ALL
+    SELECT 'AzureGroupContainer' AS label, CAST(k AS VARCHAR) AS id,
+           CAST(-1 AS BIGINT) AS group_id, FALSE AS is_container
+    FROM s WHERE group_id IS NULL
+    """,
+    doc="Label-swap migration job — the reference's other dominant "
+    "migration shape (data/jobs/analysis/"
+    "azure_container_label_swap_migration.json: two labels exchange "
+    "meaning atomically via a temporary label, each step guarded to be "
+    "idempotent; same 3-phase temp-label dance as "
+    "ontology_package_version_rename_migration.json). Cypher's "
+    "per-node REMOVE:label/SET:label compiles set-based: each swap "
+    "step is a pair of whole-table writes (move matching rows into the "
+    "target label's table, keep the rest), the stale :Container extra "
+    "label is stripped as a boolean-column rewrite, and the final "
+    "statement reads both labels back. The registry entry RUNS THE JOB "
+    "TWICE on the same catalog and returns the second run's read — so "
+    "if any idempotency guard were wrong (the whole point of the "
+    "reference's design), the doubled run would corrupt the tables and "
+    "break the oracle. End-state invariant: every entity with a "
+    "group_id is an AzureContainerInstance, every entity without one "
+    "is an AzureGroupContainer, and no group carries :Container.",
+    tags=("engine", "job"),
+)
+def q_job_label_swap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    sup = cat.node("Supplier")
+    k = F.col("id").cast("long")
+    base = sup.select(
+        "id",
+        F.when(k % 3 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("s_nationkey").cast("bigint"))
+        .alias("group_id"),
+        (k % 5 == 0).alias("is_container"),
+        "firstseen",
+        "lastupdated",
+    )
+    # pre-migration state: labels assigned by parity — each holds a mix of
+    # group-shaped (null group_id) and container-shaped rows
+    cat.set_node("AzureContainerInstance", base.filter(k % 2 == 0))
+    cat.set_node("AzureGroupContainer", base.filter(k % 2 == 1))
+    cat.set_node("_AzureGroupSwapTmp", base.filter(F.lit(False)))
+    job = GraphJob.from_json(_LABEL_SWAP_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # second run proves the guards
