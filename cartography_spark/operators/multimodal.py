@@ -637,3 +637,234 @@ def ahash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF encode / decode (real LZW: variable-width codes, dictionary growth,
+# clear-code reset, sub-block framing — stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: list[int], mcs: int) -> bytes:
+    """GIF-flavor LZW: LSB-first variable-width codes starting at mcs+1
+    bits, clear/EOI codes, width growth when the next free code would not
+    fit, dictionary reset at 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = 0
+    width = mcs + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, ...], int] = {}
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def code_of(w: tuple[int, ...]) -> int:
+        return w[0] if len(w) == 1 else table[w]
+
+    emit(clear)
+    w = (indices[0],)
+    for k in indices[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(code_of(w))
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    emit(code_of(w))
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> list[int] | None:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(1 << mcs)}
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total = 0, len(data) * 8
+    while True:
+        if bitpos + width > total:
+            return None  # truncated stream without EOI
+        bs, be = bitpos // 8, (bitpos + width + 7) // 8
+        code = (int.from_bytes(data[bs:be], "little") >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: (i,) for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None or code >= clear:
+                return None
+        else:
+            if code < next_code:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code == next_code:  # the cScSc case
+                entry = prev + (prev[0],)
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                # the decoder's table lags the encoder's by exactly one
+                # entry (the encoder adds w+k BEFORE emitting the next
+                # code; the decoder adds it AFTER reading that code), so
+                # the width must grow one entry early — the standard GIF
+                # decoder 2^w - 1 rule
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a GIF89a with a 256-entry
+    grayscale global color table and a real LZW-compressed image block."""
+    h, w = pixels.shape
+    mcs = 8
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    imgdesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    data = _lzw_compress(pixels.flatten().tolist(), mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return b"GIF89a" + lsd + palette + imgdesc + bytes(blocks) + b"\x3B"
+
+
+def gif_decode(payload: bytes) -> np.ndarray | None:
+    """Decode a non-interlaced single-image GIF87a/89a with a global color
+    table into an (H, W) uint8 grayscale array (gray = the palette's red
+    channel): header + logical-screen walk, extension-block skipping,
+    sub-block reassembly, then full variable-width LZW decompression
+    (dictionary rebuild, width growth, clear-code reset, cScSc case).
+    Returns None for anything outside this profile or any corruption."""
+    if payload is None or len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if not packed & 0x80:
+        return None
+    size = 2 ** ((packed & 7) + 1)
+    if len(payload) < pos + 3 * size:
+        return None
+    palette = np.frombuffer(payload[pos : pos + 3 * size], dtype=np.uint8).reshape(size, 3)
+    pos += 3 * size
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: skip its sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            if len(payload) < pos + 11:
+                return None
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0xC0:  # local color table / interlace unsupported
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decompress(bytes(data), mcs)
+            if idx is None or len(idx) != iw * ih:
+                return None
+            arr = np.asarray(idx, dtype=np.int32)
+            if arr.size and int(arr.max()) >= size:
+                return None
+            return palette[arr.reshape(ih, iw)][:, :, 0].astype(np.uint8)
+        else:
+            return None  # trailer (or junk) before any image block
+    return None
+
+
+def synthesize_gif_column(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real LZW-compressed GIF per doc: 8 x H grayscale (H = 2*(1 + b3 % 8),
+    b3 = fourth md5(text) byte), pixel bytes = the md5 digest tiled. Same
+    closed-form stats contract as the BMP/PNG paths."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                h = 2 * (1 + dig[3] % 8)
+                tile = np.frombuffer(dig, dtype=np.uint8)
+                px = np.tile(tile, 8 * h // 16).reshape(h, 8)
+                ids.append(doc_id)
+                blobs.append(gif_encode(px))
+            yield pd.DataFrame({id_col: ids, "image": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, image binary")
+
+
+def decode_gif_meta(images: DataFrame, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Real GIF decode via Arrow-batched mapInPandas — same output contract
+    as decode_png_meta."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (id_col, "width", "height", "sum_pixel", "min_pixel", "max_pixel", "mean_pixel", "valid")
+            }
+            for _, r in pdf.iterrows():
+                px = gif_decode(r[bin_col])
+                out[id_col].append(r[id_col])
+                if px is None:
+                    for k in ("width", "height", "sum_pixel", "min_pixel", "max_pixel"):
+                        out[k].append(0)
+                    out["mean_pixel"].append(0.0)
+                    out["valid"].append(False)
+                    continue
+                h, w = px.shape
+                s = int(px.sum(dtype=np.int64))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_pixel"].append(s)
+                out["min_pixel"].append(int(px.min()))
+                out["max_pixel"].append(int(px.max()))
+                out["mean_pixel"].append(s / (h * w))
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, width int, height int, sum_pixel long, min_pixel int, "
+        "max_pixel int, mean_pixel double, valid boolean"
+    )
+    return images.mapInPandas(extract, schema)

@@ -2269,3 +2269,35 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.localCheckpoint(eager=True)  # scanned once per iteration + scoring
     w = logreg_train(li, ("x1", "x2"), "y", iterations=3, lr_inv=100)
     return logreg_score(li, w, ("x1", "x2"), "y")
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents)
+    SELECT doc_id,
+           8 AS width,
+           CAST(2 * (1 + bs[4] % 8) AS INT) AS height,
+           CAST((1 + bs[4] % 8) * list_aggregate(bs, 'sum') AS BIGINT) AS sum_pixel,
+           CAST(list_aggregate(bs, 'min') AS INT) AS min_pixel,
+           CAST(list_aggregate(bs, 'max') AS INT) AS max_pixel,
+           list_aggregate(bs, 'sum') / 16.0 AS mean_pixel,
+           TRUE AS valid
+    FROM b
+    """,
+    doc="Second COMPRESSED codec in the multimodal family: a real LZW "
+    "GIF89a per doc (8 x 2*(1+b3%8) grayscale, pixels = md5(text) digest "
+    "tiled; 256-entry global color table), decoded by the stdlib-only "
+    "GIF parser (header + logical-screen walk, sub-block reassembly, "
+    "variable-width LZW with dictionary rebuild, width growth at the "
+    "decoder-lag 2^w-1 boundary, clear-code reset, cScSc case) in "
+    "Arrow-batched mapInPandas (operators/multimodal.py:gif_decode). "
+    "With png_decode this closes the round-2 'uncompressed formats "
+    "only' limitation for both deflate- and LZW-family codecs. The "
+    "oracle recomputes dims and exact pixel stats from the digest "
+    "bytes — any mis-decoded index anywhere breaks the sum.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = mm.synthesize_gif_column(_docs(spark, sf_dir))
+    return mm.decode_gif_meta(images)

@@ -308,3 +308,32 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     )
     by_nation = {r.c_nationkey: r.l_distinct for r in cells}
     assert by_nation[0] == 3 and by_nation[1] == 1
+
+
+def test_gif_lzw_roundtrip():
+    """Exact round-trip across the LZW regimes: width growth past the
+    9->10->11->12-bit boundaries, the 4096 dictionary reset (64x80 random
+    = 5120 symbols > 4096-258 entries), the cScSc repeated-run case, and
+    corruption -> None."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import gif_decode, gif_encode
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (7, 13), (16, 8), (64, 80)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        dec = gif_decode(gif_encode(px))
+        assert dec is not None and (dec == px).all(), shape
+    runs = np.zeros((64, 80), np.uint8)  # constant image: cScSc-heavy
+    dec = gif_decode(gif_encode(runs))
+    assert dec is not None and (dec == runs).all()
+    blob = gif_encode(rng.randint(0, 256, (8, 8)).astype(np.uint8))
+    assert gif_decode(b"GIF89a") is None
+    assert gif_decode(blob[:40]) is None
+    assert gif_decode(None) is None
+    # flip one LZW data byte: decode must fail closed, never mis-decode
+    # silently into a wrong-size index stream
+    corrupt = bytearray(blob)
+    corrupt[-10] ^= 0x55
+    out = gif_decode(bytes(corrupt))
+    assert out is None or out.shape == (8, 8)
