@@ -190,3 +190,15 @@ def test_dynamic_partition_pruning_triggers(spark, tmp_path):
     )
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_interval_overlap_pair_set_never_shuffled(spark):
+    """The owner-bucket rule replaced the pair distinct: the quadratic
+    post-join pair set must flow straight into a partial aggregate — no
+    HashAggregate keyed on event ids and at most one exchange after the
+    join (the final user-pair count)."""
+    reg = _registry()
+    plan = _plan(reg["interval_overlap_pairs"].spark(spark, SF_SMOKE))
+    assert "event_id" not in plan.split("Join")[0]  # no event-id dedup above the join
+    n_shuffle = len(re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single)", plan))
+    assert n_shuffle <= 1, plan
