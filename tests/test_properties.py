@@ -273,3 +273,29 @@ def test_bipartite_cluster_equals_pair_cluster(spark, mem):
         if r.doc_id in set(docs)
     }
     assert got == want
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["random", "runs", "tiled"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(h, w, seed, style):
+    """gif_decode(gif_encode(px)) == px for arbitrary shapes and pixel
+    regimes (pure random, run-heavy, small-alphabet tiled — the three LZW
+    dictionary behaviors). Pure-Python property: no Spark session needed."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import gif_decode, gif_encode
+
+    rng = np.random.RandomState(seed % 2**31)
+    if style == "random":
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    elif style == "runs":
+        px = np.repeat(rng.randint(0, 256, (h * w + 6) // 7), 7)[: h * w].reshape(h, w).astype(np.uint8)
+    else:
+        px = (np.arange(h * w, dtype=np.int64) % max(1, int(seed % 7) + 2)).reshape(h, w).astype(np.uint8)
+    dec = gif_decode(gif_encode(px))
+    assert dec is not None and dec.shape == (h, w) and (dec == px).all()
