@@ -211,7 +211,6 @@ _BUCKET_US = 300_000_000  # 5-minute interval width and bucket size, microsecond
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     s = e.select(
-        "event_id",
         "user_id",
         F.unix_micros("ts").alias("st"),
         (F.unix_micros("ts") + F.lit(_BUCKET_US)).alias("en"),
