@@ -1059,3 +1059,403 @@ def q_analysis_semgrep_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rcheck").alias("reachability_check"),
         F.coalesce("reachability_risk", F.lit("UNSET")).alias("reachability_risk"),
     )
+
+
+@query(
+    "analysis_azure_lb_exposure",
+    oracle="""
+    WITH lbn AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 4 = 1),
+    s AS (
+      SELECT s_suppkey, s_nationkey,
+             s_acctbal > 0 AS direct,
+             s_nationkey IN (SELECT n_nationkey FROM lbn) AS vialb,
+             n_regionkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT CAST(s_suppkey AS VARCHAR) AS supplier_id,
+           (direct OR vialb) AS exposed_internet,
+           CASE WHEN direct AND vialb THEN 'direct,lb'
+                WHEN direct THEN 'direct'
+                WHEN vialb THEN 'lb' END AS exposure_types,
+           CASE WHEN vialb AND NOT direct AND n_regionkey = 1
+                THEN 'via_lb_only' END AS lb_exposure_type
+    FROM s
+    """,
+    doc="Port of the reference's AZURE analysis package "
+    "(analysis/azure/analysis.py:9-141) onto the fixture graph — the "
+    "compute-asset exposure battery plus the scoped LB-EXPOSE job. "
+    "Statement order mirrors AZURE_COMPUTE_ASSET_EXPOSURE_JOBS "
+    "(lb, vm, container): the LB statement writes "
+    "Nation.exposed_internet and the VM via-lb statement MATCHES ON "
+    "that flag ({exposed_internet: true}, :26-37); 'direct' exposure is "
+    "the pip.ip_address IS NOT NULL analog (acctbal > 0); the final "
+    "statements are the azure signature DEFAULT-BACKFILL (WHERE "
+    "exposed_internet IS NULL -> false, :36-43) so the flag is total "
+    "over BOTH labels. The second job is AZURE_LB_EXPOSURE (:96-117): "
+    "ScopeById(subscription->Region 1) with the NEGATED pattern "
+    "predicate `WHERE NOT (nic)-[:ASSOCIATED_WITH]->(pip)` compiled as "
+    "an anti-join (only NOT-directly-exposed suppliers get the EXPOSE "
+    "edge), and the edge's exposure_type='via_lb_only' property "
+    "(AddRelationship properties= analog via "
+    "SetRelationshipPropertyIfMissing). The oracle recomputes all of "
+    "it relationally; exposure_types is the sorted csv of the AddToSet "
+    "array so the set semantics hash exactly.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_azure_lb_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AddToSet,
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+        SetProperty,
+        SetRelationshipPropertyIfMissing,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+
+    # job 1 statement 1 — LB exposure (AzureLoadBalancer via frontend
+    # public IP): nations with n_nationkey % 4 == 1
+    def lb_matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Nation")
+            .filter(F.col("n_nationkey") % 4 == 1)
+            .select(F.col("id").alias("lbid"))
+        )
+
+    # statement 2 — VM direct exposure: pip.ip_address IS NOT NULL analog
+    def direct_matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Supplier").filter(F.col("acctbal") > 0).select(F.col("id").alias("sid"))
+        )
+
+    # statement 3 — VM via-LB exposure: MATCH (lb {exposed_internet:
+    # true})-...->(vm), reading the flag statement 1 just wrote
+    def vialb_matcher(c: GraphCatalog) -> DataFrame:
+        lb = (
+            c.node("Nation")
+            .filter(F.col("exposed_internet") == True)  # noqa: E712
+            .select(F.col("id").alias("lbid"))
+        )
+        loc = c.edge("Supplier", "LOCATED_IN", "Nation")
+        return loc.join(lb, loc.dst_id == F.col("lbid")).select(F.col("src_id").alias("sid"))
+
+    # statements 4/5 — the azure default-backfill: WHERE exposed_internet
+    # IS NULL -> false, on both labels
+    def null_sup(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Supplier")
+            .filter(F.col("exposed_internet").isNull())
+            .select(F.col("id").alias("sid"))
+        )
+
+    def null_lb(c: GraphCatalog) -> DataFrame:
+        return (
+            c.node("Nation")
+            .filter(F.col("exposed_internet").isNull())
+            .select(F.col("id").alias("lbid"))
+        )
+
+    battery = AnalysisJob(
+        name="azure-compute-asset-exposure",
+        statements=(
+            AnalysisStatement(lb_matcher, (SetProperty("Nation", "lbid", "exposed_internet", True),)),
+            AnalysisStatement(
+                direct_matcher,
+                (
+                    SetProperty("Supplier", "sid", "exposed_internet", True),
+                    AddToSet("Supplier", "sid", "exposed_internet_type", "direct"),
+                ),
+            ),
+            AnalysisStatement(
+                vialb_matcher,
+                (
+                    SetProperty("Supplier", "sid", "exposed_internet", True),
+                    AddToSet("Supplier", "sid", "exposed_internet_type", "lb"),
+                ),
+            ),
+            AnalysisStatement(null_sup, (SetProperty("Supplier", "sid", "exposed_internet", False),)),
+            AnalysisStatement(null_lb, (SetProperty("Nation", "lbid", "exposed_internet", False),)),
+        ),
+    )
+    battery.run(cat, T1)
+
+    # job 2 — AZURE_LB_EXPOSURE: scoped to one subscription (Region 1),
+    # EXPOSE edges only for vms NOT directly exposed (the negated
+    # pattern predicate), with the via_lb_only edge property
+    def expose_matcher(c: GraphCatalog) -> DataFrame:
+        lb = (
+            c.node("Nation")
+            .filter(F.col("exposed_internet") == True)  # noqa: E712
+            .select(F.col("id").alias("lbid"))
+        )
+        loc = c.edge("Supplier", "LOCATED_IN", "Nation")
+        vms = loc.join(lb, loc.dst_id == F.col("lbid")).select(
+            F.col("src_id").alias("sid"), "lbid"
+        )
+        direct = (
+            c.node("Supplier")
+            .filter(F.col("acctbal") > 0)
+            .select(F.col("id").alias("sid"))
+        )
+        return vms.join(direct, "sid", "left_anti")
+
+    expose = AnalysisJob(
+        name="azure-lb-exposure",
+        scope=ScopeById("Region", "AZURE_SUBSCRIPTION_ID", scope_on="sid", member_label="Supplier"),
+        statements=(
+            AnalysisStatement(
+                expose_matcher,
+                (
+                    AddRelationship("Nation", "EXPOSE", "Supplier", "lbid", "sid"),
+                    SetRelationshipPropertyIfMissing(
+                        ("Nation", "EXPOSE", "Supplier"),
+                        "lbid",
+                        "sid",
+                        "exposure_type",
+                        "via_lb_only",
+                    ),
+                ),
+            ),
+        ),
+    )
+    expose.run(cat, T1, params={"AZURE_SUBSCRIPTION_ID": "1"})
+
+    sup = cat.node("Supplier").select(
+        F.col("id").alias("supplier_id"),
+        "exposed_internet",
+        F.when(
+            F.col("exposed_internet_type").isNotNull(),
+            F.array_join(F.array_sort("exposed_internet_type"), ","),
+        ).alias("exposure_types"),
+    )
+    lb_edges = cat.edge("Nation", "EXPOSE", "Supplier").select(
+        F.col("dst_id").alias("supplier_id"), F.col("exposure_type").alias("lb_exposure_type")
+    )
+    return sup.join(lb_edges, "supplier_id", "left")
+
+
+@query(
+    "analysis_intune_policy_union",
+    oracle="""
+    WITH pol AS (SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey = 2),
+    cust AS (
+      SELECT c_custkey, c_nationkey, n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    a AS (
+      SELECT p.n_nationkey AS pid, o.o_orderkey AS did
+      FROM pol p
+      JOIN cust c ON c.c_nationkey = p.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    b AS (
+      SELECT p.n_nationkey AS pid, o.o_orderkey AS did
+      FROM pol p
+      JOIN cust c ON c.n_regionkey = p.n_regionkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE p.n_nationkey % 3 = 0
+    ),
+    c2 AS (
+      SELECT p.n_nationkey AS pid, o.o_orderkey AS did
+      FROM pol p
+      JOIN cust c ON c.n_regionkey = p.n_regionkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE p.n_nationkey % 5 = 0
+    ),
+    u AS (SELECT * FROM a UNION SELECT * FROM b UNION SELECT * FROM c2)
+    SELECT CAST(pid AS VARCHAR) AS policy_id,
+           CAST(count(DISTINCT did) AS BIGINT) AS n_devices,
+           CAST(100 AS BIGINT) AS firstseen
+    FROM u GROUP BY pid
+    """,
+    doc="Port of the reference's INTUNE compliance-policy resolution "
+    "(analysis/microsoft/intune/analysis.py:7-56) onto the fixture "
+    "graph. The intune signature: THREE statements deriving the SAME "
+    "relationship type (policy)-[:APPLIES_TO]->(device) from three "
+    "different match paths — assigned-group membership, "
+    "applies_to_all_users, applies_to_all_devices — whose edge sets "
+    "OVERLAP; the engine must union-dedup them into one edge table "
+    "(same (src,dst) from two statements merges, firstseen preserved "
+    "from the first write, upsert.py _merge_edges). Every statement "
+    "carries the reference's incremental_on=('policy','device') gate "
+    "(run with incremental=True, so only entities refreshed this sync "
+    "act), and the whole job is ScopeById(EntraTenant->Region 2, "
+    "scoped on the policy like the reference scope_on='policy'). "
+    "Mapping: policy=Nation, user=Customer (LOCATED_IN group), "
+    "device=Order, tenant=Region.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_intune_policy_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AnalysisJob,
+        AnalysisStatement,
+        ScopeById,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+
+    def _orders(c: GraphCatalog) -> DataFrame:
+        return c.node("Order").select(
+            F.col("id").alias("did"),
+            F.col("o_custkey").cast("string").alias("cid"),
+            F.col("lastupdated").alias("d_lastupdated"),
+        )
+
+    def _cust_region(c: GraphCatalog) -> DataFrame:
+        # user -> group membership: customer LOCATED_IN nation, nation in region
+        loc = c.edge("Customer", "LOCATED_IN", "Nation").select(
+            F.col("src_id").alias("cid"), F.col("dst_id").alias("nid")
+        )
+        nat = c.node("Nation").select(F.col("id").alias("nid"), "n_regionkey")
+        return loc.join(F.broadcast(nat), "nid")
+
+    # statement 1 — ASSIGNED_TO group: policy applies to devices of users
+    # located in the policy's nation-group
+    def assigned_matcher(c: GraphCatalog) -> DataFrame:
+        pol = c.node("Nation").select(F.col("id").alias("pid"))
+        users = _cust_region(c).select("cid", F.col("nid").alias("pid"))
+        return _orders(c).join(users, "cid").join(F.broadcast(pol), "pid")
+
+    # statement 2 — applies_to_all_users = true (n_nationkey % 3 == 0):
+    # every enrolled device of every user in the tenant
+    def _flagged_matcher(c: GraphCatalog, mod: int) -> DataFrame:
+        pol = (
+            c.node("Nation")
+            .filter(F.col("n_nationkey") % mod == 0)
+            .select(F.col("id").alias("pid"), F.col("n_regionkey").alias("prk"))
+        )
+        users = _cust_region(c).select("cid", F.col("n_regionkey").alias("prk"))
+        return _orders(c).join(users, "cid").join(F.broadcast(pol), "prk")
+
+    def all_users_matcher(c: GraphCatalog) -> DataFrame:
+        return _flagged_matcher(c, 3)
+
+    # statement 3 — applies_to_all_devices = true (n_nationkey % 5 == 0)
+    def all_devices_matcher(c: GraphCatalog) -> DataFrame:
+        return _flagged_matcher(c, 5)
+
+    rel = AddRelationship("Nation", "APPLIES_TO", "Order", "pid", "did")
+    job = AnalysisJob(
+        name="intune-compliance-policy-device",
+        scope=ScopeById("Region", "TENANT_ID", scope_on="pid", member_label="Nation"),
+        statements=(
+            AnalysisStatement(assigned_matcher, (rel,), incremental_on=("d_lastupdated",)),
+            AnalysisStatement(all_users_matcher, (rel,), incremental_on=("d_lastupdated",)),
+            AnalysisStatement(all_devices_matcher, (rel,), incremental_on=("d_lastupdated",)),
+        ),
+    )
+    job.run(cat, T1, incremental=True, params={"TENANT_ID": "2"})
+
+    edges = cat.edge("Nation", "APPLIES_TO", "Order")
+    return edges.groupBy(F.col("src_id").alias("policy_id")).agg(
+        F.countDistinct("dst_id").alias("n_devices"),
+        F.min("firstseen").alias("firstseen"),
+    )
+
+
+@query(
+    "analysis_identity_projection",
+    oracle="""
+    WITH pairs AS (
+      SELECT c_custkey, s_suppkey FROM customer JOIN supplier
+      ON c_nationkey = s_nationkey AND c_custkey % 7 = s_suppkey % 7
+    ),
+    minsup AS (SELECT c_custkey, min(s_suppkey) AS msk FROM pairs GROUP BY c_custkey),
+    en AS (
+      SELECT m.c_custkey, s.s_acctbal > 0 AS enabled
+      FROM minsup m JOIN supplier s ON s.s_suppkey = m.msk
+    )
+    SELECT CAST(c.c_custkey AS VARCHAR) AS customer_id,
+           (en.c_custkey IS NOT NULL) AS linked,
+           CASE WHEN en.enabled THEN 'true' WHEN NOT en.enabled THEN 'false' END
+             AS ont_enabled
+    FROM customer c LEFT JOIN en ON c.c_custkey = en.c_custkey
+    """,
+    doc="Port of the reference's GSUITE human-identity link "
+    "(analysis/gsuite/analysis.py:8-25) and ENTRA ontology projection "
+    "(analysis/microsoft/entra/analysis.py:7-24) — the last two "
+    "unported analysis packages. GSuite shape: a PROPERTY-EQUALITY "
+    "match between two labels with no pre-existing edge between them "
+    "(`MATCH (human:Human), (guser:GSuiteUser) WHERE human.email = "
+    "guser.email`) deriving IDENTITY edges — here Customer x Supplier "
+    "on (same nation, key mod 7) as the email analog, an equi-join on "
+    "the computed keys, never a cartesian. Entra shape: SetProperty "
+    "with a Var() VALUE FROM THE MATCHED VARIABLE (`Var('sp."
+    "account_enabled')`) under an OPTIONAL MATCH — compiled as a "
+    "Column over the matcher frame; unlinked customers keep the "
+    "property NULL (reference OPTIONAL MATCH null propagation), and "
+    "the min-key supplier is the deterministic pick (`WITH app, sp`).",
+    tags=("engine", "analysis"),
+)
+def q_analysis_identity_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import (
+        AddRelationship,
+        AnalysisJob,
+        AnalysisStatement,
+        SetProperty,
+    )
+
+    cat = base_catalog(spark, sf_dir)
+
+    def _pairs(c: GraphCatalog) -> DataFrame:
+        cust = c.node("Customer").select(
+            F.col("id").alias("cid"),
+            (F.col("c_custkey") % 7).alias("ekey"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        sup = c.node("Supplier").select(
+            F.col("id").alias("sid"),
+            "s_suppkey",
+            (F.col("s_suppkey") % 7).alias("ekey"),
+            F.col("s_nationkey").alias("nk"),
+            (F.col("acctbal") > 0).alias("enabled"),
+        )
+        return cust.join(F.broadcast(sup), ["nk", "ekey"])
+
+    # entra optional-match projection: every customer, left-joined to its
+    # min-key identity supplier's account_enabled flag (null when none)
+    def entra_matcher(c: GraphCatalog) -> DataFrame:
+        best = (
+            _pairs(c)
+            .groupBy("cid")
+            .agg(F.min_by("enabled", "s_suppkey").alias("enabled"))
+        )
+        return c.node("Customer").select(F.col("id").alias("cid")).join(best, "cid", "left")
+
+    job = AnalysisJob(
+        name="gsuite-entra-identity",
+        statements=(
+            AnalysisStatement(
+                _pairs, (AddRelationship("Customer", "IDENTITY_GSUITE", "Supplier", "cid", "sid"),)
+            ),
+            AnalysisStatement(
+                entra_matcher,
+                (SetProperty("Customer", "cid", "_ont_enabled", F.col("enabled")),),
+            ),
+        ),
+    )
+    job.run(cat, T1)
+
+    linked = (
+        cat.edge("Customer", "IDENTITY_GSUITE", "Supplier")
+        .select(F.col("src_id").alias("customer_id"))
+        .distinct()
+        .withColumn("__l", F.lit(True))
+    )
+    return (
+        cat.node("Customer")
+        .select(F.col("id").alias("customer_id"), F.col("_ont_enabled").alias("ont_enabled"))
+        .join(linked, "customer_id", "left")
+        .select(
+            "customer_id",
+            F.coalesce("__l", F.lit(False)).alias("linked"),
+            # tri-state as a nullable string: a NULL BOOLEAN column hashes
+            # differently across pandas conversions (None vs NaN)
+            F.when(F.col("ont_enabled"), "true")
+            .when(~F.col("ont_enabled"), "false")
+            .alias("ont_enabled"),
+        )
+    )

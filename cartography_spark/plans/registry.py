@@ -74,7 +74,12 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items", "tpch_q11_important_stock", "tpch_q12_late_shipment_priority",
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts", "tpch_q17_small_qty_revenue",
     "graph_hits_authorities", "text_bm25_topk", "topk_per_group_salted", "privacy_k_anonymity",
-    "analysis_scoped_set_property", "asof_join_tolerance", "asof_join_forward_next",
+    "analysis_scoped_set_property", "asof_join_tolerance",
+    # --- end of the r03 front-50 window; the entries below lead the r04 rotation ---
+    "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
+    "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",
+    "shard_assignment_balanced", "layout_skipping_stats", "job_label_swap_migration",
+    "asof_join_forward_next",
     "graph_bfs_distances", "sketch_kmv_intersection", "dq_expectations", "table_profile",
     "grouping_sets_revenue", "dedup_simhash_pairs", "pipeline_llm_prep", "text_top_terms",
     "similarity_token_cosine_pairs", "segment_dedup", "dedup_minhash_estimate",

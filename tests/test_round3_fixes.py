@@ -337,3 +337,57 @@ def test_gif_lzw_roundtrip():
     corrupt[-10] ^= 0x55
     out = gif_decode(bytes(corrupt))
     assert out is None or out.shape == (8, 8)
+
+
+def test_analysis_azure_exposure_backfill_and_antipattern(spark):
+    """The Azure exposure battery (reference analysis/azure/analysis.py:9-90)
+    leaves exposed_internet TOTAL on Suppliers (null-backfill statements),
+    and the scoped LB-EXPOSE job only derives edges for suppliers NOT
+    directly exposed (the negated pattern predicate, :96-117)."""
+    from cartography_spark.plans.inventory_lifecycle import q_analysis_azure_lb_exposure
+
+    rows = q_analysis_azure_lb_exposure(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.exposed_internet is not None for r in rows), "backfill must be total"
+    for r in rows:
+        if r.lb_exposure_type is not None:
+            # edge only for via-lb-only suppliers, never directly exposed ones
+            assert r.lb_exposure_type == "via_lb_only"
+            assert r.exposure_types == "lb"
+        if r.exposure_types is None:
+            assert r.exposed_internet is False
+
+
+def test_analysis_intune_union_dedups_overlapping_paths(spark):
+    """Three statements deriving the same APPLIES_TO rel type from
+    overlapping match paths (reference intune/analysis.py:7-56) must
+    union-dedup: per-policy device count never exceeds the tenant's
+    device universe, and firstseen stays at the first write's tag."""
+    from cartography_spark.plans.inventory_lifecycle import (
+        T1,
+        q_analysis_intune_policy_union,
+    )
+    from cartography_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_analysis_intune_policy_union(spark, sf).collect()
+    assert rows
+    n_orders = load_table(spark, sf, "orders").count()
+    assert all(r.firstseen == T1 for r in rows)
+    assert all(0 < r.n_devices <= n_orders for r in rows)
+
+
+def test_analysis_identity_var_null_propagation(spark):
+    """Entra Var() projection under OPTIONAL MATCH: linked customers get a
+    non-null _ont_enabled copied from the matched supplier; unlinked
+    customers keep NULL (reference entra/analysis.py:7-24)."""
+    from cartography_spark.plans.inventory_lifecycle import q_analysis_identity_projection
+
+    rows = q_analysis_identity_projection(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert any(r.linked for r in rows) and any(not r.linked for r in rows)
+    for r in rows:
+        if r.linked:
+            assert r.ont_enabled in ("true", "false")
+        else:
+            assert r.ont_enabled is None
