@@ -1388,3 +1388,44 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_click_ts").alias("view_ts"),
         F.col("v_view_value").alias("view_value"),
     )
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exact dedup under at-least-once delivery "
+    "(streaming/events.py stream_dedupe): the event stream is unioned "
+    "with itself — every event delivered twice, the at-least-once "
+    "redelivery model — and dropDuplicatesWithinWatermark(event_id) "
+    "collapses it back. State is watermark-BOUNDED (a key leaves the "
+    "state store once the watermark passes it), the only dedup shape "
+    "that survives an unbounded stream; batch dropDuplicates state "
+    "would grow with the stream's lifetime. Run to completion with "
+    "Trigger.AvailableNow; the oracle is the batch aggregate over the "
+    "ORIGINAL (undoubled) events — exact equality proves every "
+    "duplicate was dropped and every original kept.",
+    tags=("streaming", "dedup"),
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stream_dedupe,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    doubled = stream.union(stream)  # at-least-once: every event delivered twice
+    dedup = stream_dedupe(doubled, ["event_id"]).select("event_id", "event_type", "value")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(dedup, name, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )

@@ -270,3 +270,28 @@ def test_stream_lsh_dedup_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.a, r.b) for r in lsh_delta_pairs(base, arriving).collect()}
     assert got == want and len(got) > 0
     assert merged.count() == docs.count()
+
+
+def test_streaming_dedup_watermark_query_matches_batch(spark, sf_dir):
+    """The registry's self-union at-least-once dedup: doubled delivery
+    collapses back to the exact batch per-type aggregate."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.plans.inventory_extended import q_streaming_dedup_watermark
+    from cartography_spark.sources.parquet import load_table
+
+    got = {
+        r.event_type: (r.n_unique, r.value_cents)
+        for r in q_streaming_dedup_watermark(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n_unique, r.value_cents)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == want
