@@ -265,3 +265,144 @@ def q_layout_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(skip, 1).otherwise(0)).cast("bigint").alias("n_skipped"),
         F.sum(F.when(skip, 0).otherwise(F.col("n_rows"))).cast("bigint").alias("rows_scanned"),
     )
+
+
+@query(
+    "layout_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS file_month,
+             CAST(o_custkey % 8 AS BIGINT) AS bucket,
+             count(*) AS n_rows,
+             min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      FROM orders GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT *,
+             CAST(floor((sum(n_rows) OVER (ORDER BY file_month, bucket
+                                           ROWS UNBOUNDED PRECEDING) - n_rows) / 2000.0)
+                  AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           min(mn) AS mn_date, max(mx) AS mx_date
+    FROM planned GROUP BY bin
+    """,
+    doc="Small-file compaction planner — the OPTIMIZE/bin-packing pass "
+    "every lakehouse table needs at 100 TB, planned over FILE METADATA "
+    "(footer stats), never data. Simulates the pathological layout a "
+    "streaming writer produces (one file per (order-month, writer "
+    "bucket): ~670 small skewed files), then assigns files to "
+    "compaction groups by SORTED bin-packing: files ordered by their "
+    "clustering key, bin = floor(preceding-row-cumsum / target). "
+    "Sorted packing (vs first-fit-decreasing) is the right call for "
+    "analytics: it preserves the table's clustering order, so the "
+    "min/max date span per OUTPUT bin stays narrow and data skipping "
+    "(layout_skipping_stats) keeps working after compaction — FFD "
+    "would shuffle months together and destroy pruning. The cumsum "
+    "window runs on the file-stats frame (one row per file — metadata-"
+    "scale: ~10^6 rows for a 100 TB table, fine for one partition), "
+    "not the fact table; the only full-scan cost is the per-file "
+    "stats aggregate, same as any footer-stats collection.",
+    tags=("catalog", "layout"),
+)
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    files = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("file_month"),
+        (F.col("o_custkey") % 8).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+    )
+    w = Window.orderBy("file_month", "bucket").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "bin", F.floor((F.sum("n_rows").over(w) - F.col("n_rows")) / 2000.0).cast("bigint")
+    )
+    return planned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("mn").alias("mn_date"),
+        F.max("mx").alias("mx_date"),
+    )
+
+
+@query(
+    "layout_overlap_depth",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS file_id,
+             'range' AS layout, o_orderdate
+      FROM orders
+      UNION ALL
+      SELECT CAST(o_orderkey % 84 AS BIGINT), 'hash', o_orderdate FROM orders
+    ),
+    files AS (
+      SELECT layout, file_id, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      FROM tagged GROUP BY layout, file_id
+    ),
+    depth AS (
+      SELECT a.layout, a.file_id, count(*) AS n_overlapping
+      FROM files a JOIN files b
+        ON a.layout = b.layout AND a.mn <= b.mx AND b.mn <= a.mx
+      GROUP BY a.layout, a.file_id
+    )
+    SELECT layout,
+           CAST(max(n_overlapping) AS BIGINT) AS max_depth,
+           ROUND(avg(n_overlapping), 4) AS avg_depth
+    FROM depth GROUP BY layout
+    """,
+    doc="Clustering-depth audit: for each file, how many files' "
+    "[min,max] ranges of the clustering column overlap it (its own "
+    "included) — the metric lakehouse optimizers use to decide WHEN "
+    "re-clustering is due (depth ~1 = perfectly clustered, depth ~F = "
+    "fully interleaved; Delta OPTIMIZE's clusteringQuality, Iceberg's "
+    "overlap metrics). Computed over the same simulated range vs hash "
+    "layouts as layout_skipping_stats: range files overlap only at "
+    "month boundaries (depth ~1-2), hash files all span the full date "
+    "domain (depth = n_files) — the leading indicator that predicts "
+    "layout_skipping_stats' pruning collapse BEFORE queries slow "
+    "down. The overlap self-join runs on the footer-stats frame (one "
+    "row per file), metadata-scale like the compaction planner.",
+    tags=("catalog", "layout"),
+)
+def q_layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rng = o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("file_id"),
+        F.lit("range").alias("layout"),
+        "o_orderdate",
+    )
+    hsh = o.select(
+        (F.col("o_orderkey") % 84).cast("bigint").alias("file_id"),
+        F.lit("hash").alias("layout"),
+        "o_orderdate",
+    )
+    files = (
+        rng.unionByName(hsh)
+        .groupBy("layout", "file_id")
+        .agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    )
+    a = files.alias("a")
+    b = files.select(
+        F.col("layout").alias("layout_b"), F.col("mn").alias("mn_b"), F.col("mx").alias("mx_b")
+    ).alias("b")
+    depth = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.layout") == F.col("layout_b"))
+            & (F.col("a.mn") <= F.col("mx_b"))
+            & (F.col("mn_b") <= F.col("a.mx")),
+        )
+        .groupBy("a.layout", "a.file_id")
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+    return depth.groupBy("layout").agg(
+        F.max("n_overlapping").cast("bigint").alias("max_depth"),
+        F.round(F.avg("n_overlapping"), 4).alias("avg_depth"),
+    )

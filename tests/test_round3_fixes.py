@@ -391,3 +391,31 @@ def test_analysis_identity_var_null_propagation(spark):
             assert r.ont_enabled in ("true", "false")
         else:
             assert r.ont_enabled is None
+
+
+def test_layout_compaction_preserves_clustering(spark):
+    """Sorted bin-packing: output bins are date-ordered and roughly
+    target-sized, so data skipping still works after compaction."""
+    from cartography_spark.plans.inventory_catalog import q_layout_compaction_plan
+
+    rows = sorted(
+        q_layout_compaction_plan(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    # every bin except the last holds the 2000-row target within one
+    # file's slack (floor assignment can push a boundary file either way)
+    assert all(abs(r.n_rows - 2000) < 200 for r in rows[:-1])
+    # clustering preserved: consecutive bins' date ranges are ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.mn_date <= b.mn_date and a.mx_date <= b.mx_date
+
+
+def test_layout_overlap_depth_separates_layouts(spark):
+    """Range files overlap only at month boundaries; hash files all span
+    the full domain — avg depth must separate the two layouts sharply."""
+    from cartography_spark.plans.inventory_catalog import q_layout_overlap_depth
+
+    d = {r.layout: r for r in q_layout_overlap_depth(spark, "/root/testdata/sf0.01").collect()}
+    assert d["hash"].avg_depth == d["hash"].max_depth  # fully interleaved
+    assert d["range"].avg_depth < d["hash"].avg_depth / 10
