@@ -690,3 +690,36 @@ def hybrid_rrf_topk(
         F.coalesce("sr", F.lit(0)).alias("sparse_rank"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
+
+
+def random_project(
+    embeddings: DataFrame,
+    dim: int,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC dense
+    ±1 matrix (Achlioptas 2003 without the sparsity): component k of the
+    projection is ``dot(v, signs_k) / sqrt(n_components)`` with
+    ``signs_k`` the md5-derived ±1 vector shared with the LSH hyperplanes
+    (:func:`plane_signs`) — no RNG state, so the oracle reproduces every
+    value and re-runs are bit-stable.
+
+    This is the standard preprocessing step before LSH / clustering at
+    100 TB: it shrinks ``dim`` to ``n_components`` while preserving
+    pairwise distances within (1±eps), cutting every downstream shuffle's
+    payload by ``dim/n_components``. The sign matrix is embedded as plan
+    literals (n_components × dim doubles — a few KB); at very high dims
+    you'd broadcast it into a pandas-UDF matmul with identical values.
+    Scan-local: zero shuffles, one projection per row.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = float(n_components) ** 0.5
+    cols = [F.col(id_col)]
+    for k in range(n_components):
+        comps = F.lit(plane_signs(k, dim)).cast("array<double>")
+        dot = F.aggregate(F.zip_with(v, comps, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        cols.append(F.round(dot / scale, round_digits).alias(f"p{k}"))
+    return embeddings.select(*cols)

@@ -282,3 +282,35 @@ def bigram_surprisal(
         F.sum("bits").cast("long").alias("total_bits"),
         F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias("mean_millibits"),
     )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index construction — the index-build-as-a-DataFrame job
+    behind every sharded search deployment (the batch producer of the
+    posting lists BM25 serves). Per term: document frequency, collection
+    frequency, and the head posting (the doc with the highest term
+    frequency, ties to the smallest doc_id — what an impact-ordered /
+    WAND index stores first).
+
+    Plan shape: one explode, one (term, doc) tf aggregate — map-side
+    combinable, the same shuffle key the posting lists themselves need —
+    then a per-term max_by/sum rollup. At 100 TB the (term, doc) shuffle
+    IS the index build (one pass, hash-partitioned by term = one posting
+    shard per reducer); nothing here is driver-bounded.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
+    tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.countDistinct("doc").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.expr("min_by(doc, struct(-tf, doc))").cast("long").alias("top_doc"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )

@@ -2301,3 +2301,71 @@ def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = mm.synthesize_gif_column(_docs(spark, sf_dir))
     return mm.decode_gif_meta(images)
+
+
+_RP_COMP_SQL = """
+    ROUND(list_aggregate(list_transform(generate_series(1, 64), j ->
+      CAST(embedding[j] AS DOUBLE) *
+      (CASE WHEN ('0x' || substring(md5('{k}_' || CAST(j - 1 AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+            THEN 1.0 ELSE -1.0 END)), 'sum') / 2.0, 4)
+"""
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           {_RP_COMP_SQL.format(k=0)} AS p0,
+           {_RP_COMP_SQL.format(k=1)} AS p1,
+           {_RP_COMP_SQL.format(k=2)} AS p2,
+           {_RP_COMP_SQL.format(k=3)} AS p3
+    FROM embeddings
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 4 dims "
+    "(operators/similarity.py random_project): deterministic dense ±1 "
+    "Achlioptas matrix from the same md5-derived signs as the LSH "
+    "hyperplanes, scaled 1/sqrt(4) — the standard payload-shrinking "
+    "preprocessing before LSH bucketing or k-means at 100 TB (every "
+    "downstream shuffle carries 4 doubles instead of 64). Scan-local, "
+    "zero shuffles; the sign matrix is a plan literal, and the oracle "
+    "recomputes every projected value from the same md5 signs.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.random_project(emb, dim=64, n_components=4)
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, t.term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT term, doc, count(*) AS tf FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc) AS rn
+      FROM tf
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           CAST(min(CASE WHEN rn = 1 THEN doc END) AS BIGINT) AS top_doc,
+           CAST(max(tf) AS BIGINT) AS top_tf
+    FROM ranked GROUP BY term
+    """,
+    doc="Inverted-index construction (operators/textstats.py "
+    "inverted_index): per term, document frequency, collection "
+    "frequency, and the impact-ordered head posting (highest-tf doc, "
+    "ties to smallest id). One explode + one (term, doc) map-side-"
+    "combinable aggregate + one per-term rollup; the (term, doc) "
+    "shuffle is hash-partitioned by term, i.e. each reducer emits one "
+    "posting shard — the index build IS the shuffle, nothing driver-"
+    "bounded. The oracle reproduces the head posting with a window "
+    "rank over the same tf relation.",
+    tags=("llm", "text"),
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.inverted_index(_docs(spark, sf_dir))

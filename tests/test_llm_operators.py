@@ -512,3 +512,55 @@ def test_lsh_delta_empty_delta(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     empty = docs.filter(F.lit(False))
     assert lsh_delta_pairs(docs, empty).count() == 0
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: 64->8 dim dense ±1 projection keeps pairwise distance
+    ratios within a loose (1±0.6) band — enough to bucket neighbors."""
+    import math
+
+    from cartography_spark.operators.similarity import random_project
+    from cartography_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: [r[f"p{k}"] for k in range(8)]
+        for r in random_project(emb, dim=64, n_components=8).collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(orig)[:10]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = dist(orig[ids[i]], orig[ids[j]])
+            d1 = dist(proj[ids[i]], proj[ids[j]])
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    assert ratios
+    # distortion concentrates near 1; dense ±1 at k=8 is loose but bounded
+    assert 0.4 < sum(ratios) / len(ratios) < 1.6
+
+
+def test_inverted_index_consistency(spark, sf_dir):
+    """df <= cf, top_tf is the max tf, and the head posting really is the
+    highest-tf (tie: smallest id) document for a sampled term."""
+    from cartography_spark.operators.textstats import inverted_index
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = {r.term: r for r in inverted_index(docs).collect()}
+    assert idx
+    assert all(r.df <= r.cf and r.top_tf >= 1 for r in idx.values())
+    # recompute the head posting for the most frequent term in python
+    term = max(idx.values(), key=lambda r: r.cf).term
+    tf = {}
+    for row in docs.select("doc_id", "text").collect():
+        n = row.text.lower().split(" ").count(term)
+        if n:
+            tf[row.doc_id] = n
+    best = min(tf, key=lambda d: (-tf[d], d))
+    assert idx[term].top_doc == best and idx[term].top_tf == tf[best]
