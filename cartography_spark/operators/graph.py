@@ -535,3 +535,38 @@ def hits_exact(
         hubs = half_step(auths, e.dst, "h")
     e.unpersist()
     return hubs, auths
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient: 3 * triangles / wedges over an
+    undirected graph given as canonical (u<v) distinct edges. Returns a
+    1-row DataFrame (n_triangles, n_wedges, global_cc).
+
+    Wedges (open + closed 2-paths) come straight from the degree
+    distribution — sum over nodes of d*(d-1)/2, one aggregate, no join;
+    triangles reuse the degree-ordered orientation of
+    :func:`triangle_count` (wedge join bounded O(m^1.5) under skew). Both
+    counts are exact integers; only the final transitivity ratio rounds.
+    """
+    sym = symmetrize(edges, "u", "v")
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    o = orient_by_degree(edges)
+    o.persist()
+    wedge_pairs = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("a"), F.col("e2.dst").alias("b"))
+    )
+    closed = wedge_pairs.join(
+        o.alias("e3"), (F.col("a") == F.col("e3.src")) & (F.col("b") == F.col("e3.dst"))
+    )
+    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    out = tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias("global_cc"),
+    )
+    return finalize_iterative(out, o)

@@ -812,3 +812,48 @@ def q_graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("harmonic_2x").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 3 = 0
+    ),
+    sym AS (SELECT u AS n, v AS m FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT n, count(*) AS d FROM sym GROUP BY n),
+    w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM pairs e1
+          JOIN pairs e2 ON e1.v = e2.u
+          JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v)
+    SELECT n_triangles, n_wedges,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS global_cc
+    FROM t CROSS JOIN w
+    """,
+    doc="Global clustering coefficient / transitivity "
+    "(operators/graph.py:clustering_coefficient) on the part co-purchase "
+    "graph: 3*triangles/wedges. Wedges come from ONE degree aggregate "
+    "(sum d*(d-1)/2 — no join), triangles from the degree-ordered "
+    "oriented wedge join shared with graph_triangle_count; the oracle "
+    "recomputes both with naive id-orientation, and orientation-"
+    "invariance of the counts proves the optimized plan. The classic "
+    "one-number summary of whether a graph is clustered (social) or "
+    "tree/chain-like — and the densification early-warning for the "
+    "O(m^1.5) triangle bound.",
+    tags=("graph",),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import clustering_coefficient
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok2) & (a.u < b.v))
+        .select("u", "v")
+        .distinct()
+    )
+    return clustering_coefficient(pairs)

@@ -1850,10 +1850,8 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_nb_classifier",
-    oracle=r"""
-    WITH toks AS (
+_NB_CTES = r"""
+    toks AS (
       SELECT doc_id, lang AS actual,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
       FROM documents
@@ -1887,10 +1885,20 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, actual, label, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
       FROM scored
+    ),
+    nb AS (
+      SELECT doc_id, actual, label AS pred, CAST(score AS BIGINT) AS score_millinats,
+             (label = actual) AS correct
+      FROM best WHERE rn = 1
     )
-    SELECT doc_id, actual, label AS pred, CAST(score AS BIGINT) AS score_millinats,
-           (label = actual) AS correct
-    FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "text_nb_classifier",
+    oracle=f"""
+    WITH {_NB_CTES}
+    SELECT doc_id, actual, pred, score_millinats, correct FROM nb
     """,
     doc="In-engine multinomial Naive Bayes (operators/textstats.py:"
     "nb_language_classifier): train per-(label, hashed-bucket) token "
@@ -2369,3 +2377,47 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.inverted_index(_docs(spark, sf_dir))
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH {_NB_CTES},
+    binned AS (
+      SELECT *, ntile(10) OVER (ORDER BY score_millinats, doc_id) AS bin FROM nb
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(sum(CASE WHEN correct THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy,
+           CAST(min(score_millinats) AS BIGINT) AS min_score,
+           CAST(max(score_millinats) AS BIGINT) AS max_score
+    FROM binned GROUP BY bin
+    """,
+    doc="Classifier reliability diagram: the NB language classifier's "
+    "predictions (text_nb_classifier, shared _NB_CTES oracle) bucketed "
+    "into score deciles (ntile ordered by score, doc_id tiebreak — "
+    "deterministic), with per-bin accuracy — the calibration audit run "
+    "before a quality/language classifier's scores are trusted as "
+    "routing thresholds in a data pipeline. Monotone accuracy-by-decile "
+    "means scores can gate; a flat curve means they cannot. One window "
+    "sort over the per-doc prediction frame (|docs| rows, narrow), one "
+    "10-group aggregate.",
+    tags=("llm", "text"),
+)
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    nb = ts.nb_language_classifier(_docs(spark, sf_dir))
+    binned = nb.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy("score_millinats", "doc_id"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("accuracy"),
+        F.min("score_millinats").cast("bigint").alias("min_score"),
+        F.max("score_millinats").cast("bigint").alias("max_score"),
+    )
