@@ -868,3 +868,457 @@ def decode_gif_meta(images: DataFrame, bin_col: str = "image", id_col: str = "do
         "max_pixel int, mean_pixel double, valid boolean"
     )
     return images.mapInPandas(extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, grayscale) — stdlib+numpy only.
+#
+# Third COMPRESSED codec family after deflate (PNG) and LZW (GIF): entropy
+# coding (canonical Huffman), zigzag coefficient order, quantization and the
+# 8x8 type-II DCT. Both directions are real format walkers: the encoder
+# emits spec-compliant SOI/DQT/SOF0/DHT/SOS/EOI streams with byte stuffing,
+# the decoder parses arbitrary baseline grayscale JPEGs (any DQT/DHT
+# content, not just ours). Synthesized images use 8x8-CONSTANT blocks and a
+# flat (all-ones) quantization table, which makes the lossy pipeline
+# round-trip losslessly (DC-only blocks survive quantize->IDCT exactly), so
+# the DuckDB oracle can recompute exact pixel stats from the digest bytes.
+# The AC run-length path (EOB/ZRL, all 162 standard symbols) is exercised
+# by coefficient-level property tests instead.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.3 typical luminance Huffman tables
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (canonical code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                b = self.acc & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _JBitReader:
+    """MSB-first bit reader over entropy-coded data, unstuffing 0xFF00."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _load(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1  # stuffed zero
+            else:
+                self.pos -= 1  # a real marker: stop
+                return False
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._load():
+            return None
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + amplitude bits for a nonzero-able value."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    amp = v if v > 0 else v + (1 << size) - 1
+    return size, amp
+
+
+def _extend(amp: int, size: int) -> int:
+    """Inverse of :func:`_magnitude`."""
+    if size == 0:
+        return 0
+    if amp < (1 << (size - 1)):
+        return amp - (1 << size) + 1
+    return amp
+
+
+_IDCT_A = None
+
+
+def _idct_matrix() -> np.ndarray:
+    global _IDCT_A
+    if _IDCT_A is None:
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        _IDCT_A = a
+    return _IDCT_A
+
+
+def _idct2(coeffs: np.ndarray) -> np.ndarray:
+    a = _idct_matrix()
+    return a.T @ coeffs @ a
+
+
+def jpeg_encode_blocks(coeff_blocks: list[np.ndarray], w: int, h: int) -> bytes:
+    """Assemble a baseline grayscale JPEG from QUANTIZED 8x8 coefficient
+    blocks (row-major MCUs, flat all-ones DQT). Full entropy coder: DC
+    difference coding, AC run-length with ZRL and EOB, canonical Huffman
+    (Annex K luminance tables), byte stuffing."""
+    dc_map = _huff_encode_map(_DC_BITS, _DC_VALS)
+    ac_map = _huff_encode_map(_AC_BITS, _AC_VALS)
+    bw = _JBitWriter()
+    prev_dc = 0
+    for blk in coeff_blocks:
+        zz = [int(blk.flat[_ZIGZAG[i]]) for i in range(64)]
+        size, amp = _magnitude(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, ln = dc_map[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(amp, size)
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if zz[i] != 0:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_map[0xF0]  # ZRL: 16 zeros
+                bw.write(code, ln)
+                run -= 16
+            size, amp = _magnitude(zz[i])
+            code, ln = ac_map[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(amp, size)
+            run = 0
+        if last_nz != 63:
+            code, ln = ac_map[0x00]  # EOB
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qt = bytes([1] * 64)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + qt  # DQT, flat
+    out += (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00"
+    )  # SOF0: 8-bit, 1 component, 1x1 sampling, table 0
+    out += (
+        b"\xff\xc4" + (2 + 1 + 16 + len(_DC_VALS)).to_bytes(2, "big")
+        + b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4" + (2 + 1 + 16 + len(_AC_VALS)).to_bytes(2, "big")
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode(pixels: np.ndarray) -> bytes:
+    """Encode a grayscale image (H, W multiples of 8) as baseline JPEG
+    with a flat quantization table: forward DCT per 8x8 block, rounded to
+    the nearest integer coefficient. Block-constant inputs quantize to a
+    DC-only integer block, so they survive the pipeline losslessly."""
+    h, w = pixels.shape
+    a = _idct_matrix()
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+            coeffs = a @ blk @ a.T  # forward DCT (transpose of IDCT)
+            blocks.append(np.round(coeffs).astype(np.int64))
+    return jpeg_encode_blocks(blocks, w, h)
+
+
+def _jpeg_decode_scan(payload: bytes):
+    """Parse a baseline grayscale JPEG down to DEQUANTIZED coefficient
+    blocks: (blocks, w, h) or None. Handles arbitrary DQT/DHT content,
+    skips APPn/COM, rejects progressive and multi-component scans."""
+    data = payload
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = 0
+    comp_q = 0
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        seglen = int.from_bytes(data[i : i + 2], "big")
+        seg = data[i + 2 : i + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq != 0:
+                    return None  # 16-bit tables unsupported
+                qtables[tq] = list(seg[j : j + 64])
+                j += 64
+        elif marker == 0xC0:
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                return None  # grayscale only
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            return None  # extended/progressive/lossless
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                table = _huff_decode_map(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                j += 17 + n
+        elif marker == 0xDA:
+            if seg[0] != 1:
+                return None
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            if (
+                not w
+                or comp_q not in qtables
+                or td not in dc_tables
+                or ta not in ac_tables
+            ):
+                return None
+            qt = qtables[comp_q]
+            dct, act = dc_tables[td], ac_tables[ta]
+            br = _JBitReader(data, i + seglen)
+
+            def read_symbol(table) -> int | None:
+                code, ln = 0, 0
+                while ln < 16:
+                    b = br.read_bit()
+                    if b is None:
+                        return None
+                    code = (code << 1) | b
+                    ln += 1
+                    if (ln, code) in table:
+                        return table[(ln, code)]
+                return None
+
+            n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+            blocks = []
+            prev_dc = 0
+            for _ in range(n_blocks):
+                size = read_symbol(dct)
+                if size is None or size > 11:
+                    return None
+                amp = br.read_bits(size) if size else 0
+                if amp is None:
+                    return None
+                prev_dc += _extend(amp, size)
+                zz = [0] * 64
+                zz[0] = prev_dc * qt[0]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(act)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    amp = br.read_bits(size)
+                    if amp is None:
+                        return None
+                    zz[k] = _extend(amp, size) * qt[k]
+                    k += 1
+                blk = np.zeros(64, dtype=np.int64)
+                for idx in range(64):
+                    blk[_ZIGZAG[idx]] = zz[idx]
+                blocks.append(blk.reshape(8, 8))
+            return blocks, w, h
+        i += seglen
+    return None
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray | None:
+    """Full baseline grayscale JPEG decode: marker walk, canonical Huffman
+    entropy decode (DC diff + AC run-length), dezigzag, dequantize, float
+    IDCT, level shift and clamp. Returns the pixel array or None."""
+    parsed = _jpeg_decode_scan(payload)
+    if parsed is None:
+        return None
+    blocks, w, h = parsed
+    bw_ct = (w + 7) // 8
+    out = np.zeros((h, w), dtype=np.uint8)
+    for n, blk in enumerate(blocks):
+        px = np.clip(np.round(_idct2(blk.astype(np.float64)) + 128.0), 0, 255)
+        by, bx = divmod(n, bw_ct)
+        ys, xs = by * 8, bx * 8
+        out[ys : min(ys + 8, h), xs : min(xs + 8, w)] = px[: h - ys, : w - xs]
+    return out
+
+
+def synthesize_jpeg_column(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real baseline JPEG per doc: 16 x 8*(1 + b1 % 3) grayscale built
+    from 8x8-CONSTANT blocks (block k's value = digest byte k), flat DQT.
+    DC-only blocks round-trip losslessly, so decoded stats have the same
+    closed form over digest bytes as the other codecs — but only if the
+    Huffman entropy decode, dezigzag and IDCT are all correct."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                hh = 8 * (1 + dig[1] % 3)
+                n_blocks = 2 * (hh // 8)
+                px = np.zeros((hh, 16), dtype=np.uint8)
+                for k in range(n_blocks):
+                    by, bx = divmod(k, 2)
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = dig[k % 16]
+                ids.append(doc_id)
+                blobs.append(jpeg_encode(px))
+            yield pd.DataFrame({id_col: ids, "image": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, image binary")
+
+
+def decode_jpeg_meta(images: DataFrame, bin_col: str = "image", id_col: str = "doc_id") -> DataFrame:
+    """Real JPEG decode via Arrow-batched mapInPandas: (width, height,
+    sum_pixel, min_pixel, max_pixel, mean_pixel, valid)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (id_col, "width", "height", "sum_pixel", "min_pixel", "max_pixel", "mean_pixel", "valid")
+            }
+            for _, r in pdf.iterrows():
+                px = jpeg_decode(r[bin_col])
+                out[id_col].append(r[id_col])
+                if px is None:
+                    for k in ("width", "height", "sum_pixel", "min_pixel", "max_pixel"):
+                        out[k].append(0)
+                    out["mean_pixel"].append(0.0)
+                    out["valid"].append(False)
+                    continue
+                h, w = px.shape
+                s = int(px.sum(dtype=np.int64))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_pixel"].append(s)
+                out["min_pixel"].append(int(px.min()))
+                out["max_pixel"].append(int(px.max()))
+                out["mean_pixel"].append(s / (h * w))
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, width int, height int, sum_pixel long, min_pixel int, "
+        "max_pixel int, mean_pixel double, valid boolean"
+    )
+    return images.mapInPandas(extract, schema)

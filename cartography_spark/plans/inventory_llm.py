@@ -2421,3 +2421,39 @@ def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("score_millinats").cast("bigint").alias("min_score"),
         F.max("score_millinats").cast("bigint").alias("max_score"),
     )
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),
+    d AS (SELECT doc_id, bs, 8 * (1 + bs[2] % 3) AS hh,
+                 list_slice(bs, 1, 2 * (1 + bs[2] % 3)) AS blocks
+          FROM b)
+    SELECT doc_id,
+           16 AS width,
+           CAST(hh AS INT) AS height,
+           CAST(64 * list_aggregate(blocks, 'sum') AS BIGINT) AS sum_pixel,
+           CAST(list_aggregate(blocks, 'min') AS INT) AS min_pixel,
+           CAST(list_aggregate(blocks, 'max') AS INT) AS max_pixel,
+           (64 * list_aggregate(blocks, 'sum')) / (16.0 * hh) AS mean_pixel,
+           TRUE AS valid
+    FROM d
+    """,
+    doc="Third COMPRESSED codec family in the multimodal suite — after "
+    "deflate (PNG) and LZW (GIF), the DCT/entropy-coding family: a real "
+    "baseline JPEG per doc (16 x 8*(1+b1%3) grayscale from 8x8-constant "
+    "blocks, flat DQT), decoded by the stdlib+numpy baseline decoder "
+    "(marker walk with APPn skip, arbitrary DQT/DHT parsing, canonical "
+    "Huffman entropy decode with 0xFF00 unstuffing, DC difference + AC "
+    "run-length ZRL/EOB, dezigzag, dequantize, float IDCT, level shift) "
+    "in Arrow-batched mapInPandas (operators/multimodal.py:jpeg_decode). "
+    "Block-constant pixels + flat quantization make the lossy pipeline "
+    "exactly invertible, so the oracle recomputes pixel stats from the "
+    "digest bytes; the AC path is covered by coefficient-level property "
+    "tests (tests/test_round3_fixes.py).",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = mm.synthesize_jpeg_column(_docs(spark, sf_dir))
+    return mm.decode_jpeg_meta(images)

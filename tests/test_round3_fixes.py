@@ -419,3 +419,56 @@ def test_layout_overlap_depth_separates_layouts(spark):
     d = {r.layout: r for r in q_layout_overlap_depth(spark, "/root/testdata/sf0.01").collect()}
     assert d["hash"].avg_depth == d["hash"].max_depth  # fully interleaved
     assert d["range"].avg_depth < d["hash"].avg_depth / 10
+
+
+def test_jpeg_coefficient_roundtrip_property():
+    """Full JPEG entropy-coder property: arbitrary quantized coefficient
+    blocks (random AC patterns — runs, ZRL, EOB, every magnitude
+    category, negatives) survive encode -> marker walk -> Huffman decode
+    exactly."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import (
+        _jpeg_decode_scan,
+        jpeg_encode_blocks,
+    )
+
+    rng = np.random.RandomState(42)
+    for trial in range(100):
+        blocks = []
+        for _ in range(rng.randint(1, 5)):
+            blk = np.zeros((8, 8), dtype=np.int64)
+            for _ in range(rng.randint(0, 16)):
+                blk[rng.randint(8), rng.randint(8)] = rng.randint(-1023, 1024)
+            blocks.append(blk)
+        w, h = 8, 8 * len(blocks)
+        parsed = _jpeg_decode_scan(jpeg_encode_blocks(blocks, w, h))
+        assert parsed is not None, trial
+        got, gw, gh = parsed
+        assert (gw, gh, len(got)) == (w, h, len(blocks))
+        for a, b in zip(blocks, got):
+            assert (a == b).all()
+
+
+def test_jpeg_pixel_roundtrip_and_rejects():
+    """Block-constant grayscale images round-trip losslessly through the
+    full lossy pipeline; corrupt markers and foreign bytes are rejected."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        hh = 8 * rng.randint(1, 4)
+        px = np.zeros((hh, 16), dtype=np.uint8)
+        for by in range(hh // 8):
+            for bx in range(2):
+                px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = rng.randint(0, 256)
+        enc = jpeg_encode(px)
+        dec = jpeg_decode(enc)
+        assert dec is not None and (dec == px).all()
+    assert jpeg_decode(b"not a jpeg") is None
+    assert jpeg_decode(b"\xff\xd8\xff\xd9") is None
+    broken = bytearray(jpeg_encode(np.full((8, 8), 7, dtype=np.uint8)))
+    broken[3] = 0xC2  # pretend progressive
+    assert jpeg_decode(bytes(broken)) is None
