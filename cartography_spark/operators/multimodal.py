@@ -1322,3 +1322,117 @@ def decode_jpeg_meta(images: DataFrame, bin_col: str = "image", id_col: str = "d
         "max_pixel int, mean_pixel double, valid boolean"
     )
     return images.mapInPandas(extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (second audio codec after PCM16 WAV): logarithmic 8-bit
+# companding — lossy but CLOSED-FORM integer math in both directions, so a
+# SQL oracle can replicate encode∘decode exactly (unlike ADPCM's stateful
+# step tables). Carried in a real RIFF/WAVE container with format tag 7.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 132
+_ULAW_CLIP = 32635
+_ULAW_SEGS = np.array([256, 512, 1024, 2048, 4096, 8192, 16384], dtype=np.int32)
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 samples -> 8-bit mu-law bytes (G.711)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = (mag[:, None] >= _ULAW_SEGS[None, :]).sum(axis=1)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """8-bit mu-law bytes -> int16 samples (G.711 expansion)."""
+    u = (~u.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    y = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -y, y).astype(np.int16)
+
+
+def wav_ulaw_encode(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 samples as a mono mu-law WAV (format tag 7, 8-bit)."""
+    data = ulaw_encode(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def wav_ulaw_decode(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a mono mu-law WAV (RIFF chunk walk, format tag 7) to
+    (sample_rate, int16 ndarray), or None if not valid mono mu-law."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 7 or channels != 1 or bits != 8:
+                return None
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype=np.uint8)
+        pos += 8 + clen + (clen & 1)
+    if rate is None or data is None:
+        return None
+    return rate, ulaw_decode(data)
+
+
+def synthesize_ulaw_column(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real mu-law WAV per doc: the md5 digest as 8 little-endian int16
+    samples, tiled (1 + b0 % 4) times, companded to 8-bit G.711."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                base = np.frombuffer(dig, dtype="<i2").astype(np.int16)
+                smp = np.tile(base, 1 + dig[0] % 4)
+                ids.append(doc_id)
+                blobs.append(wav_ulaw_encode(smp))
+            yield pd.DataFrame({id_col: ids, "audio": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, audio binary")
+
+
+def decode_ulaw_meta(audio: DataFrame, bin_col: str = "audio", id_col: str = "doc_id") -> DataFrame:
+    """Decode mu-law WAVs and report integer-exact companding stats:
+    (sample_rate, n_samples, sum_abs, sum_sq, valid) over the EXPANDED
+    samples — any mis-expanded segment/mantissa anywhere breaks the sums."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "sample_rate", "n_samples", "sum_abs", "sum_sq", "valid")}
+            for _, r in pdf.iterrows():
+                parsed = wav_ulaw_decode(r[bin_col])
+                out[id_col].append(r[id_col])
+                if parsed is None:
+                    for k in ("sample_rate", "n_samples", "sum_abs", "sum_sq"):
+                        out[k].append(0)
+                    out["valid"].append(False)
+                    continue
+                rate, smp = parsed
+                s64 = smp.astype(np.int64)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(smp))
+                out["sum_abs"].append(int(np.abs(s64).sum()))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, sample_rate int, n_samples long, sum_abs long, sum_sq long, valid boolean"
+    return audio.mapInPandas(extract, schema)

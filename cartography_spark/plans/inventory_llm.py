@@ -2457,3 +2457,60 @@ def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = mm.synthesize_jpeg_column(_docs(spark, sf_dir))
     return mm.decode_jpeg_meta(images)
+
+
+@query(
+    "multimodal_ulaw_audio",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),
+    s AS (
+      SELECT doc_id, 1 + bs[1] % 4 AS t,
+             list_transform(range(8), i -> CASE
+                 WHEN bs[2*i+1] + 256*bs[2*i+2] >= 32768
+                 THEN bs[2*i+1] + 256*bs[2*i+2] - 65536
+                 ELSE bs[2*i+1] + 256*bs[2*i+2] END) AS smp
+      FROM b
+    ),
+    u AS (SELECT doc_id, t, unnest(smp) AS x FROM s),
+    m AS (
+      SELECT doc_id, t, x, least(abs(x), 32635) + 132 AS mag,
+             CASE WHEN least(abs(x), 32635) + 132 < 256 THEN 0
+                  WHEN least(abs(x), 32635) + 132 < 512 THEN 1
+                  WHEN least(abs(x), 32635) + 132 < 1024 THEN 2
+                  WHEN least(abs(x), 32635) + 132 < 2048 THEN 3
+                  WHEN least(abs(x), 32635) + 132 < 4096 THEN 4
+                  WHEN least(abs(x), 32635) + 132 < 8192 THEN 5
+                  WHEN least(abs(x), 32635) + 132 < 16384 THEN 6
+                  ELSE 7 END AS ex
+      FROM u
+    ),
+    d AS (
+      SELECT doc_id, t,
+             (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+             * ((((mag // (1 << (ex + 3))) % 16 * 8 + 132) << ex) - 132) AS dx
+      FROM m
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(8 * t AS BIGINT) AS n_samples,
+           CAST(t * sum(abs(dx)) AS BIGINT) AS sum_abs,
+           CAST(t * sum(dx * dx) AS BIGINT) AS sum_sq,
+           TRUE AS valid
+    FROM d GROUP BY doc_id, t
+    """,
+    doc="Second audio codec after PCM16: G.711 mu-law companding in a "
+    "real RIFF container (format tag 7), synthesized from digest int16 "
+    "samples and decoded by the chunk-walking expander "
+    "(operators/multimodal.py:wav_ulaw_decode). Mu-law is the right "
+    "second codec for an oracle-gated suite: logarithmic 8-bit "
+    "compression whose encode AND decode are closed-form integer "
+    "arithmetic (sign/segment/mantissa), so the DuckDB oracle replicates "
+    "the full compand-expand pipeline per sample — unlike ADPCM, whose "
+    "stateful step tables a SQL oracle could not express. Integer "
+    "sum_abs/sum_sq over the EXPANDED samples catch any mis-decoded "
+    "segment or mantissa anywhere.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = mm.synthesize_ulaw_column(_docs(spark, sf_dir))
+    return mm.decode_ulaw_meta(audio)

@@ -82,7 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_dedup_watermark", "layout_compaction_plan", "layout_overlap_depth",
     "embedding_random_projection", "text_inverted_index",
     "graph_clustering_coefficient", "classifier_calibration_bins",
-    "multimodal_jpeg_decode",
+    "multimodal_jpeg_decode", "multimodal_ulaw_audio",
     "asof_join_forward_next",
     "graph_bfs_distances", "sketch_kmv_intersection", "dq_expectations", "table_profile",
     "grouping_sets_revenue", "dedup_simhash_pairs", "pipeline_llm_prep", "text_top_terms",

@@ -472,3 +472,29 @@ def test_jpeg_pixel_roundtrip_and_rejects():
     broken = bytearray(jpeg_encode(np.full((8, 8), 7, dtype=np.uint8)))
     broken[3] = 0xC2  # pretend progressive
     assert jpeg_decode(bytes(broken)) is None
+
+
+def test_ulaw_g711_properties():
+    """G.711 companding: decode(encode(x)) is idempotent under recompand,
+    error is bounded by the segment step, sign-symmetric, zero-exact."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import (
+        ulaw_decode,
+        ulaw_encode,
+        wav_ulaw_decode,
+        wav_ulaw_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(-32768, 32768, 4096).astype(np.int16)
+    d = ulaw_decode(ulaw_encode(x))
+    assert (ulaw_decode(ulaw_encode(d)) == d).all()  # codewords are fixed points
+    err = np.abs(x.astype(np.int64) - d.astype(np.int64))
+    assert err.max() <= 1024 + 132  # half top-segment step + clip bias
+    assert ulaw_decode(ulaw_encode(np.array([0], dtype=np.int16)))[0] == 0
+    neg = ulaw_decode(ulaw_encode(-x))
+    assert (neg == -d.astype(np.int32)).all()
+    rate, smp = wav_ulaw_decode(wav_ulaw_encode(x))
+    assert rate == 8000 and (smp == d).all()
+    assert wav_ulaw_decode(b"junk") is None
