@@ -1436,3 +1436,104 @@ def decode_ulaw_meta(audio: DataFrame, bin_col: str = "audio", id_col: str = "do
 
     schema = f"{id_col} long, sample_rate int, n_samples long, sum_abs long, sum_sq long, valid boolean"
     return audio.mapInPandas(extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG video: an elementary stream of concatenated baseline JPEG
+# frames (the actual payload layout of MJPEG AVI 'dc' chunks / multipart
+# MJPEG streams). Frame boundaries are recoverable without a container
+# index because byte stuffing guarantees 0xFFD9 cannot occur inside
+# entropy-coded data — the EOI scan is exact, not heuristic.
+# ---------------------------------------------------------------------------
+
+
+def mjpeg_split(payload: bytes) -> list[bytes] | None:
+    """Split an MJPEG elementary stream into complete JPEG frames."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        return None
+    frames = []
+    i = 0
+    while i < len(payload):
+        if payload[i : i + 2] != b"\xff\xd8":
+            return None
+        end = payload.find(b"\xff\xd9", i + 2)
+        if end < 0:
+            return None
+        frames.append(payload[i : end + 2])
+        i = end + 2
+    return frames
+
+
+def synthesize_mjpeg_column(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real MJPEG clip per doc: 2 + b2 % 3 frames of 16 x 8*(1 + b1 % 3)
+    block-constant baseline JPEGs; frame f's block k holds digest byte
+    (k + f) % 16, so every frame differs and the oracle can recompute any
+    sampled subset."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, dig in _digest_frame(pdf, text_col, id_col):
+                hh = 8 * (1 + dig[1] % 3)
+                n_frames = 2 + dig[2] % 3
+                n_blocks = 2 * (hh // 8)
+                clip = bytearray()
+                for f in range(n_frames):
+                    px = np.zeros((hh, 16), dtype=np.uint8)
+                    for k in range(n_blocks):
+                        by, bx = divmod(k, 2)
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = dig[(k + f) % 16]
+                    clip += jpeg_encode(px)
+                ids.append(doc_id)
+                blobs.append(bytes(clip))
+            yield pd.DataFrame({id_col: ids, "video": blobs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, video binary")
+
+
+def mjpeg_frame_stats(
+    videos: DataFrame, every_n: int = 2, bin_col: str = "video", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sample an MJPEG stream (decode every ``every_n``-th frame
+    only — the skip pattern a 100 TB video pipeline lives on, since
+    MJPEG frames are independently decodable) and report exact pixel
+    stats over the SAMPLED frames."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (id_col, "n_frames", "n_sampled", "width", "height", "sum_pixel", "valid")
+            }
+            for _, r in pdf.iterrows():
+                frames = mjpeg_split(r[bin_col])
+                out[id_col].append(r[id_col])
+                if not frames:
+                    for k in ("n_frames", "n_sampled", "width", "height", "sum_pixel"):
+                        out[k].append(0)
+                    out["valid"].append(False)
+                    continue
+                total, w, h, ok, n_sampled = 0, 0, 0, True, 0
+                for f in range(0, len(frames), every_n):
+                    px = jpeg_decode(frames[f])
+                    if px is None:
+                        ok = False
+                        break
+                    h, w = px.shape
+                    total += int(px.sum(dtype=np.int64))
+                    n_sampled += 1
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(n_sampled)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_pixel"].append(total)
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, n_frames int, n_sampled int, width int, height int, "
+        "sum_pixel long, valid boolean"
+    )
+    return videos.mapInPandas(extract, schema)

@@ -2514,3 +2514,45 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = mm.synthesize_ulaw_column(_docs(spark, sf_dir))
     return mm.decode_ulaw_meta(audio)
+
+
+@query(
+    "multimodal_mjpeg_sample",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),
+    d AS (SELECT doc_id, bs,
+                 8 * (1 + bs[2] % 3) AS hh,
+                 2 + bs[3] % 3 AS nf,
+                 2 * (1 + bs[2] % 3) AS nb
+          FROM b),
+    fr AS (SELECT doc_id, hh, nf, nb, bs, unnest(range(0, nf, 2)) AS f FROM d),
+    px AS (SELECT doc_id, hh, nf, f,
+                  list_aggregate(
+                      list_transform(range(nb), k -> bs[(k + f) % 16 + 1]),
+                      'sum') AS fsum
+           FROM fr)
+    SELECT doc_id,
+           CAST(max(nf) AS INT) AS n_frames,
+           CAST(count(*) AS INT) AS n_sampled,
+           16 AS width,
+           CAST(max(hh) AS INT) AS height,
+           CAST(64 * sum(fsum) AS BIGINT) AS sum_pixel,
+           TRUE AS valid
+    FROM px GROUP BY doc_id
+    """,
+    doc="Video frame sampling over a real Motion-JPEG elementary stream: "
+    "each doc gets a 2-4 frame clip of concatenated baseline JPEGs "
+    "(frame f's block k holds digest byte (k+f)%16, so every frame "
+    "differs), split on exact EOI boundaries (byte stuffing guarantees "
+    "0xFFD9 never appears inside entropy-coded data) and decoding ONLY "
+    "every 2nd frame — the decode-skip pattern a 100 TB video pipeline "
+    "lives on, since MJPEG frames are independently decodable "
+    "(operators/multimodal.py:mjpeg_frame_stats). The oracle recomputes "
+    "exact pixel sums over the SAMPLED frame subset from the digest "
+    "bytes, so a wrong frame split, wrong stride, or any decode error "
+    "in any sampled frame breaks the hash.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    videos = mm.synthesize_mjpeg_column(_docs(spark, sf_dir))
+    return mm.mjpeg_frame_stats(videos, every_n=2)

