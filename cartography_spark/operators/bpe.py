@@ -114,6 +114,128 @@ def bpe_learn_merges(
     )
 
 
+def subword_vocab(
+    docs: DataFrame,
+    min_count: int = 20,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mine a subword vocabulary: every substring of length 2..max_piece_len
+    of the DISTINCT corpus words, kept when its positional occurrence count
+    (across distinct words) reaches ``min_count``. Vocab-bounded like BPE
+    training — the corpus costs one distinct-word aggregation; substring
+    explosion runs over |V| words, never the 100 TB of text."""
+    words = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("w")
+    ).distinct()
+    pieces = _candidate_pieces(words, max_piece_len)
+    return (
+        pieces.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n_positions"))
+        .filter(F.col("n_positions") >= min_count)
+    )
+
+
+def _candidate_pieces(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(w, s, e, piece) for every 0-indexed span [s, e) of length
+    2..max_piece_len in each distinct word. Both sequence() bounds are
+    guaranteed ascending: s <= length-2 and e ranges from s+2 up to
+    least(s+max_piece_len, length) >= s+2."""
+    return (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, length(w) - 2),"
+                    f" s -> transform(sequence(s + 2, least(s + {max_piece_len}, length(w))),"
+                    "       e -> named_struct('s', s, 'e', e))))"
+                )
+            ).alias("se"),
+        )
+        .select(
+            "w",
+            F.col("se.s").alias("s"),
+            F.col("se.e").alias("e"),
+            F.expr("substring(w, se.s + 1, se.e - se.s)").alias("piece"),
+        )
+    )
+
+
+def subword_viterbi_segment(
+    docs: DataFrame,
+    min_count: int = 20,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM-style Viterbi segmentation (the SentencePiece decoding
+    shape, Kudo 2018) with unit piece costs: segment every corpus word into
+    the MINIMUM number of vocabulary pieces, where the vocab is mined from
+    the data (``subword_vocab``) and single characters are always valid
+    (full coverage, the unigram-LM char fallback). Returns per-doc
+    (n_words, n_chars, n_pieces).
+
+    Spark-first dataflow — the per-word dynamic program is a pure-Column
+    ``aggregate`` fold (whole-JVM, no Python): dp grows one cell per
+    position, dp[i] = least(dp[i-1] + 1, min over vocab edges (s -> i) of
+    dp[s] + 1); `least` skips the NULL that `array_min` yields for
+    positions with no multi-char edge. Everything heavy is vocab-bounded:
+    candidate spans and the DP run on DISTINCT words; the corpus is touched
+    by one word explode + a broadcast join of the per-word piece counts.
+    At 100 TB this is one distinct-word shuffle + one doc_id aggregation.
+    Unit costs keep the optimum integer-exact, so a DuckDB recursive-CTE
+    oracle hash-matches the whole pipeline."""
+    words = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("w")
+    )
+    distinct_words = words.distinct()
+    pieces = _candidate_pieces(distinct_words, max_piece_len)
+    vocab = (
+        pieces.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n_positions"))
+        .filter(F.col("n_positions") >= min_count)
+        .select("piece")
+    )
+    edges = pieces.join(F.broadcast(vocab), "piece").select("w", "e", "s")
+    edge_lists = edges.groupBy("w").agg(
+        F.collect_list(F.struct("e", "s")).alias("es")
+    )
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0)),
+        lambda acc, i: F.array_append(
+            acc,
+            F.least(
+                F.element_at(acc, i) + 1,
+                F.array_min(
+                    F.transform(
+                        F.filter("es", lambda x: x["e"] == i),
+                        lambda x: F.element_at(acc, x["s"] + 1) + 1,
+                    )
+                ),
+            ),
+        ),
+    )
+    segmented = (
+        distinct_words.join(edge_lists, "w", "left")
+        .select("w", F.element_at(dp, F.length("w") + 1).alias("np"))
+    )
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("w"),
+    )
+    return (
+        doc_words.join(F.broadcast(segmented), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+    )
+
+
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],

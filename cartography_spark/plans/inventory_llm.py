@@ -1720,6 +1720,61 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "until the per-doc count).",
     tags=("llm", "text"),
 )
+@query(
+    "unigram_viterbi_segmentation",
+    oracle="""
+    WITH RECURSIVE
+    words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents),
+    pc AS (
+      SELECT w, u.s AS s, u.e AS e, substr(w, u.s + 1, u.e - u.s) AS piece
+      FROM words, unnest(flatten(list_transform(range(length(w)),
+           s -> list_transform(range(s + 2, least(s + 4, length(w)) + 1),
+                e -> {'s': s, 'e': e})))) AS t(u)
+    ),
+    vocab AS (SELECT piece FROM pc GROUP BY piece HAVING count(*) >= 20),
+    edges AS (SELECT pc.w, pc.e, pc.s FROM pc JOIN vocab USING (piece)),
+    el AS (SELECT w, list({'e': e, 's': s}) AS es FROM edges GROUP BY w),
+    wl AS (SELECT words.w, el.es FROM words LEFT JOIN el USING (w)),
+    r AS (
+      SELECT w, es, 0 AS i, [0] AS d FROM wl
+      UNION ALL
+      SELECT w, es, i + 1,
+             list_append(d, least(
+                 d[i + 1] + 1,
+                 list_min(list_transform(list_filter(es, x -> x.e = i + 1),
+                                         x -> d[x.s + 1] + 1))))
+      FROM r WHERE i < length(w)
+    ),
+    seg AS (SELECT w, d[length(w) + 1] AS np FROM r WHERE i = length(w)),
+    dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(np) AS BIGINT) AS n_pieces
+    FROM dw JOIN seg USING (w) GROUP BY doc_id
+    """,
+    doc="Second tokenizer family after BPE: unigram-LM-style Viterbi "
+    "segmentation (the SentencePiece decoding shape, Kudo 2018) with unit "
+    "piece costs — each word split into the MINIMUM number of vocab "
+    "pieces, vocab mined from the data (substrings of length 2-4 with "
+    ">=20 positional occurrences across distinct words), single chars "
+    "always valid (char fallback). The per-word DP is a pure-Column "
+    "aggregate() fold (operators/bpe.py subword_viterbi_segment), no "
+    "Python: dp[i] = least(dp[i-1]+1, min over vocab edges s->i of "
+    "dp[s]+1). Everything heavy is vocab-bounded (spans + DP run on "
+    "DISTINCT words); the corpus costs one word explode + broadcast join. "
+    "Unit costs keep the optimum integer-exact, so the DuckDB recursive-"
+    "CTE oracle replicates the entire DP and hash-matches n_pieces.",
+    tags=("llm", "text", "iterative"),
+)
+def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.bpe import subword_viterbi_segment
+
+    return subword_viterbi_segment(_docs(spark, sf_dir), min_count=20, max_piece_len=4)
+
+
 def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.bpe import bpe_learn_merges, bpe_segment
 

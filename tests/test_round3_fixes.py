@@ -534,3 +534,52 @@ def test_mjpeg_split_and_frame_sampling():
     assert mjpeg_split(b"") is None
     assert mjpeg_split(b"\x00\x01") is None
     assert mjpeg_split(clip + b"\xff\xd8\xff") is None  # trailing truncated frame
+
+
+def test_viterbi_segmentation_matches_bruteforce(spark):
+    """The pure-Column Viterbi fold finds the true minimum piece count:
+    cross-check every distinct word against an exhaustive enumeration of
+    segmentations over the same mined vocab."""
+    from itertools import count as _count
+
+    from cartography_spark.operators.bpe import subword_viterbi_segment
+
+    texts = [
+        "abab abab cdcd ababcd",
+        "abab cdcd cdcd xyz",
+        "ababab cdabab q",
+        "abcd abcd abab cd",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_pieces"])
+        for r in subword_viterbi_segment(docs, min_count=3, max_piece_len=4).collect()
+    }
+
+    # mine the same vocab in plain Python
+    words = sorted({w for t in texts for w in t.split()})
+    from collections import Counter
+
+    cnt = Counter(
+        w[s:e]
+        for w in words
+        for s in range(len(w))
+        for e in range(s + 2, min(s + 4, len(w)) + 1)
+    )
+    vocab = {p for p, c in cnt.items() if c >= 3}
+
+    def min_pieces(w):
+        best = [0] + [len(w) + 1] * len(w)
+        for i in range(1, len(w) + 1):
+            best[i] = best[i - 1] + 1  # char fallback
+            for s in range(max(0, i - 4), i - 1):
+                if w[s:i] in vocab:
+                    best[i] = min(best[i], best[s] + 1)
+        return best[len(w)]
+
+    for i, t in enumerate(texts):
+        ws = t.split()
+        expect = (len(ws), sum(len(w) for w in ws), sum(min_pieces(w) for w in ws))
+        assert out[i] == expect, (i, out[i], expect)
