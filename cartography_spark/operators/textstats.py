@@ -314,3 +314,41 @@ def inverted_index(
         F.expr("min_by(doc, struct(-tf, doc))").cast("long").alias("top_doc"),
         F.max("tf").cast("long").alias("top_tf"),
     )
+
+
+def ranking_auc(
+    scored: DataFrame, score_col: str = "score_millinats", label_col: str = "correct"
+) -> DataFrame:
+    """Exact ROC-AUC of a scored binary outcome via the Mann-Whitney U
+    rank statistic with tie midranks: AUC = P(score_pos > score_neg)
+    + 0.5 * P(score_pos = score_neg). One row: (n_pos, n_neg, u2, auc,
+    gini) where u2 = 2U stays integer-exact (each tie contributes a
+    half, doubled away), so the hash-compare is exact and auc/gini are
+    a single identical IEEE division on both engines.
+
+    Scale shape: the O(N) input collapses to one row per DISTINCT score
+    first (map-side combinable groupBy), and the rank cumsum runs over
+    that bounded frame — for continuous scores quantize to integer
+    buckets upstream (the engine's scorers already emit integer
+    millinats). No global sort of the raw data ever happens.
+    """
+    from pyspark.sql import Window
+
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n0"),
+    )
+    below = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_score.withColumn("cum0", F.coalesce(F.sum("n0").over(below), F.lit(0)))
+    totals = cum.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0"))).cast("long").alias("u2"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        (F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 2.0 - 1.0).alias("gini"),
+    )

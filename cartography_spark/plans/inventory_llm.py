@@ -1971,6 +1971,47 @@ def q_text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "classifier_ranking_auc",
+    oracle=f"""
+    WITH {_NB_CTES},
+    by_score AS (
+      SELECT score_millinats AS s,
+             sum(CASE WHEN correct THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN correct THEN 0 ELSE 1 END) AS n0
+      FROM nb GROUP BY score_millinats
+    ),
+    cum AS (
+      SELECT s, n1, n0,
+             coalesce(sum(n0) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+      FROM by_score
+    )
+    SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+           CAST(sum(n0) AS BIGINT) AS n_neg,
+           CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT) AS u2,
+           CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT)
+             / (2.0 * CAST(sum(n1) AS BIGINT) * CAST(sum(n0) AS BIGINT)) AS auc,
+           CAST(sum(n1 * (2 * cum0 + n0)) AS BIGINT)
+             / (2.0 * CAST(sum(n1) AS BIGINT) * CAST(sum(n0) AS BIGINT)) * 2.0 - 1.0 AS gini
+    FROM cum
+    """,
+    doc="Exact ROC-AUC of the NB classifier's confidence as a predictor "
+    "of its own correctness (operators/textstats.py:ranking_auc) — the "
+    "Mann-Whitney U rank statistic with tie midranks, kept integer-exact "
+    "as u2 = 2U so the hash compare is bit-stable; auc and gini are one "
+    "identical IEEE division on both engines. Scale shape: collapse to "
+    "one row per DISTINCT integer score first (map-side combinable), "
+    "rank-cumsum over that bounded frame only — never a global sort of "
+    "the raw predictions. Completes the classifier-eval family with "
+    "calibration bins (reliability) + AUC (discrimination).",
+    tags=("llm", "text", "eval"),
+)
+def q_classifier_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = ts.nb_language_classifier(_docs(spark, sf_dir))
+    return ts.ranking_auc(nb, score_col="score_millinats", label_col="correct")
+
+
+@query(
     "multimodal_phash_near_dup",
     oracle=f"""
     WITH bts AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),

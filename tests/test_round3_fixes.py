@@ -583,3 +583,22 @@ def test_viterbi_segmentation_matches_bruteforce(spark):
         ws = t.split()
         expect = (len(ws), sum(len(w) for w in ws), sum(min_pieces(w) for w in ws))
         assert out[i] == expect, (i, out[i], expect)
+
+
+def test_ranking_auc_matches_pair_counting(spark):
+    """AUC from the midrank U statistic equals brute-force pair counting
+    P(s_pos > s_neg) + 0.5 P(=), including ties and duplicated scores."""
+    from cartography_spark.operators.textstats import ranking_auc
+
+    rows = [(3, True), (3, False), (2, True), (1, False), (1, False),
+            (5, True), (5, True), (2, False), (4, False), (0, True)]
+    df = spark.createDataFrame(rows, "score_millinats int, correct boolean")
+    got = ranking_auc(df).collect()[0]
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["u2"] == int(2 * wins)
+    assert abs(got["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    assert abs(got["gini"] - (2 * wins / (len(pos) * len(neg)) - 1)) < 1e-12
