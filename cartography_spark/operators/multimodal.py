@@ -647,13 +647,21 @@ def ahash_near_dup_pairs(
 
 def _lzw_compress(indices: list[int], mcs: int) -> bytes:
     """GIF-flavor LZW: LSB-first variable-width codes starting at mcs+1
-    bits, clear/EOI codes, width growth when the next free code would not
-    fit, dictionary reset at 4096."""
+    bits, clear/EOI codes, dictionary reset at 4096. Code width is driven
+    by the DECODER's table size (dec_next), not the encoder's own: the
+    decoder adds its entry one code later than the encoder (and adds one
+    for the encoder's FINAL data code, after which the encoder adds
+    nothing), so deriving width from the encoder's counter desyncs the
+    tail — the EOI would be written one bit narrower than the decoder
+    reads it whenever the last data code lands a decoder entry exactly on
+    a 2^w boundary."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     out = bytearray()
     buf = nbits = 0
     width = mcs + 1
-    next_code = eoi + 1
+    next_code = eoi + 1  # encoder table ids
+    dec_next = eoi + 1  # decoder's table size after the code we just emitted
+    first_since_clear = True
     table: dict[tuple[int, ...], int] = {}
 
     def emit(code: int) -> None:
@@ -665,6 +673,18 @@ def _lzw_compress(indices: list[int], mcs: int) -> bytes:
             buf >>= 8
             nbits -= 8
 
+    def emit_data(code: int) -> None:
+        # mirror the decoder: it adds an entry after every data code
+        # except the first since a clear, then grows width at 2^w
+        nonlocal dec_next, width, first_since_clear
+        emit(code)
+        if first_since_clear:
+            first_since_clear = False
+        else:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
     def code_of(w: tuple[int, ...]) -> int:
         return w[0] if len(w) == 1 else table[w]
 
@@ -675,18 +695,18 @@ def _lzw_compress(indices: list[int], mcs: int) -> bytes:
         if wk in table:
             w = wk
             continue
-        emit(code_of(w))
+        emit_data(code_of(w))
         table[wk] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
-            width += 1
         if next_code == 4096:
             emit(clear)
             table.clear()
             next_code = eoi + 1
+            dec_next = eoi + 1
             width = mcs + 1
+            first_since_clear = True
         w = (k,)
-    emit(code_of(w))
+    emit_data(code_of(w))
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
@@ -731,12 +751,12 @@ def _lzw_decompress(data: bytes, mcs: int) -> list[int] | None:
             if next_code < 4096:
                 table[next_code] = prev + (entry[0],)
                 next_code += 1
-                # the decoder's table lags the encoder's by exactly one
-                # entry (the encoder adds w+k BEFORE emitting the next
-                # code; the decoder adds it AFTER reading that code), so
-                # the width must grow one entry early — the standard GIF
-                # decoder 2^w - 1 rule
-                if next_code == (1 << width) - 1 and width < 12:
+                # grow when the next slot no longer fits: width before a
+                # read is always bit_length(next_code), which is what the
+                # encoder mirrors via its dec_next counter (the encoder's
+                # own table runs one entry ahead and would desync at the
+                # stream tail, where its final data code adds no entry)
+                if next_code == (1 << width) and width < 12:
                     width += 1
         out.extend(entry)
         prev = entry
