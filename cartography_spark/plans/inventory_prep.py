@@ -1099,6 +1099,92 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "privacy_t_closeness",
+    oracle="""
+    WITH cv AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band,
+             c_mktsegment AS seg, count(*) AS cnt
+      FROM customer GROUP BY c_nationkey, bal_band, seg
+    ),
+    tot AS (SELECT seg, sum(cnt) AS tv FROM cv GROUP BY seg),
+    n AS (SELECT sum(tv) AS n FROM tot),
+    g AS (SELECT c_nationkey, bal_band, sum(cnt) AS g
+          FROM cv GROUP BY c_nationkey, bal_band),
+    terms AS (
+      SELECT cv.c_nationkey, cv.bal_band,
+             abs(n.n * cv.cnt - g.g * tot.tv) - g.g * tot.tv AS term
+      FROM cv JOIN tot USING (seg)
+      JOIN g ON cv.c_nationkey = g.c_nationkey AND cv.bal_band = g.bal_band
+      CROSS JOIN n
+    )
+    SELECT g.c_nationkey, g.bal_band,
+           CAST(g.g AS BIGINT) AS group_size,
+           CAST(sum(term) + g.g * max(n.n) AS BIGINT) AS tvd_num,
+           CAST(sum(term) + g.g * max(n.n) AS BIGINT)
+             / (2.0 * g.g * max(n.n)) AS tvd,
+           (2 * CAST(sum(term) + g.g * max(n.n) AS BIGINT) > g.g * max(n.n)) AS suppress
+    FROM terms JOIN g ON terms.c_nationkey = g.c_nationkey
+                      AND terms.bal_band = g.bal_band
+    CROSS JOIN n
+    GROUP BY g.c_nationkey, g.bal_band, g.g
+    """,
+    doc="t-closeness audit, the third privacy gate after privacy_k_anonymity "
+    "and privacy_l_diversity: an equivalence class can be large AND "
+    "diverse yet still leak if its sensitive-value DISTRIBUTION differs "
+    "from the table's (skewed segment mix in one (nation, balance-band) "
+    "cell reveals membership odds). Distance = total variation "
+    "0.5*sum|p(v|cell) - p(v)|, kept INTEGER-exact by cross-multiplying: "
+    "tvd_num = sum_v |N*cnt_v - g*tot_v| over ALL segment values — absent "
+    "values folded in closed form (their sum is g*N minus the present "
+    "values' g*tot_v), so no dense value-spine join is ever built. "
+    "Suppression (t = 0.25) compares integers (2*tvd_num > g*N), immune "
+    "to float rounding. Plan: one shuffle of (QI, value) cells, two "
+    "re-aggregations of that bounded frame, a broadcast of the "
+    "|values|-row marginal and the 1-row N — table size only pays the "
+    "first map-side-combined groupBy.",
+    tags=("llm", "prep", "privacy"),
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cv = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("cnt"))
+    tot = cv.groupBy("seg").agg(F.sum("cnt").alias("tv"))
+    n = tot.agg(F.sum("tv").alias("n"))
+    g = cv.groupBy("c_nationkey", "bal_band").agg(F.sum("cnt").alias("g"))
+    terms = (
+        cv.join(F.broadcast(tot), "seg")
+        .join(g, ["c_nationkey", "bal_band"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_nationkey",
+            "bal_band",
+            "g",
+            "n",
+            (
+                F.abs(F.col("n") * F.col("cnt") - F.col("g") * F.col("tv"))
+                - F.col("g") * F.col("tv")
+            ).alias("term"),
+        )
+    )
+    out = terms.groupBy("c_nationkey", "bal_band", "g", "n").agg(
+        F.sum("term").alias("s")
+    )
+    tvd_num = F.col("s") + F.col("g") * F.col("n")
+    return out.select(
+        "c_nationkey",
+        "bal_band",
+        F.col("g").cast("long").alias("group_size"),
+        tvd_num.cast("long").alias("tvd_num"),
+        (tvd_num.cast("long") / (2.0 * F.col("g") * F.col("n"))).alias("tvd"),
+        (2 * tvd_num.cast("long") > F.col("g") * F.col("n")).alias("suppress"),
+    )
+
+
+@query(
     "shard_assignment_balanced",
     oracle="""
     WITH ranked AS (

@@ -94,6 +94,9 @@ _SCALAR_ATTACH = {
     "hybrid_search_rrf",            # x broadcast(1-row query-doc bigram norm)
     "dsir_importance_resample",     # x broadcast(1-row corpus/target totals)
     "text_nb_classifier",           # x broadcast(1-row doc total + n_labels-row class table)
+    "classifier_calibration_bins",  # same NB attach as text_nb_classifier
+    "classifier_ranking_auc",       # same NB attach as text_nb_classifier
+    "privacy_t_closeness",          # x broadcast(1-row table total N)
     "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
     "tpch_q11_important_stock",     # x broadcast(1-row global value total)
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)

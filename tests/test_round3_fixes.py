@@ -602,3 +602,43 @@ def test_ranking_auc_matches_pair_counting(spark):
     assert got["u2"] == int(2 * wins)
     assert abs(got["auc"] - wins / (len(pos) * len(neg))) < 1e-12
     assert abs(got["gini"] - (2 * wins / (len(pos) * len(neg)) - 1)) < 1e-12
+
+
+def test_t_closeness_tvd_matches_float_reference(spark):
+    """The cross-multiplied integer tvd_num equals the textbook float
+    total-variation distance over ALL sensitive values (including values
+    absent from a cell), on a skewed hand-built table."""
+    from collections import Counter
+
+    from cartography_spark.plans.inventory_prep import q_privacy_t_closeness
+
+    rows = []
+    # nation 0 band 0: single-valued (max leak); nation 1 band 0: dominates
+    # the table so its mix IS close to the global mix
+    for seg, k in [("A", 9)]:
+        rows += [(0, seg, 100.0)] * k
+    for seg, k in [("A", 10), ("B", 10), ("C", 10)]:
+        rows += [(1, seg, 100.0)] * k
+    df = spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "customer.parquet"))
+        out = {
+            (r["c_nationkey"], r["bal_band"]): r
+            for r in q_privacy_t_closeness(spark, d).collect()
+        }
+
+    glob = Counter(seg for _, seg, _ in rows)
+    n = len(rows)
+    for nat in (0, 1):
+        cell = Counter(seg for nk, seg, _ in rows if nk == nat)
+        g = sum(cell.values())
+        tvd = 0.5 * sum(abs(cell.get(v, 0) / g - glob[v] / n) for v in glob)
+        r = out[(nat, 0)]
+        assert r["group_size"] == g
+        assert abs(r["tvd"] - tvd) < 1e-12
+        assert r["suppress"] == (tvd > 0.25)
+    assert out[(0, 0)]["suppress"] and not out[(1, 0)]["suppress"]
