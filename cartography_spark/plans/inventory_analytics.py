@@ -402,3 +402,50 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_join_keys"),
         F.max(prod).alias("hottest_key_rows"),
     )
+
+
+@query(
+    "pareto_skyline",
+    oracle="""
+    WITH dm AS (
+      SELECT o_orderdate AS d, max(o_totalprice) AS dmax
+      FROM orders GROUP BY o_orderdate
+    ),
+    run AS (
+      SELECT d, dmax,
+             max(dmax) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM dm
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN run r ON o.o_orderdate = r.d
+    WHERE o.o_totalprice = r.dmax
+      AND (r.prevmax IS NULL OR o.o_totalprice > r.prevmax)
+    """,
+    doc="2-D Pareto skyline (maximize price, minimize date): every order "
+    "not dominated by an earlier-or-same-date order of >= price with one "
+    "strict inequality. NOT the naive O(n^2) dominance self-join: "
+    "collapse to one max per date first (map-side-combined groupBy), "
+    "take a running max over the DISTINCT-date frame only (bounded "
+    "cardinality), then a broadcast join back tags survivors — a row "
+    "survives iff it is its date's max AND strictly beats every earlier "
+    "date's max. Same-date same-price ties are mutually non-dominating "
+    "and all kept. At 100 TB the only full-data costs are the per-date "
+    "collapse and one broadcast-joined filter pass.",
+    tags=("analytics", "scale"),
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    dm = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("dmax")
+    )
+    prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    run = dm.withColumn("prevmax", F.max("dmax").over(prev))
+    return (
+        o.join(F.broadcast(run), o["o_orderdate"] == run["d"])
+        .filter(
+            (F.col("o_totalprice") == F.col("dmax"))
+            & (F.col("prevmax").isNull() | (F.col("o_totalprice") > F.col("prevmax")))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )

@@ -642,3 +642,39 @@ def test_t_closeness_tvd_matches_float_reference(spark):
         assert abs(r["tvd"] - tvd) < 1e-12
         assert r["suppress"] == (tvd > 0.25)
     assert out[(0, 0)]["suppress"] and not out[(1, 0)]["suppress"]
+
+
+def test_pareto_skyline_matches_dominance_bruteforce(spark):
+    """The per-date-collapse skyline equals the O(n^2) dominance
+    definition, including same-date ties and duplicate points."""
+    import tempfile, os
+
+    from cartography_spark.plans.inventory_analytics import q_pareto_skyline
+
+    pts = [  # (key, date_ordinal, price)
+        (1, 1, 50.0), (2, 1, 50.0), (3, 1, 40.0), (4, 2, 60.0),
+        (5, 2, 55.0), (6, 3, 60.0), (7, 3, 70.0), (8, 4, 70.0),
+        (9, 5, 65.0),
+    ]
+    import datetime
+
+    rows = [
+        (k, datetime.datetime(2020, 1, d), p) for k, d, p in pts
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "orders.parquet"))
+        got = sorted(r["o_orderkey"] for r in q_pareto_skyline(spark, tmp).collect())
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    expect = sorted(
+        k for (k, d, p) in pts
+        if not any(dominated((k, d, p), o) for o in pts if o[0] != k)
+    )
+    assert got == expect, (got, expect)
