@@ -279,3 +279,19 @@ def kmv_difference_estimate(
             "n_diff_exact",
         )
     )
+
+
+def hll_registers_by(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL registers: ``(*group_cols, b, mx)``. Each group's
+    register set is a complete mergeable sketch — re-aggregating along
+    any rollup dimension is a register-wise max (``hll_merge``), which
+    stays EXACT under overlap (the same value in two groups maxes to the
+    same register state), unlike per-group exact distinct counts, which
+    cannot be summed upward. This is the property that makes distinct
+    counts re-aggregable in a 100 TB cube."""
+    b, rho = hll_bucket_rho(col)
+    return (
+        df.select(*group_cols, b.alias("b"), rho.alias("rho"))
+        .groupBy(*group_cols, "b")
+        .agg(F.max("rho").alias("mx"))
+    )

@@ -401,6 +401,106 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+_HLL_RHO_CASE = """
+             CASE WHEN st = '' THEN 32
+                  ELSE least((30 - length(st)) * 4 +
+                       CASE WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 8 THEN 0
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 4 THEN 1
+                            WHEN ('0x' || substring(st, 1, 1))::BIGINT >= 2 THEN 2
+                            ELSE 3 END + 1, 32) END"""
+
+
+def _hll_est_sql(s: str, used: str) -> str:
+    """The register-collapse estimate (harmonic mean + linear-counting
+    fallback) over aggregate columns ``s``/``used`` — identical literal
+    chain to hll_estimate_from_registers so the IEEE op order matches."""
+    raw = (
+        f"(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 4294967296.0"
+        f" / ({s} + (256 - {used}) * 4294967296)"
+    )
+    return (
+        f"CASE WHEN {raw} <= 640.0 AND {used} < 256"
+        f" THEN ROUND(256.0 * ln(256.0 / (256 - {used})), 2)"
+        f" ELSE ROUND({raw}, 2) END"
+    )
+
+
+@query(
+    "sketch_hll_rollup_merge",
+    oracle=f"""
+    WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    r AS (SELECT event_type, ('0x' || substring(hx, 1, 2))::BIGINT AS b,
+                 regexp_replace(substring(hx, 3, 30), '^0+', '') AS st
+          FROM h),
+    rho AS (SELECT event_type, b, {_HLL_RHO_CASE} AS rho FROM r),
+    per_type AS (SELECT event_type, b, max(rho) AS mx
+                 FROM rho GROUP BY event_type, b),
+    merged AS (SELECT b, max(mx) AS mx FROM per_type GROUP BY b),
+    direct AS (SELECT b, max(rho) AS mx FROM rho GROUP BY b),
+    am AS (SELECT CAST(sum(1::BIGINT << (32 - mx)) AS BIGINT) AS s,
+                  count(*) AS used FROM merged),
+    ad AS (SELECT CAST(sum(1::BIGINT << (32 - mx)) AS BIGINT) AS s,
+                  count(*) AS used FROM direct),
+    g AS (SELECT count(DISTINCT event_type) AS n_groups FROM events),
+    x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+    SELECT 256 AS m,
+           CAST(am.used AS BIGINT) AS used_buckets,
+           {_hll_est_sql("am.s", "am.used")} AS estimate_merged,
+           {_hll_est_sql("ad.s", "ad.used")} AS estimate_direct,
+           ({_hll_est_sql("am.s", "am.used")}
+              = {_hll_est_sql("ad.s", "ad.used")}) AS merged_equals_direct,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM am CROSS JOIN ad CROSS JOIN g CROSS JOIN x
+    """,
+    doc="Sketch RE-AGGREGATION — the property that makes distinct counts "
+    "cube-able at 100 TB: per-event-type HLL register sets "
+    "(operators/sketches.py:hll_registers_by) merged upward with a "
+    "register-wise max equal the sketch built directly on the union, "
+    "EXACTLY, despite users overlapping across types (per-group exact "
+    "distincts cannot be summed upward; register max is associative, "
+    "commutative, idempotent). The query proves it end-to-end: "
+    "estimate_merged = estimate_direct, alongside the exact count. Cost: "
+    "one pass + a (n_types x 256)-row rollup; no distinct shuffle "
+    "anywhere in the sketch path.",
+    tags=("llm", "sketch", "scale"),
+)
+def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = hll_registers_by(ev, "user_id", ["event_type"])
+    merged = per_type.groupBy("b").agg(F.max("mx").alias("mx"))
+    est_m = hll_estimate_from_registers(merged).select(
+        "m", "used_buckets", F.col("estimate").alias("estimate_merged")
+    )
+    est_d = hll_estimate_from_registers(hll_registers(ev, "user_id")).select(
+        F.col("estimate").alias("estimate_direct")
+    )
+    g = ev.agg(F.countDistinct("event_type").cast("bigint").alias("n_groups"))
+    x = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return (
+        est_m.crossJoin(F.broadcast(est_d))
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(x))
+        .select(
+            "m",
+            "used_buckets",
+            "estimate_merged",
+            "estimate_direct",
+            (F.col("estimate_merged") == F.col("estimate_direct")).alias(
+                "merged_equals_direct"
+            ),
+            "n_groups",
+            "n_exact",
+        )
+    )
+
+
 @query(
     "sketch_countmin_heavy_hitters",
     oracle=r"""

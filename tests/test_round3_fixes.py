@@ -678,3 +678,26 @@ def test_pareto_skyline_matches_dominance_bruteforce(spark):
         if not any(dominated((k, d, p), o) for o in pts if o[0] != k)
     )
     assert got == expect, (got, expect)
+
+
+def test_hll_rollup_merge_exact_under_overlap(spark):
+    """Merging per-group HLL registers equals the directly-built sketch
+    even when values overlap across groups (where summing per-group
+    exact distincts would overcount)."""
+    from cartography_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(100, 300)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    per = hll_registers_by(df, "user_id", ["event_type"])
+    merged = per.groupBy("b").agg(F.max("mx").alias("mx"))
+    direct = hll_registers(df, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    em = hll_estimate_from_registers(merged).collect()[0]["estimate"]
+    ed = hll_estimate_from_registers(direct).collect()[0]["estimate"]
+    assert em == ed
+    # the estimate tracks the true 300 (not the summed 400)
+    assert abs(em - 300) / 300 < 0.25
