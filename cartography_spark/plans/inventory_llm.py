@@ -1720,6 +1720,17 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "until the per-doc count).",
     tags=("llm", "text"),
 )
+def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.bpe import bpe_learn_merges, bpe_segment
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(docs, n_merges=2).orderBy("rank").collect()
+    ]
+    return bpe_segment(docs.filter(F.col("doc_id") < 100), merges)
+
+
 @query(
     "unigram_viterbi_segmentation",
     oracle="""
@@ -1773,17 +1784,6 @@ def q_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.bpe import subword_viterbi_segment
 
     return subword_viterbi_segment(_docs(spark, sf_dir), min_count=20, max_piece_len=4)
-
-
-def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cartography_spark.operators.bpe import bpe_learn_merges, bpe_segment
-
-    docs = _docs(spark, sf_dir)
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_learn_merges(docs, n_merges=2).orderBy("rank").collect()
-    ]
-    return bpe_segment(docs.filter(F.col("doc_id") < 100), merges)
 
 
 @query(
