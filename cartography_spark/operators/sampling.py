@@ -158,3 +158,77 @@ def stratified_sample_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# Truncated-Poisson(1) inverse-CDF cutoffs on a 32-bit uniform hash:
+# P(0)=e^-1, cumulative x 2^32, identical integer literals in the SQL
+# oracle so replicate weights are engine-exact.
+_POISSON_CUTS = (1580030169, 3160060337, 3950075422, 4213413783)
+
+
+def poisson_replicate_weight(col: Column, b: int, salt: str = "boot") -> Column:
+    """Deterministic Poisson(1)-ish bootstrap weight for replicate ``b``:
+    inverse-CDF (truncated at 4) on the salted 32-bit hash of the row id.
+    Pure function of (id, b) — reproducible across runs, engines, and
+    repartitions, which seeded ``df.sample`` is not."""
+    u = portable_hash32(col, salt=f"{salt}{b}")
+    w = F.when(u < _POISSON_CUTS[0], 0)
+    for k in range(1, len(_POISSON_CUTS)):
+        w = w.when(u < _POISSON_CUTS[k], k)
+    return w.otherwise(len(_POISSON_CUTS))
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value: Column,
+    id_col: Column,
+    n_replicates: int = 32,
+    lo_rank: int = 2,
+) -> DataFrame:
+    """One-pass Poisson-bootstrap confidence interval for a mean: each
+    replicate resamples every row with an independent hash-derived
+    Poisson(1) weight, so replicate b's mean is sum(w_b*x)/sum(w_b) —
+    2*n_replicates running sums computed in ONE scan with map-side
+    combine, no data duplication and no global N needed (the property
+    that makes the Poisson bootstrap THE bootstrap at 100 TB; an exact
+    multinomial resample would need the total count up front and a 32x
+    explode). ``value`` must be integer-quantized by the caller so the
+    sums are reduction-order-exact. CI bounds are order statistics
+    (rank lo_rank and n_replicates+1-lo_rank) of the replicate means —
+    exact ranks, no interpolation, so engines agree bit-for-bit.
+
+    Output: (n_rows, point_mean, ci_lo, ci_hi, n_replicates).
+    """
+    from pyspark.sql import Window
+
+    aggs = [F.sum(value).alias("s"), F.count(F.lit(1)).alias("n")]
+    for b in range(n_replicates):
+        w = poisson_replicate_weight(id_col, b)
+        aggs.append(F.sum(w * value).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"n{b}"))
+    one = df.agg(*aggs)
+    reps = one.select(
+        "s",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (F.col(f"s{b}") / F.col(f"n{b}")).alias("m"),
+                    )
+                    for b in range(n_replicates)
+                ]
+            )
+        ).alias("r"),
+    ).select("s", "n", F.col("r.b").alias("b"), F.col("r.m").alias("m"))
+    rk = F.row_number().over(Window.orderBy("m", "b"))
+    ranked = reps.withColumn("rk", rk)
+    hi_rank = n_replicates + 1 - lo_rank
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        (F.max("s") / F.max("n")).alias("point_mean"),
+        F.max(F.when(F.col("rk") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("m"))).alias("ci_hi"),
+        F.lit(n_replicates).alias("n_replicates"),
+    )

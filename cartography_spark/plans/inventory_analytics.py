@@ -449,3 +449,63 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+def _boot_oracle(n_reps: int = 32) -> str:
+    cuts = (1580030169, 3160060337, 3950075422, 4213413783)
+    ws, sums, structs = [], [], []
+    for b in range(n_reps):
+        u = f"('0x' || substring(md5('boot{b}:' || rid), 1, 8))::BIGINT"
+        case = f"CASE WHEN {u} < {cuts[0]} THEN 0"
+        for k in range(1, 4):
+            case += f" WHEN {u} < {cuts[k]} THEN {k}"
+        case += " ELSE 4 END"
+        ws.append(f"{case} AS w{b}")
+        sums.append(f"sum(w{b} * x) AS s{b}, sum(w{b}) AS n{b}")
+        structs.append(f"{{'b': {b}, 'm': s{b} / n{b}}}")
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS rid,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    wts AS (SELECT x, {", ".join(ws)} FROM base),
+    agg AS (SELECT sum(x) AS s, count(*) AS n, {", ".join(sums)} FROM wts),
+    reps AS (SELECT s, n, u.b AS b, u.m AS m
+             FROM agg, unnest([{", ".join(structs)}]) AS t(u)),
+    ranked AS (SELECT s, n, m, row_number() OVER (ORDER BY m, b) AS rk FROM reps)
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           max(s) / max(n) AS point_mean,
+           max(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+           max(CASE WHEN rk = {n_reps - 1} THEN m END) AS ci_hi,
+           {n_reps} AS n_replicates
+    FROM ranked
+    """
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=_boot_oracle(32),
+    doc="One-pass Poisson-bootstrap 95%-ish CI for the mean line price "
+    "(operators/sampling.py:poisson_bootstrap_ci): every replicate "
+    "resamples each row with a deterministic hash-derived Poisson(1) "
+    "weight, so 32 replicate means are 64 running sums in ONE scan with "
+    "map-side combine — no 32x data explode, no global N needed up "
+    "front, which is exactly why the Poisson bootstrap is THE bootstrap "
+    "at 100 TB. Values quantized to integer cents so sums are "
+    "reduction-order-exact; CI bounds are exact order statistics (ranks "
+    "2 and 31), no percentile interpolation to disagree across engines.",
+    tags=("analytics", "sampling", "scale"),
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import poisson_bootstrap_ci
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+    )
+    return poisson_bootstrap_ci(li, F.col("x"), F.col("rid"), n_replicates=32)

@@ -701,3 +701,32 @@ def test_hll_rollup_merge_exact_under_overlap(spark):
     assert em == ed
     # the estimate tracks the true 300 (not the summed 400)
     assert abs(em - 300) / 300 < 0.25
+
+
+def test_poisson_bootstrap_ci_statistical_sanity(spark):
+    """The one-pass bootstrap CI brackets the true mean on a synthetic
+    population, the point mean is exact, and replicate weights follow
+    the truncated-Poisson(1) distribution within tolerance."""
+    from cartography_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+        poisson_replicate_weight,
+    )
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(str(i), (i * 37) % 1000) for i in range(n)], "rid string, x long"
+    )
+    out = poisson_bootstrap_ci(df, F.col("x"), F.col("rid"), n_replicates=32).collect()[0]
+    true_mean = sum((i * 37) % 1000 for i in range(n)) / n
+    assert out["n_rows"] == n
+    assert abs(out["point_mean"] - true_mean) < 1e-9
+    assert out["ci_lo"] < true_mean < out["ci_hi"]
+    # CI width ~ 2*1.96*sigma/sqrt(n): sigma ~ 288 for uniform(0,1000)
+    assert 0 < out["ci_hi"] - out["ci_lo"] < 60
+    # weight distribution: mean weight ~ 1, P(w=0) ~ e^-1
+    wdf = df.select(poisson_replicate_weight(F.col("rid"), 0).alias("w"))
+    stats = wdf.agg(
+        F.avg("w").alias("mw"), F.avg((F.col("w") == 0).cast("int")).alias("p0")
+    ).collect()[0]
+    assert abs(stats["mw"] - 1.0) < 0.05
+    assert abs(stats["p0"] - 0.3679) < 0.03
