@@ -137,3 +137,62 @@ def mad_outlier_stats(df: DataFrame, group_col: str, value_col: str) -> DataFram
             F.sum((F.col("__dev") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame, value: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
+    monitor between two populations of one integer-valued column:
+    D = max_v |ECDF_a(v) - ECDF_b(v)|, kept INTEGER-exact by
+    cross-multiplying (d_num = max |n_b*cum_a - n_a*cum_b|, so the only
+    float ops are the final identical divisions). Scale shape: one
+    map-side-combined groupBy collapses the data to one row per DISTINCT
+    value; the ECDF cumsum and the max run over that bounded frame only.
+    Continuous columns must be quantized to integer buckets upstream
+    (same contract as ranking_auc).
+
+    Output: (n_a, n_b, d_num, ks_stat, ks_at_value, reject_95) where
+    ks_at_value is the smallest value attaining the max divergence and
+    reject_95 applies the large-sample critical value
+    c(0.05)=1.358*sqrt((n_a+n_b)/(n_a*n_b)).
+    """
+    per_v = df.groupBy(value.alias("v")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        "v",
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+    )
+    tot = ecdf.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
+    d = (
+        ecdf.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            "v",
+            F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")).alias(
+                "dn"
+            ),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("dn").alias("d_num"),
+            F.expr("min_by(v, struct(-dn, v))").alias("ks_at_value"),
+        )
+    )
+    ks = F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return d.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        ks.alias("ks_stat"),
+        "ks_at_value",
+        (ks > crit).alias("reject_95"),
+    )

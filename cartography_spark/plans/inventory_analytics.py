@@ -509,3 +509,58 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
     )
     return poisson_bootstrap_ci(li, F.col("x"), F.col("rid"), n_replicates=32)
+
+
+@query(
+    "ks_drift_two_sample",
+    oracle="""
+    WITH pv AS (
+      SELECT l_quantity AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+      FROM lineitem GROUP BY l_quantity
+    ),
+    e AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM pv
+    ),
+    t AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM e),
+    d AS (SELECT n_a, n_b, v, abs(n_b * cum_a - n_a * cum_b) AS dn
+          FROM e CROSS JOIN t),
+    m AS (SELECT n_a, n_b, dn AS d_num, v AS ks_at_value,
+                 row_number() OVER (ORDER BY dn DESC, v ASC) AS rn
+          FROM d)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           d_num / (CAST(n_a AS DOUBLE) * n_b) AS ks_stat,
+           ks_at_value,
+           (d_num / (CAST(n_a AS DOUBLE) * n_b) >
+            1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))) AS reject_95
+    FROM m WHERE rn = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift test between the returned "
+    "('R') and delivered ('N') quantity distributions "
+    "(operators/profiling.py:ks_two_sample) — the distribution-drift "
+    "monitor a pipeline runs between data snapshots before retraining. "
+    "D = max |ECDF_a - ECDF_b| kept integer-exact by cross-multiplying "
+    "(d_num = max |n_b*cum_a - n_a*cum_b|); the only float ops are two "
+    "identical final divisions plus the 1.358*sqrt large-sample critical "
+    "value. One map-side-combined collapse to DISTINCT values; ECDF "
+    "cumsum and argmax run on that bounded frame only.",
+    tags=("analytics", "drift", "scale"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import ks_two_sample
+
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    return ks_two_sample(
+        li,
+        F.col("l_quantity"),
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") == "N",
+    )

@@ -730,3 +730,31 @@ def test_poisson_bootstrap_ci_statistical_sanity(spark):
     ).collect()[0]
     assert abs(stats["mw"] - 1.0) < 0.05
     assert abs(stats["p0"] - 0.3679) < 0.03
+
+
+def test_ks_two_sample_matches_scipy_free_reference(spark):
+    """The cross-multiplied KS statistic equals a plain-Python ECDF
+    computation on shifted populations, and detects the shift."""
+    from cartography_spark.operators.profiling import ks_two_sample
+
+    a = [(i % 10, "a") for i in range(300)]
+    b = [((i % 10) + 2, "b") for i in range(200)]  # shifted by 2
+    df = spark.createDataFrame(a + b, "v long, g string")
+    out = ks_two_sample(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+
+    vals = sorted({v for v, _ in a + b})
+    na, nb = len(a), len(b)
+    best = max(
+        (
+            abs(nb * sum(1 for v, g in a if v <= x) - na * sum(1 for v, g in b if v <= x)),
+            -x,
+        )
+        for x in vals
+    )
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert out["d_num"] == best[0]
+    assert out["ks_at_value"] == -best[1]
+    assert abs(out["ks_stat"] - best[0] / (na * nb)) < 1e-12
+    assert out["reject_95"]  # a shift of 2 on support 0..9 is decisive
