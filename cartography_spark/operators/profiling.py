@@ -196,3 +196,50 @@ def ks_two_sample(
         "ks_at_value",
         (ks > crit).alias("reject_95"),
     )
+
+
+def psi_drift(
+    df: DataFrame, bin_col: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Population Stability Index between two populations of a binned
+    column — the standard score-drift monitor (PSI > 0.2 = major shift):
+    PSI = sum_bins (p_a - p_b) * ln(p_a / p_b), with add-1 smoothing over
+    the observed bin set so zero cells stay defined. Exactness contract:
+    the log-ratio is quantized to millinat BIGINTs (one identical
+    round(ln(x)*1000) per bin on both engines) and (p_a - p_b) is
+    cross-multiplied, so the per-bin products sum as exact integers —
+    reduction-order-immune — and the final PSI is two identical
+    divisions. One map-side-combined groupBy to bin counts; everything
+    after runs on the bounded bin frame."""
+    per_bin = df.groupBy(bin_col.alias("bin")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    tot = per_bin.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("nbins")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    na_s = F.col("na") + F.col("nbins")
+    nb_s = F.col("nb") + F.col("nbins")
+    num_a = (F.col("ca") + 1) * nb_s
+    num_b = (F.col("cb") + 1) * na_s
+    q = F.round(F.log(num_a.cast("double") / num_b) * 1000).cast("bigint")
+    terms = j.select(
+        "na",
+        "nb",
+        "nbins",
+        na_s.alias("na_s"),
+        nb_s.alias("nb_s"),
+        ((num_a - num_b) * q).alias("term"),
+    )
+    out = terms.groupBy("na", "nb", "nbins", "na_s", "nb_s").agg(
+        F.sum("term").alias("s")
+    )
+    psi = F.col("s") / (F.col("na_s").cast("double") * F.col("nb_s")) / 1000.0
+    return out.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("nbins").cast("long").alias("n_bins"),
+        psi.alias("psi"),
+        (psi > 0.2).alias("major_shift"),
+    )

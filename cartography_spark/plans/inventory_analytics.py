@@ -564,3 +564,52 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R",
         F.col("l_returnflag") == "N",
     )
+
+
+@query(
+    "psi_drift_binned",
+    oracle="""
+    WITH pb AS (
+      SELECT CAST(trunc(o_totalprice / 20000) AS INTEGER) AS bin,
+             sum(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) AS cb
+      FROM orders GROUP BY bin
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM pb),
+    j AS (SELECT pb.*, t.na, t.nb, t.nbins,
+                 t.na + t.nbins AS na_s, t.nb + t.nbins AS nb_s
+          FROM pb CROSS JOIN t),
+    terms AS (
+      SELECT na, nb, nbins, na_s, nb_s,
+             ((ca + 1) * nb_s - (cb + 1) * na_s)
+               * CAST(round(ln(CAST((ca + 1) * nb_s AS DOUBLE)
+                                / ((cb + 1) * na_s)) * 1000) AS BIGINT) AS term
+      FROM j
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(nbins AS BIGINT) AS n_bins,
+           sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 AS psi,
+           (sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 > 0.2) AS major_shift
+    FROM terms GROUP BY na, nb, nbins, na_s, nb_s
+    """,
+    doc="Population Stability Index between early (<=1997) and late "
+    "(>=1998) order-price distributions in 20k bins "
+    "(operators/profiling.py:psi_drift) — the binned companion to "
+    "ks_drift_two_sample and the industry-standard score-drift gate "
+    "(PSI > 0.2 = major shift, here expected false: prices are "
+    "stationary). Add-1 smoothing over observed bins keeps zero cells "
+    "defined; the log-ratio quantizes to millinat BIGINTs and the "
+    "probability gap is cross-multiplied, so per-bin terms sum as exact "
+    "integers and PSI is two identical final divisions.",
+    tags=("analytics", "drift", "scale"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import psi_drift
+
+    o = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    return psi_drift(
+        o,
+        F.floor(F.col("o_totalprice") / 20000).cast("int"),
+        F.year("o_orderdate") <= 1997,
+        F.year("o_orderdate") >= 1998,
+    )

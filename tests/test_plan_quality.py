@@ -99,6 +99,7 @@ _SCALAR_ATTACH = {
     "privacy_t_closeness",          # x broadcast(1-row table total N)
     "sketch_hll_rollup_merge",      # x broadcast(1-row estimates + counts)
     "ks_drift_two_sample",          # x broadcast(1-row population totals)
+    "psi_drift_binned",             # x broadcast(1-row totals + bin count)
     "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
     "tpch_q11_important_stock",     # x broadcast(1-row global value total)
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)

@@ -758,3 +758,43 @@ def test_ks_two_sample_matches_scipy_free_reference(spark):
     assert out["ks_at_value"] == -best[1]
     assert abs(out["ks_stat"] - best[0] / (na * nb)) < 1e-12
     assert out["reject_95"]  # a shift of 2 on support 0..9 is decisive
+
+
+def test_psi_drift_reference_and_sensitivity(spark):
+    """PSI matches a plain-Python computation (same millinat quantization)
+    and flags a deliberately shifted distribution while passing a
+    stationary one."""
+    import math
+
+    from cartography_spark.operators.profiling import psi_drift
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "bin int, g string")
+        return psi_drift(
+            df, F.col("bin"), F.col("g") == "a", F.col("g") == "b"
+        ).collect()[0]
+
+    # stationary: same distribution both sides
+    same = [(i % 5, "a") for i in range(500)] + [(i % 5, "b") for i in range(400)]
+    r = run(same)
+    assert not r["major_shift"] and abs(r["psi"]) < 0.01
+
+    # shifted: b concentrates in high bins
+    shifted = [(i % 5, "a") for i in range(500)] + [(3 + (i % 2), "b") for i in range(400)]
+    r2 = run(shifted)
+    assert r2["major_shift"] and r2["psi"] > 0.2
+
+    # reference recomputation with identical quantization
+    from collections import Counter
+
+    ca = Counter(b for b, g in shifted if g == "a")
+    cb = Counter(b for b, g in shifted if g == "b")
+    bins = sorted(set(ca) | set(cb))
+    na_s, nb_s = sum(ca.values()) + len(bins), sum(cb.values()) + len(bins)
+    s = 0
+    for b in bins:
+        num_a = (ca.get(b, 0) + 1) * nb_s
+        num_b = (cb.get(b, 0) + 1) * na_s
+        q = round(math.log(num_a / num_b) * 1000)
+        s += (num_a - num_b) * q
+    assert abs(r2["psi"] - s / (na_s * nb_s) / 1000.0) < 1e-12
