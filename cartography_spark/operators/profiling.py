@@ -243,3 +243,32 @@ def psi_drift(
         psi.alias("psi"),
         (psi > 0.2).alias("major_shift"),
     )
+
+
+def conformal_interval_calibrate(
+    scores: DataFrame, n_col: str = "s", alpha: float = 0.1
+) -> DataFrame:
+    """Split-conformal calibration: the q_hat = ceil((n+1)(1-alpha))-th
+    smallest nonconformity score, computed WITHOUT a global sort — scores
+    collapse to one row per DISTINCT value (map-side combinable), the
+    rank cumsum runs over that bounded frame, and q_hat is the first
+    value whose cumulative count reaches k (exact order statistic, the
+    same pattern as ranking_auc / ks_two_sample). Returns one row
+    (n_cal, k, q_hat)."""
+    per_v = scores.groupBy(F.col(n_col).alias("v")).agg(F.count("*").alias("c"))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select("v", F.sum("c").over(cum).alias("cum"))
+    tot = ecdf.agg(F.max("cum").alias("n_cal"))
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long")
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .withColumn("k", k)
+        .filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
+        .groupBy("n_cal", "k")
+        .agg(F.min("v").alias("q_hat"))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k"),
+            F.col("q_hat").cast("long").alias("q_hat"),
+        )
+    )

@@ -613,3 +613,80 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate") <= 1997,
         F.year("o_orderdate") >= 1998,
     )
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             ('0x' || substring(md5('conformal:' || CAST(o_orderkey AS VARCHAR)),
+                                1, 8))::BIGINT % 2 AS b
+      FROM orders
+    ),
+    mu AS (SELECT g, CAST(floor(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM o WHERE b = 0 GROUP BY g),
+    cal AS (SELECT abs(y - m) AS s FROM o JOIN mu USING (g) WHERE b = 0),
+    pv AS (SELECT s AS v, count(*) AS c FROM cal GROUP BY s),
+    e AS (SELECT v, sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pv),
+    t AS (SELECT max(cum) AS n_cal FROM e),
+    kq AS (SELECT n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k FROM t),
+    qh AS (SELECT kq.n_cal, kq.k, min(v) AS q_hat
+           FROM e CROSS JOIN kq WHERE cum >= least(kq.k, kq.n_cal)
+           GROUP BY kq.n_cal, kq.k),
+    tst AS (SELECT abs(y - m) AS s FROM o JOIN mu USING (g) WHERE b = 1)
+    SELECT CAST(n_cal AS BIGINT) AS n_cal,
+           CAST(k AS BIGINT) AS k,
+           CAST(q_hat AS BIGINT) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS coverage,
+           0.9 AS target
+    FROM tst CROSS JOIN qh GROUP BY n_cal, k, q_hat
+    """,
+    doc="Split-conformal prediction intervals with finite-sample coverage "
+    "(operators/profiling.py:conformal_interval_calibrate): a hash-based "
+    "50/50 split (deterministic, leakage-safe) trains a per-priority "
+    "integer mean on the calibration half, q_hat is the exact "
+    "ceil((n+1)*0.9)-th order statistic of |y - mu| — found via the "
+    "distinct-value cumsum, NEVER a global sort of raw scores — and the "
+    "test half reports empirical coverage, which conformal theory "
+    "guarantees >= 90% in expectation regardless of how bad the model "
+    "is. The modern ML-ops uncertainty gate, integer-exact end to end "
+    "except the one final coverage division.",
+    tags=("analytics", "eval", "scale"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import conformal_interval_calibrate
+    from cartography_spark.operators.sampling import hash_bucket
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        hash_bucket(F.col("o_orderkey"), 2, "conformal").alias("b"),
+    )
+    cal = o.filter(F.col("b") == 0)
+    mu = cal.groupBy("g").agg(
+        F.floor(F.sum("y").cast("double") / F.count("*")).cast("bigint").alias("m")
+    )
+    cal_scores = cal.join(F.broadcast(mu), "g").select(
+        F.abs(F.col("y") - F.col("m")).alias("s")
+    )
+    calib = conformal_interval_calibrate(cal_scores, "s", alpha=0.1)
+    test = o.filter(F.col("b") == 1).join(F.broadcast(mu), "g").select(
+        F.abs(F.col("y") - F.col("m")).alias("s")
+    )
+    return (
+        test.crossJoin(F.broadcast(calib))
+        .groupBy("n_cal", "k", "q_hat")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            (
+                F.sum(F.when(F.col("s") <= F.col("q_hat"), 1).otherwise(0))
+                / F.count("*").cast("double")
+            ).alias("coverage"),
+        )
+        .select("n_cal", "k", "q_hat", "n_test", "coverage", F.lit(0.9).alias("target"))
+    )

@@ -299,3 +299,43 @@ def test_gif_lzw_roundtrip_property(h, w, seed, style):
         px = (np.arange(h * w, dtype=np.int64) % max(1, int(seed % 7) + 2)).reshape(h, w).astype(np.uint8)
     dec = gif_decode(gif_encode(px))
     assert dec is not None and dec.shape == (h, w) and (dec == px).all()
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_mjpeg_roundtrip_property(bh, bw, seed, n_frames):
+    """Block-constant baseline JPEGs (flat DQT) round-trip exactly for
+    arbitrary block grids, and MJPEG streams of them split and frame-
+    sample correctly at every stride. Pure-Python, no Spark."""
+    import numpy as np
+
+    from cartography_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        mjpeg_split,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    frames = []
+    for _ in range(n_frames):
+        px = np.zeros((8 * bh, 8 * bw), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.randint(0, 256)
+        frames.append(px)
+    clip = b"".join(jpeg_encode(px) for px in frames)
+    parts = mjpeg_split(clip)
+    assert parts is not None and len(parts) == n_frames
+    for raw, px in zip(parts, frames):
+        dec = jpeg_decode(raw)
+        assert dec is not None and dec.shape == px.shape and (dec == px).all()
+    for stride in range(1, n_frames + 1):
+        sampled = list(range(0, n_frames, stride))
+        total = sum(int(jpeg_decode(parts[f]).sum(dtype=np.int64)) for f in sampled)
+        expect = sum(int(frames[f].sum(dtype=np.int64)) for f in sampled)
+        assert total == expect

@@ -798,3 +798,36 @@ def test_psi_drift_reference_and_sensitivity(spark):
         q = round(math.log(num_a / num_b) * 1000)
         s += (num_a - num_b) * q
     assert abs(r2["psi"] - s / (na_s * nb_s) / 1000.0) < 1e-12
+
+
+def test_conformal_calibration_exact_order_statistic(spark):
+    """q_hat equals the ceil((n+1)(1-alpha))-th smallest score computed by
+    plain sorting, across duplicate-heavy and unique score sets, and the
+    guarantee holds: at least k calibration scores are <= q_hat."""
+    import math
+
+    from cartography_spark.operators.profiling import conformal_interval_calibrate
+
+    for scores in (
+        [5] * 40 + [7] * 30 + [9] * 30,          # heavy ties
+        list(range(100)),                          # all unique
+        [3, 3, 3, 8],                              # tiny n (k > n clamp)
+    ):
+        df = spark.createDataFrame([(s,) for s in scores], "s long")
+        out = conformal_interval_calibrate(df, "s", alpha=0.1).collect()[0]
+        n = len(scores)
+        k = math.ceil((n + 1) * 0.9)
+        expect = sorted(scores)[min(k, n) - 1]
+        assert out["n_cal"] == n and out["k"] == k
+        assert out["q_hat"] == expect, (scores[:5], out["q_hat"], expect)
+        assert sum(1 for s in scores if s <= out["q_hat"]) >= min(k, n)
+
+
+def test_conformal_coverage_meets_target(spark):
+    """End-to-end: empirical test coverage lands at or near the 90% target
+    on real fixture data (conformal guarantees >= target in expectation)."""
+    from cartography_spark.plans.inventory_analytics import q_conformal_interval
+
+    out = q_conformal_interval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert out["n_cal"] > 100 and out["n_test"] > 100
+    assert out["coverage"] > 0.85  # finite-sample wiggle below the guarantee
