@@ -352,3 +352,59 @@ def ranking_auc(
         (F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
         (F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 2.0 - 1.0).alias("gini"),
     )
+
+
+def chi2_feature_selection(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    top_k: int = 10,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Chi-square feature selection over the SAME hashed-bucket features
+    the NB classifier uses: for every (label, bucket) one-vs-rest 2x2
+    contingency cell, chi2 = N*(AD-BC)^2 / (row1*row2*col1*col2), ranked
+    to the top_k most label-associated buckets — the standard
+    pre-training feature audit. Counts stay exact BIGINTs; the delta is
+    cast to double ONCE before squaring (delta^2 overflows int64 at
+    corpus scale) and the formula is a fixed left-associative chain so
+    both engines produce the identical IEEE value. Plan: one explode +
+    one (label, bucket) groupBy; every later step runs on the bounded
+    model frame (<= n_buckets x n_labels rows)."""
+    from pyspark.sql import Window
+
+    from cartography_spark.operators.dedup import portable_hash32
+
+    tb = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("b", portable_hash32(F.col("tok"), salt="nb") % n_buckets)
+    c = tb.groupBy("label", "b").agg(F.count("*").alias("c"))
+    rb = c.groupBy("b").agg(F.sum("c").alias("rb"))
+    cl = c.groupBy("label").agg(F.sum("c").alias("cl"))
+    n = c.agg(F.sum("c").alias("n"))
+    j = (
+        c.join(F.broadcast(rb), "b")
+        .join(F.broadcast(cl), "label")
+        .crossJoin(F.broadcast(n))
+    )
+    delta = (
+        F.col("c") * (F.col("n") - F.col("rb") - F.col("cl") + F.col("c"))
+        - (F.col("rb") - F.col("c")) * (F.col("cl") - F.col("c"))
+    )
+    chi2 = (
+        F.col("n").cast("double")
+        * delta.cast("double")
+        * delta.cast("double")
+        / F.col("rb")
+        / (F.col("n") - F.col("rb"))
+        / F.col("cl")
+        / (F.col("n") - F.col("cl"))
+    )
+    ranked = j.select("label", F.col("b").alias("bucket"), "c", chi2.alias("chi2"))
+    w = Window.orderBy(F.col("chi2").desc(), "label", "bucket")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "label", "bucket", F.col("c").cast("long").alias("c"), "chi2")
+    )

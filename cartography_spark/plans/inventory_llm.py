@@ -2652,3 +2652,50 @@ def q_multimodal_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     videos = mm.synthesize_mjpeg_column(_docs(spark, sf_dir))
     return mm.mjpeg_frame_stats(videos, every_n=2)
+
+
+@query(
+    "chi2_feature_selection",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang AS label,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    tb AS (SELECT label,
+                  ('0x' || substring(md5('nb:' || tok), 1, 8))::BIGINT % 64 AS b
+           FROM toks),
+    c AS (SELECT label, b, count(*) AS c FROM tb GROUP BY label, b),
+    rb AS (SELECT b, sum(c) AS rb FROM c GROUP BY b),
+    cl AS (SELECT label, sum(c) AS cl FROM c GROUP BY label),
+    n AS (SELECT sum(c) AS n FROM c),
+    x AS (
+      SELECT c.label, c.b AS bucket, c.c,
+             CAST(n.n AS DOUBLE)
+               * CAST(c.c * (n.n - rb.rb - cl.cl + c.c)
+                      - (rb.rb - c.c) * (cl.cl - c.c) AS DOUBLE)
+               * CAST(c.c * (n.n - rb.rb - cl.cl + c.c)
+                      - (rb.rb - c.c) * (cl.cl - c.c) AS DOUBLE)
+               / rb.rb / (n.n - rb.rb) / cl.cl / (n.n - cl.cl) AS chi2
+      FROM c JOIN rb USING (b) JOIN cl USING (label) CROSS JOIN n
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY chi2 DESC, label, bucket) AS rank
+          FROM x)
+    SELECT CAST(rank AS INT) AS rank, label, bucket,
+           CAST(c AS BIGINT) AS c, chi2
+    FROM r WHERE rank <= 10
+    """,
+    doc="Chi-square feature selection over the NB classifier's hashed "
+    "buckets (operators/textstats.py:chi2_feature_selection): one-vs-rest "
+    "2x2 contingency per (label, bucket), top-10 most label-associated "
+    "features — the pre-training feature audit that closes the classifier "
+    "family (train -> calibrate -> discriminate -> conformalize -> "
+    "select). Counts exact BIGINTs; delta cast to double once before "
+    "squaring (delta^2 overflows int64 at corpus scale), fixed "
+    "left-associative chain so both engines emit identical IEEE values. "
+    "Everything after the (label, bucket) groupBy runs on the bounded "
+    "model frame.",
+    tags=("llm", "text", "eval"),
+)
+def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.chi2_feature_selection(_docs(spark, sf_dir))

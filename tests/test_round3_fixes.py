@@ -831,3 +831,42 @@ def test_conformal_coverage_meets_target(spark):
     out = q_conformal_interval(spark, "/root/testdata/sf0.001").collect()[0]
     assert out["n_cal"] > 100 and out["n_test"] > 100
     assert out["coverage"] > 0.85  # finite-sample wiggle below the guarantee
+
+
+def test_chi2_matches_contingency_reference(spark):
+    """Spark chi2 equals a plain-Python 2x2 contingency computation on a
+    small labeled corpus, including the top-k ordering."""
+    from collections import Counter
+
+    from cartography_spark.operators.dedup import portable_hash32  # noqa: F401
+    from cartography_spark.operators.textstats import chi2_feature_selection
+
+    texts = [
+        (0, "aa bb aa cc", "en"), (1, "aa aa bb", "en"), (2, "dd ee dd", "fr"),
+        (3, "ee dd ff", "fr"), (4, "bb cc aa", "en"), (5, "ff ee dd dd", "fr"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, lang string")
+    got = chi2_feature_selection(docs, n_buckets=8, top_k=5).collect()
+
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(f"nb:{tok}".encode()).hexdigest()[:8], 16) % 8
+
+    cells = Counter()
+    for _, t, g in texts:
+        for tok in t.split():
+            cells[(g, bucket(tok))] += 1
+    n = sum(cells.values())
+    rows = []
+    for (g, b), c in cells.items():
+        rb = sum(v for (gg, bb), v in cells.items() if bb == b)
+        cl = sum(v for (gg, bb), v in cells.items() if gg == g)
+        delta = c * (n - rb - cl + c) - (rb - c) * (cl - c)
+        chi2 = n * float(delta) * float(delta) / rb / (n - rb) / cl / (n - cl)
+        rows.append((chi2, g, b, c))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for i, r in enumerate(got):
+        chi2, g, b, c = rows[i]
+        assert (r["rank"], r["label"], r["bucket"], r["c"]) == (i + 1, g, b, c)
+        assert abs(r["chi2"] - chi2) < 1e-9
