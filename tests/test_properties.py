@@ -339,3 +339,56 @@ def test_jpeg_mjpeg_roundtrip_property(bh, bw, seed, n_frames):
         total = sum(int(jpeg_decode(parts[f]).sum(dtype=np.int64)) for f in sampled)
         expect = sum(int(frames[f].sum(dtype=np.int64)) for f in sampled)
         assert total == expect
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=9), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=15, deadline=None)
+def test_viterbi_min_pieces_property(spark, word_lists, min_count):
+    """subword_viterbi_segment finds the true minimum piece count for
+    arbitrary corpora: cross-checked against a plain-Python DP over the
+    identically mined vocab."""
+    from collections import Counter
+
+    from cartography_spark.operators.bpe import subword_viterbi_segment
+
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_pieces"])
+        for r in subword_viterbi_segment(
+            docs, min_count=min_count, max_piece_len=4
+        ).collect()
+    }
+
+    words = sorted({w for ws in word_lists for w in ws})
+    cnt = Counter(
+        w[s:e]
+        for w in words
+        for s in range(len(w))
+        for e in range(s + 2, min(s + 4, len(w)) + 1)
+    )
+    vocab = {p for p, c in cnt.items() if c >= min_count}
+
+    def mp(w):
+        best = [0] + [len(w) + 1] * len(w)
+        for i in range(1, len(w) + 1):
+            best[i] = best[i - 1] + 1
+            for s in range(max(0, i - 4), i - 1):
+                if w[s:i] in vocab:
+                    best[i] = min(best[i], best[s] + 1)
+        return best[len(w)]
+
+    for i, ws in enumerate(word_lists):
+        expect = (len(ws), sum(len(w) for w in ws), sum(mp(w) for w in ws))
+        assert out[i] == expect, (i, ws, out[i], expect)
