@@ -166,16 +166,27 @@ def stratified_sample_topk(
 _POISSON_CUTS = (1580030169, 3160060337, 3950075422, 4213413783)
 
 
-def poisson_replicate_weight(col: Column, b: int, salt: str = "boot") -> Column:
-    """Deterministic Poisson(1)-ish bootstrap weight for replicate ``b``:
-    inverse-CDF (truncated at 4) on the salted 32-bit hash of the row id.
-    Pure function of (id, b) — reproducible across runs, engines, and
-    repartitions, which seeded ``df.sample`` is not."""
-    u = portable_hash32(col, salt=f"{salt}{b}")
+def _poisson_from_uniform(u: Column) -> Column:
+    """Truncated-Poisson(1) inverse CDF on a 32-bit uniform column."""
     w = F.when(u < _POISSON_CUTS[0], 0)
     for k in range(1, len(_POISSON_CUTS)):
         w = w.when(u < _POISSON_CUTS[k], k)
     return w.otherwise(len(_POISSON_CUTS))
+
+
+def poisson_replicate_weight(col: Column, b: int, salt: str = "boot") -> Column:
+    """Deterministic Poisson(1)-ish bootstrap weight for replicate ``b``:
+    inverse-CDF (truncated at 4) on a 32-bit slice of the salted md5 of
+    the row id. One md5 is 128 bits = FOUR independent 32-bit uniforms,
+    so replicates b = 4g..4g+3 share the hash of salt group g (slicing
+    hex chars 8*slot+1..8*slot+8) — a 4x cut in the per-row hash count,
+    which is the dominant cost of the one-pass bootstrap. Pure function
+    of (id, b): reproducible across runs, engines, and repartitions,
+    which seeded ``df.sample`` is not."""
+    group, slot = divmod(b, 4)
+    h = F.md5(F.concat(F.lit(f"{salt}{group}:"), col.cast("string")))
+    u = F.conv(F.substring(h, 1 + 8 * slot, 8), 16, 10).cast("long")
+    return _poisson_from_uniform(u)
 
 
 def poisson_bootstrap_ci(
@@ -201,12 +212,26 @@ def poisson_bootstrap_ci(
     """
     from pyspark.sql import Window
 
-    aggs = [F.sum(value).alias("s"), F.count(F.lit(1)).alias("n")]
+    # materialize one md5 per 4 replicates explicitly (not relying on
+    # codegen subexpression elimination): the hash is the per-row cost
+    n_groups = (n_replicates + 3) // 4
+    hashed = df.select(
+        value.alias("_x"),
+        *[
+            F.md5(F.concat(F.lit(f"boot{g}:"), id_col.cast("string"))).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    aggs = [F.sum("_x").alias("s"), F.count(F.lit(1)).alias("n")]
     for b in range(n_replicates):
-        w = poisson_replicate_weight(id_col, b)
-        aggs.append(F.sum(w * value).alias(f"s{b}"))
+        group, slot = divmod(b, 4)
+        u = F.conv(F.substring(F.col(f"_h{group}"), 1 + 8 * slot, 8), 16, 10).cast(
+            "long"
+        )
+        w = _poisson_from_uniform(u)
+        aggs.append(F.sum(w * F.col("_x")).alias(f"s{b}"))
         aggs.append(F.sum(w).alias(f"n{b}"))
-    one = df.agg(*aggs)
+    one = hashed.agg(*aggs)
     reps = one.select(
         "s",
         "n",

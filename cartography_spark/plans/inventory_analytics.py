@@ -453,9 +453,12 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _boot_oracle(n_reps: int = 32) -> str:
     cuts = (1580030169, 3160060337, 3950075422, 4213413783)
+    n_groups = (n_reps + 3) // 4
+    hs = [f"md5('boot{g}:' || rid) AS h{g}" for g in range(n_groups)]
     ws, sums, structs = [], [], []
     for b in range(n_reps):
-        u = f"('0x' || substring(md5('boot{b}:' || rid), 1, 8))::BIGINT"
+        group, slot = divmod(b, 4)
+        u = f"('0x' || substring(h{group}, {1 + 8 * slot}, 8))::BIGINT"
         case = f"CASE WHEN {u} < {cuts[0]} THEN 0"
         for k in range(1, 4):
             case += f" WHEN {u} < {cuts[k]} THEN {k}"
@@ -469,7 +472,8 @@ def _boot_oracle(n_reps: int = 32) -> str:
              CAST(round(l_extendedprice * 100) AS BIGINT) AS x
       FROM lineitem
     ),
-    wts AS (SELECT x, {", ".join(ws)} FROM base),
+    hashed AS (SELECT x, {", ".join(hs)} FROM base),
+    wts AS (SELECT x, {", ".join(ws)} FROM hashed),
     agg AS (SELECT sum(x) AS s, count(*) AS n, {", ".join(sums)} FROM wts),
     reps AS (SELECT s, n, u.b AS b, u.m AS m
              FROM agg, unnest([{", ".join(structs)}]) AS t(u)),
