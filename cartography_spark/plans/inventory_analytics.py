@@ -694,3 +694,82 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_cal", "k", "q_hat", "n_test", "coverage", F.lit(0.9).alias("target"))
     )
+
+
+@query(
+    "psi_drift_windowed",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS w,
+             CAST(trunc(value / 25) AS INTEGER) AS bin
+      FROM events
+    ),
+    wc AS (SELECT w, bin, count(*) AS ca FROM e GROUP BY w, bin),
+    wt AS (SELECT w, sum(ca) AS na FROM wc GROUP BY w),
+    gb AS (SELECT bin, sum(ca) AS cb FROM wc GROUP BY bin),
+    g AS (SELECT sum(cb) AS nb, count(*) AS nbins FROM gb),
+    spine AS (SELECT wt.w, wt.na, gb.bin, gb.cb FROM wt CROSS JOIN gb),
+    dense AS (
+      SELECT s.w, s.na, s.bin, s.cb, coalesce(wc.ca, 0) AS ca
+      FROM spine s LEFT JOIN wc ON s.w = wc.w AND s.bin = wc.bin
+    ),
+    terms AS (
+      SELECT d.w, d.na, g.nb, g.nbins,
+             d.na + g.nbins AS na_s, g.nb + g.nbins AS nb_s,
+             ((d.ca + 1) * (g.nb + g.nbins) - (d.cb + 1) * (d.na + g.nbins))
+               * CAST(round(ln(CAST((d.ca + 1) * (g.nb + g.nbins) AS DOUBLE)
+                                / ((d.cb + 1) * (d.na + g.nbins))) * 1000)
+                      AS BIGINT) AS term
+      FROM dense d CROSS JOIN g
+    )
+    SELECT w AS window_start,
+           CAST(na AS BIGINT) AS n_window,
+           sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 AS psi,
+           (sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 > 0.2) AS major_shift
+    FROM terms GROUP BY w, na, na_s, nb_s
+    """,
+    doc="PSI per tumbling 1-day window against the whole-corpus reference "
+    "— the monitoring-over-TIME shape of psi_drift_binned: the dashboard "
+    "a pipeline watches to catch the day ingestion went wrong. Same "
+    "integer-exact machinery (millinat logs, cross-multiplied gaps) "
+    "grouped by window; absent (window, bin) cells get their add-1 "
+    "smoothing terms from a dense spine built by crossing the BOUNDED "
+    "window-total and global-bin frames (30 x ~14 rows here; never a "
+    "dense join against raw data). One shuffle of (window, bin) cells "
+    "pays for everything.",
+    tags=("analytics", "drift", "window", "scale"),
+)
+def q_psi_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").start.alias("w"),
+        F.floor(F.col("value") / 25).cast("int").alias("bin"),
+    )
+    wc = e.groupBy("w", "bin").agg(F.count("*").alias("ca"))
+    wt = wc.groupBy("w").agg(F.sum("ca").alias("na"))
+    gb = wc.groupBy("bin").agg(F.sum("ca").alias("cb"))
+    g = gb.agg(F.sum("cb").alias("nb"), F.count("*").alias("nbins"))
+    spine = wt.crossJoin(F.broadcast(gb))
+    dense = spine.join(wc, ["w", "bin"], "left").select(
+        "w", "na", "bin", "cb", F.coalesce(F.col("ca"), F.lit(0)).alias("ca")
+    )
+    j = dense.crossJoin(F.broadcast(g))
+    na_s = F.col("na") + F.col("nbins")
+    nb_s = F.col("nb") + F.col("nbins")
+    num_a = (F.col("ca") + 1) * nb_s
+    num_b = (F.col("cb") + 1) * na_s
+    q = F.round(F.log(num_a.cast("double") / num_b) * 1000).cast("bigint")
+    terms = j.select(
+        "w", "na", na_s.alias("na_s"), nb_s.alias("nb_s"),
+        ((num_a - num_b) * q).alias("term"),
+    )
+    psi = F.sum("term") / (F.col("na_s").cast("double") * F.col("nb_s")) / 1000.0
+    return (
+        terms.groupBy("w", "na", "na_s", "nb_s")
+        .agg(psi.alias("psi"))
+        .select(
+            F.col("w").alias("window_start"),
+            F.col("na").cast("long").alias("n_window"),
+            "psi",
+            (F.col("psi") > 0.2).alias("major_shift"),
+        )
+    )

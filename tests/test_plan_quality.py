@@ -102,6 +102,7 @@ _SCALAR_ATTACH = {
     "psi_drift_binned",             # x broadcast(1-row totals + bin count)
     "conformal_interval_coverage",  # x broadcast(1-row n_cal + 1-row q_hat)
     "chi2_feature_selection",       # x broadcast(1-row N + bounded rb/cl tables)
+    "psi_drift_windowed",           # x broadcast(bin marginal + 1-row totals)
     "job_edge_direction_migration",  # x broadcast(1-row legacy_remaining count)
     "tpch_q11_important_stock",     # x broadcast(1-row global value total)
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)
