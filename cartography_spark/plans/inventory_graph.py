@@ -688,7 +688,7 @@ def q_graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
     )
     layer1 = (
-        e.join(F.broadcast(feat), "c")
+        e.join(feat, "c")
         .groupBy("s")
         .agg(
             F.count("*").alias("n1"),

@@ -858,7 +858,7 @@ def q_analysis_ontology_owns(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup = c.node("Supplier").filter(
             F.col("name").isNotNull() & (F.trim("name") != "")
         ).select(F.col("id").alias("supp_id"), suffix(F.col("name")).alias("__sfx"))
-        return cust.join(F.broadcast(sup), "__sfx")
+        return cust.join(sup, "__sfx")
 
     def chain_matcher(c: GraphCatalog) -> DataFrame:
         orders = c.node("Order").filter(F.col("priority") == "1-URGENT").select(
@@ -1413,7 +1413,7 @@ def q_analysis_identity_projection(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("s_nationkey").alias("nk"),
             (F.col("acctbal") > 0).alias("enabled"),
         )
-        return cust.join(F.broadcast(sup), ["nk", "ekey"])
+        return cust.join(sup, ["nk", "ekey"])
 
     # entra optional-match projection: every customer, left-joined to its
     # min-key identity supplier's account_enabled flag (null when none)

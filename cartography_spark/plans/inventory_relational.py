@@ -277,7 +277,7 @@ def q_multihop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -364,7 +364,7 @@ def q_one_to_many_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_supp = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("suppkeys"))
     exploded = order_supp.select("l_orderkey", F.explode("suppkeys").alias("suppkey"))
     return (
-        exploded.join(F.broadcast(s), exploded.suppkey == s.s_suppkey)
+        exploded.join(s, exploded.suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n_links"))
     )
@@ -395,7 +395,7 @@ def q_matchlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = o.join(li, o.o_orderkey == li.l_orderkey).select("o_custkey", "l_suppkey").distinct()
     return (
         raw.join(c, raw.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), raw.l_suppkey == s.s_suppkey)
+        .join(s, raw.l_suppkey == s.s_suppkey)
         .groupBy(F.col("c_nationkey").alias("src_nation"), F.col("s_nationkey").alias("dst_nation"))
         .agg(F.count("*").alias("n_edges"))
     )

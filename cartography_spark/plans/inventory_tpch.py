@@ -83,7 +83,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     offers = (
-        li.join(F.broadcast(euro_sup), li.l_suppkey == F.col("s_suppkey"))
+        li.join(euro_sup, li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "l_suppkey",
@@ -95,9 +95,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part").filter(F.col("p_size").isin(10, 20, 30)).select("p_partkey")
     return (
         offers.join(mins, ["p_partkey", "offer_cents"])
-        .join(F.broadcast(part), "p_partkey")
+        .join(part, "p_partkey")
         .join(
-            F.broadcast(sup.select("s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_cents"))),
+            sup.select("s_suppkey", "s_name", _cents("s_acctbal").alias("s_acctbal_cents")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("p_partkey", "s_name", "s_acctbal_cents", "offer_cents")
@@ -133,7 +133,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
@@ -181,10 +181,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(
-            F.broadcast(asia_sup),
+            asia_sup,
             (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
@@ -275,8 +275,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
@@ -331,10 +331,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _rev_cents()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(am_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(am_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast("bigint"))).alias(
@@ -381,8 +381,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _rev_cents() - F.col("retail_cents") * F.col("l_quantity").cast("bigint")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy("n_name", F.year("l_shipdate").cast("int").alias("o_year"))
         .agg(F.sum(profit).alias("profit_cents"))
     )
@@ -421,7 +421,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", _cents("c_acctbal").alias("c_acctbal_cents"), "n_name")
         .agg(F.sum(_rev_cents()).alias("revenue_cents"))
         .select("c_custkey", "c_name", "revenue_cents", "c_acctbal_cents", "n_name")
@@ -535,7 +535,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("revenue_cents") == F.col("max_cents"))
-        .join(F.broadcast(sup), "s_suppkey")
+        .join(sup, "s_suppkey")
         .select("s_suppkey", "s_name", "revenue_cents")
     )
 
@@ -565,8 +565,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")), li.l_partkey == F.col("p_partkey"))
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part.select("p_partkey", "p_brand", "p_type", "p_size"), li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -601,7 +601,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(stats, "l_partkey")
         .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
