@@ -2139,14 +2139,18 @@ def q_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ("spark", "vector", "window")
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
-        .filter(F.col("tok") != "")
+    docs = _docs(spark, sf_dir)
+    # Repartition the COMPACT document rows before the explode: same
+    # parallelism, but the shuffle moves one row per document instead of one
+    # row per token (~100x fewer shuffled bytes), and the resulting hash
+    # partitioning on doc_id satisfies both downstream groupBys' clustering
+    # requirement (doc_id ⊆ (doc_id, tok)) so neither aggregates re-shuffle.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
