@@ -626,56 +626,49 @@ def hybrid_rrf_topk(
     qtf = Counter(qrow["__g"] if qrow and qrow["__g"] else [])
     qnrm = sum(c * c for c in qtf.values())
     if qtf:
-        qmap = F.create_map(
-            *[lit for g, c in sorted(qtf.items()) for lit in (F.lit(g), F.lit(c))]
+        # Columnar scoring: one compact-row shuffle of the documents by id,
+        # then explode + codegen'd hash aggregates. HashPartitioning(id)
+        # satisfies the clustering requirement of every aggregate below
+        # (group keys are (id, g) and (id)), so after that single exchange
+        # the tf count, the norm, and the dot all run shuffle-free. This
+        # replaced two interpreted higher-order `F.aggregate` folds (no
+        # whole-stage codegen for lambda expressions — measured 3.6 s dot +
+        # 3.8 s norm at sf1 for the SAME results this path gets in ~1 s),
+        # and unlike the abandoned corpus-wide inverted index it never
+        # materializes a (doc, gram) table across the cluster: the only
+        # shuffle payload is one row per document.
+        spark = docs.sparkSession
+        base = docs.filter(F.col(doc_id_col) != query_doc_id).repartition(
+            spark.sparkContext.defaultParallelism, F.col(doc_id_col)
         )
-        dot = F.aggregate(
-            grams_arr,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.coalesce(qmap[x], F.lit(0)).cast("long"),
+        dtf = (
+            base.select(F.col(doc_id_col).alias("id"), F.explode(grams_arr).alias("__g"))
+            .groupBy("id", "__g")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        nrm = dtf.groupBy("id").agg(F.sum(F.col("__tf") * F.col("__tf")).alias("nrm"))
+        qdf = spark.createDataFrame(
+            sorted(qtf.items()), schema="__g string, __qtf long"
+        )
+        dots = (
+            dtf.join(F.broadcast(qdf), "__g")
+            .groupBy("id")
+            .agg(F.sum(F.col("__tf") * F.col("__qtf")).alias("dot"))
+        )
+        # inner join: docs sharing no gram with the query have no dot row,
+        # which is exactly the old `dot > 0` filter
+        scored = dots.join(nrm, "id")
+        sparse = (
+            scored.select(
+                "id",
+                (F.col("dot") / (F.sqrt("nrm") * F.sqrt(F.lit(float(qnrm))))).alias("scos"),
+            )
+            .orderBy(F.col("scos").desc(), F.col("id").asc())
+            .limit(k_each)
         )
     else:
-        dot = F.lit(0).cast("long")
-    # integer norm^2 = sum of squared run lengths over the SORTED bigram
-    # array — a per-row fold, no (doc, gram) shuffle
-    acc0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("tot"),
-    )
-    nrm = F.aggregate(
-        F.array_sort(grams_arr),
-        acc0,
-        lambda acc, x: F.when(
-            x == acc.prev,
-            F.struct(x.alias("prev"), (acc.run + 1).alias("run"), acc.tot.alias("tot")),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                (acc.tot + acc.run * acc.run).alias("tot"),
-            )
-        ),
-        lambda acc: acc.tot + acc.run * acc.run,
-    )
-    # checkpoint barrier: without it, CollapseProject + filter pushdown
-    # substitute the two interpreted higher-order expressions into every
-    # downstream operator, evaluating each 2-3x per row (measured 10.6 s
-    # vs ~5 s at sf1); the materialized frame is 3 narrow columns
-    scored = (
-        docs.filter(F.col(doc_id_col) != query_doc_id)
-        .select(F.col(doc_id_col).alias("id"), dot.alias("dot"), nrm.alias("nrm"))
-        .localCheckpoint(eager=False)
-    )
-    sparse = (
-        scored.filter(F.col("dot") > 0)
-        .select(
-            "id",
-            (F.col("dot") / (F.sqrt("nrm") * F.sqrt(F.lit(float(qnrm))))).alias("scos"),
-        )
-        .orderBy(F.col("scos").desc(), F.col("id").asc())
-        .limit(k_each)
-    )
+        # query doc empty: sparse lane contributes nothing
+        sparse = dense.limit(0).select("id", F.col("dr").alias("scos"))
     ws = Window.orderBy(F.col("scos").desc(), F.col("id").asc())
     sparse = sparse.withColumn("sr", F.row_number().over(ws)).select("id", "sr")
 
