@@ -870,3 +870,73 @@ def q_job_label_swap_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={})
     return job.run(cat, params={})[-1]  # second run proves the guards
+
+
+# ---------------------------------------------------------------------------
+# Orphan-cleanup job with update-tag guard (the scoped_analysis corpus shape)
+# ---------------------------------------------------------------------------
+
+_ORPHAN_CLEANUP_JOB_JSON = """
+{
+  "name": "Orphan canonical node cleanup",
+  "short_name": "orphan_node_cleanup",
+  "statements": [
+    {"query": "SELECT n.* FROM n_Order n WHERE EXISTS (SELECT 1 FROM e_Order__PLACED_BY__Customer e WHERE e.src_id = n.id) OR (n.lastupdated IS NOT NULL AND n.lastupdated = $UPDATE_TAG)",
+     "writes": "Order"},
+    {"query": "SELECT n.id, n.lastupdated, e.src_id IS NOT NULL AS has_edge FROM n_Order n LEFT JOIN (SELECT DISTINCT src_id FROM e_Order__PLACED_BY__Customer) e ON e.src_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_orphan_node_cleanup",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CASE WHEN o_orderkey % 2 = 1 THEN 50 ELSE 100 END AS BIGINT) AS lastupdated,
+             (o_orderkey % 7 <> 0) AS has_edge
+      FROM orders
+    )
+    SELECT id, lastupdated, has_edge FROM o
+    WHERE has_edge OR lastupdated = 100
+    """,
+    doc="Orphan-node cleanup job with the current-sync guard — the "
+    "reference's scoped_analysis corpus shape (data/jobs/scoped_analysis/"
+    "gcp_artifact_registry_orphan_image_cleanup.json: DETACH DELETE nodes "
+    "with no remaining relationship, keeping nodes written in the current "
+    "sync because their edges may load later in the same run; same guard "
+    "as cve_deprecated_feed_cleanup.json). Cypher's NOT exists((img)--()) "
+    "degree test compiles to an EXISTS semi-join against the label's edge "
+    "table, the $UPDATE_TAG parameter binds through GraphJob params "
+    "exactly like the reference's neo4j parameter (statement.py:146-188), "
+    "and the reference's LIMIT-chunked iterative delete is one set-based "
+    "write (job.py docstring: each Spark statement is one job). "
+    "Pre-state: PLACED_BY edges removed for orderkey%7=0 (orphans), "
+    "lastupdated reset to stale tag 50 for odd keys. End-state: stale "
+    "orphans deleted; current-tag orphans and every referenced node "
+    "survive. The job runs TWICE — orphan deletion must be idempotent — "
+    "and the final read hashes every survivor's (id, tag, degree>0).",
+    tags=("engine", "job"),
+)
+def q_job_orphan_node_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    key = ("Order", "PLACED_BY", "Customer")
+    k = F.col("id").cast("long")
+    # pre-migration state: stale tags on odd keys, orphan every 7th order
+    cat.set_node(
+        "Order",
+        cat.node("Order").withColumn(
+            "lastupdated",
+            F.when(k % 2 == 1, F.lit(50)).otherwise(F.col("lastupdated")).cast("bigint"),
+        ),
+    )
+    cat.set_edge(key, cat.edges[key].filter(F.col("src_id").cast("long") % 7 != 0))
+    job = GraphJob.from_json(_ORPHAN_CLEANUP_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={"UPDATE_TAG": 100})
+    return job.run(cat, params={"UPDATE_TAG": 100})[-1]  # second run proves idempotency
