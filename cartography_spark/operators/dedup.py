@@ -491,21 +491,38 @@ def cluster_min_label(
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
-    for _ in range(max_iter):
+
+    def _hop(lbls: DataFrame) -> DataFrame:
         neighbor_min = (
-            und.join(labels, und.dst == labels.v)
+            und.join(lbls, und.dst == lbls.v)
             .groupBy(F.col("src").alias("v"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        stepped = labels.join(neighbor_min, "v", "left").select(
+        return lbls.join(neighbor_min, "v", "left").select(
             F.col("v"),
             F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-            F.col("lbl").alias("prev"),
+        )
+
+    # two hops per materialization: the label after hop k is min over the
+    # k-hop neighborhood either way, but each checkpoint+observe is a full
+    # Spark job whose fixed scheduling cost dominates on the small label
+    # frame — fusing two hops into one job halves the job count while
+    # keeping the hop semantics (and the max_iter-hop truncation the
+    # oracle's recursive CTE states) bit-identical
+    remaining = max_iter
+    while remaining > 0:
+        block = labels
+        for _ in range(min(2, remaining)):
+            block = _hop(block)
+        remaining -= min(2, remaining)
+        stepped = block.join(
+            labels.select("v", F.col("lbl").alias("prev")), "v"
         )
         # convergence via observe: the changed-count aggregates during the
-        # SAME job that materializes the checkpoint (one job per round, no
-        # extra count() action); once stable, later rounds are no-ops, so
-        # breaking keeps results identical to the fixed-round oracle
+        # SAME job that materializes the checkpoint (one job per block, no
+        # extra count() action); no change across a whole block means the
+        # fixed point was reached, so breaking keeps results identical to
+        # the fixed-round oracle
         obs = Observation()
         stepped = stepped.observe(
             obs, F.count_if(F.col("lbl") != F.col("prev")).alias("changed")
@@ -513,7 +530,7 @@ def cluster_min_label(
         labels = stepped.drop("prev")
         if obs.get["changed"] == 0:
             break
-    und.unpersist()  # labels is checkpointed per round — safe to release
+    und.unpersist()  # labels is checkpointed per block — safe to release
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster"),
@@ -559,9 +576,10 @@ def cluster_min_label_bipartite(
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
-    for _ in range(max_iter):
+
+    def _hop(lbls: DataFrame) -> DataFrame:
         bmin = (
-            mem.join(labels, mem.mv == labels.v)
+            mem.join(lbls, mem.mv == lbls.v)
             .groupBy("mb")
             .agg(F.min("lbl").alias("blbl"))
         )
@@ -570,11 +588,22 @@ def cluster_min_label_bipartite(
             .groupBy(F.col("mv").alias("v"))
             .agg(F.min("blbl").alias("nlbl"))
         )
-        stepped = labels.join(nmin, "v", "left").select(
+        return lbls.join(nmin, "v", "left").select(
             "v",
             F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-            F.col("lbl").alias("prev"),
         )
+
+    # two pair-graph hops per materialization (see cluster_min_label): the
+    # checkpoint+observe job's fixed cost dominates the small label frame,
+    # so halving the job count nearly halves the loop's wall-clock while
+    # the per-hop semantics (and the max_iter truncation) stay identical
+    remaining = max_iter
+    while remaining > 0:
+        block = labels
+        for _ in range(min(2, remaining)):
+            block = _hop(block)
+        remaining -= min(2, remaining)
+        stepped = block.join(labels.select("v", F.col("lbl").alias("prev")), "v")
         obs = Observation()
         stepped = stepped.observe(
             obs, F.count_if(F.col("lbl") != F.col("prev")).alias("changed")
