@@ -857,3 +857,67 @@ def embedding_cluster_collapsed(
             (F.col(id_col) == F.col("cluster")).alias("keep"),
         )
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_permille: int = 900,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+) -> DataFrame:
+    """Asymmetric containment detection: |shingles(a) ∩ shingles(b)| over
+    |shingles(smaller side)| — the relation Jaccard MISSES. An excerpt,
+    quote, or truncated mirror of a long document shares nearly all of its
+    own shingles with the original but few of the original's, so its
+    Jaccard is low while its containment is ~1. Standard companion to
+    near-dup filtering in pretraining pipelines (quotes and page fragments
+    survive Jaccard dedup and still leak the source text).
+
+    Same inverted-index discipline as :func:`ngram_jaccard_pairs`: distinct
+    char n-grams per doc, self-join on (shingle, block), per-pair
+    intersection count, integer cross-multiplied threshold
+    (inter * 1000 >= min_permille * min(sz)) — no float division in the
+    filter. Pair output is quadratic in per-shingle density BY CONTRACT;
+    the collapsed cluster contracts remain the 100 TB bulk path, this is
+    the targeted audit for containment relations within a blocked slice.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)), "
+                    f"i -> substring(lower({text_col}), i, {n}))"
+                )
+            )
+        ).alias("__sh"),
+    )
+    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("a"), F.col(block_col).alias("__ba"), F.col("__sh"))
+    b = sh.select(F.col(id_col).alias("b"), F.col(block_col).alias("__bb"), F.col("__sh"))
+    inter = (
+        a.join(b, ["__sh"])
+        .filter((F.col("a") < F.col("b")) & (F.col("__ba") == F.col("__bb")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("__sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("__sz").alias("sz_b")), "b")
+        .filter(
+            F.col("inter") * 1000 >= F.lit(min_permille) * F.least("sz_a", "sz_b")
+        )
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.expr("CAST(inter * 1000 DIV sz_a AS BIGINT)").alias("cont_a_permille"),
+            F.expr("CAST(inter * 1000 DIV sz_b AS BIGINT)").alias("cont_b_permille"),
+        )
+    )

@@ -265,3 +265,39 @@ def chunk_documents_udtf(
         f"SELECT t.{id_col}, c.chunk_id, c.n_chunk_tokens, c.chunk_md5 "
         f"FROM {view_name} t, LATERAL {fn_name}({text_col}, {chunk_tokens}, {stride}) c"
     )
+
+
+def unicode_nfc_normalize(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode NFC normalization via Arrow-batched ``mapInPandas`` — the
+    sanctioned slow path, used because Spark SQL has NO normalizer builtin
+    (DuckDB ships ``nfc_normalize``, the JVM hides java.text.Normalizer
+    behind a UDF anyway, so the Python lane costs the same one Arrow hop).
+
+    Web corpora mix precomposed (U+00E9) and decomposed (e + U+0301) forms
+    of the same text; every hash-keyed stage downstream (exact dedup,
+    MinHash shingles, URL canonicalization) silently treats them as
+    different documents unless a normalization pass runs first. NFC is the
+    W3C-recommended canonical form.
+
+    Scan-parallel: one stateless batch function, no shuffle, output schema
+    = input schema + ``out_col``. At 100 TB this pipelines inside the scan
+    stage exactly like the multimodal codecs (operators/multimodal.py).
+    """
+    import unicodedata
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} string"
+
+    def gen(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                unicodedata.normalize("NFC", s) if s is not None else None
+                for s in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)

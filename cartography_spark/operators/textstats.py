@@ -408,3 +408,58 @@ def chi2_feature_selection(
         .filter(F.col("rank") <= top_k)
         .select("rank", "label", "bucket", F.col("c").cast("long").alias("c"), "chi2")
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy — the standard cheap gate for
+    binary junk / key-mash / base64 blobs in pretraining corpora (gibberish
+    has near-uniform char distribution -> high entropy; repeated-char spam
+    collapses to near zero; natural language sits in a mid band).
+
+    Integer-exact by the distinct-value-collapse recipe (SCALE.md): explode
+    characters once (docs pre-partitioned by id, so BOTH aggregates below
+    run shuffle-free on the exploded stream), count per (doc, char) — at
+    most ~128 distinct per doc — then entropy in millinats as
+    ``sum(c * round(1000 * ln(n/c))) DIV n``: one quantized log per
+    DISTINCT (n, c) cell, integer weights, reduction-order-immune sum,
+    single integer division at the end. Docs with no characters produce no
+    rows (no char cells exist), mirroring the oracle's comprehension.
+
+    Note: characters are UTF-16 code units on the JVM vs code points in
+    DuckDB — identical for BMP text; the synthetic corpus is ASCII.
+    """
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    cnt = (
+        base.select(F.col(id_col), F.explode(F.split("__t", "")).alias("__ch"))
+        # split('', '') yields [''] (size 1), not [] — drop the phantom char
+        # so empty/null docs produce no cells, like the oracle's
+        # generate_series(1, 0) comprehension
+        .filter(F.col("__ch") != "")
+        .groupBy(id_col, "__ch")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = cnt.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    w = F.col("__c") * F.round(
+        F.lit(1000) * F.log(F.col("n_chars") * F.lit(1.0) / F.col("__c"))
+    ).cast("bigint")
+    return (
+        cnt.join(tot, id_col)
+        .groupBy(id_col, "n_chars", "n_distinct")
+        .agg(F.sum(w).alias("__sw"))
+        .select(
+            id_col,
+            "n_chars",
+            "n_distinct",
+            F.expr("CAST(__sw DIV n_chars AS BIGINT)").alias("entropy_millinat"),
+        )
+    )

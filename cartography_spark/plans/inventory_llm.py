@@ -2703,3 +2703,150 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.chi2_feature_selection(_docs(spark, sf_dir))
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest([substring(text, i, 1)
+             FOR i IN generate_series(1, length(text))]) AS ch
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chars, t.n_distinct,
+           CAST(sum(c.c * CAST(round(1000 * ln(t.n_chars * 1.0 / c.c)) AS BIGINT))
+                // t.n_chars AS BIGINT) AS entropy_millinat
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n_chars, t.n_distinct
+    """,
+    doc="Per-document Shannon character entropy in millinats "
+    "(operators/textstats.py:char_entropy) — the cheap first-line quality "
+    "gate for binary junk / key-mash / base64 blobs (near-uniform chars -> "
+    "high entropy) and repeated-char spam (near zero); natural language "
+    "sits in a mid band. Distinct-value collapse: one char explode over "
+    "id-prepartitioned docs (both aggregates shuffle-free), <=|alphabet| "
+    "cells per doc, one round(1000*ln(n/c)) per cell, integer weights, one "
+    "integer division at the end — reduction-order-immune, so a "
+    "1000-executor sum hash-matches the single-threaded oracle.",
+    tags=("llm", "text", "quality"),
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.char_entropy(_docs(spark, sf_dir))
+
+
+_EXCERPT_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         substring(text, 1, length(text) // 2) AS text, lang
+  FROM documents WHERE doc_id < 30
+"""
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH base AS ({_EXCERPT_SQL}),
+    sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM base
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(i.inter * 1000 // sa.sz AS BIGINT) AS cont_a_permille,
+           CAST(i.inter * 1000 // sb.sz AS BIGINT) AS cont_b_permille
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+    WHERE i.inter * 1000 >= 900 * least(sa.sz, sb.sz)
+    """,
+    doc="Asymmetric shingle containment pairs "
+    "(operators/dedup.py:shingle_containment_pairs): |A∩B| / |smaller "
+    "side| >= 0.9 — the relation Jaccard MISSES. The fixture injects "
+    "half-length excerpts of docs < 30 at id+3000000: an excerpt shares "
+    "nearly all of ITS shingles with its source while the source shares "
+    "few of its own, so Jaccard ~0.5 but containment ~1.0 — exactly how "
+    "quotes and truncated mirrors leak through Jaccard-only dedup. "
+    "Inverted-index self-join blocked on lang, integer cross-multiplied "
+    "threshold (inter*1000 >= 900*min(sz)), permille ratios via integer "
+    "division — no float anywhere.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import cartography_spark.operators.dedup as dd
+
+    d = _docs(spark, sf_dir)
+    excerpts = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) DIV 2)").alias("text"),
+        "lang",
+    )
+    base = d.select("doc_id", "text", "lang").unionByName(excerpts)
+    return dd.shingle_containment_pairs(base, n=3, min_permille=900)
+
+
+@query(
+    "unicode_nfc_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, 0 AS variant, text || 'caf' || chr(233) AS vtext
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id, 1, text || 'cafe' || chr(769)
+      FROM documents WHERE doc_id < 200
+    ),
+    n AS (SELECT doc_id, variant, nfc_normalize(vtext) AS norm_text FROM v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT md5(norm_text)) AS BIGINT) AS n_keys,
+           CAST(min(length(norm_text)) AS BIGINT) AS norm_len
+    FROM n GROUP BY doc_id
+    """,
+    doc="Unicode NFC normalization dedup "
+    "(operators/textprep.py:unicode_nfc_normalize, Arrow mapInPandas — "
+    "Spark SQL has no normalizer builtin; DuckDB's nfc_normalize is the "
+    "oracle): each doc is emitted in precomposed (U+00E9) and decomposed "
+    "(e + U+0301) variants that hash differently raw; after NFC both "
+    "collapse to ONE md5 key per doc (n_keys=1 is the verified "
+    "invariant, and the normalized length proves the combining mark was "
+    "fused, not dropped). Web corpora mix these forms constantly — "
+    "every hash-keyed dedup stage needs this pass first. Scan-parallel "
+    "stateless batches, no shuffle until the final per-doc count.",
+    tags=("llm", "text", "dedup"),
+)
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.textprep import unicode_nfc_normalize
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    variants = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("variant"),
+                    F.concat(F.col("text"), F.lit("café")).alias("vtext"),
+                ),
+                F.struct(
+                    F.lit(1).alias("variant"),
+                    F.concat(F.col("text"), F.lit("café")).alias("vtext"),
+                ),
+            )
+        ).alias("v"),
+    ).select("doc_id", "v.variant", "v.vtext")
+    norm = unicode_nfc_normalize(variants, "vtext", out_col="norm_text")
+    return norm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.count_distinct(F.md5("norm_text")).cast("bigint").alias("n_keys"),
+        F.min(F.length("norm_text")).cast("bigint").alias("norm_len"),
+    )

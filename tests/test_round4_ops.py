@@ -1,0 +1,74 @@
+"""Round-4 operators: character entropy, shingle containment, NFC dedup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.dedup import shingle_containment_pairs
+from cartography_spark.operators.textprep import unicode_nfc_normalize
+from cartography_spark.operators.textstats import char_entropy
+
+
+def test_char_entropy_extremes(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "aabb")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    # single repeated char: zero entropy
+    assert rows[1]["entropy_millinat"] == 0
+    assert rows[1]["n_distinct"] == 1
+    # 8 distinct chars: ln(8) nats = 2079 millinats exactly
+    assert rows[2]["entropy_millinat"] == round(math.log(8) * 1000)
+    # two chars, uniform: ln(2) = 693 millinats
+    assert rows[3]["entropy_millinat"] == round(math.log(2) * 1000)
+    assert rows[3]["n_chars"] == 4
+
+
+def test_char_entropy_empty_text_produces_no_row(spark):
+    docs = spark.createDataFrame([(1, ""), (2, None), (3, "xy")], "doc_id long, text string")
+    ids = {r["doc_id"] for r in char_entropy(docs).collect()}
+    assert ids == {3}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again" * 3
+    excerpt = base[: len(base) // 3]
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, excerpt, "en")], "doc_id long, text string, lang string"
+    )
+    rows = shingle_containment_pairs(docs, n=3, min_permille=900).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # the excerpt's shingles are (almost) all inside the source
+    small = min(r["sz_a"], r["sz_b"])
+    side = "cont_a_permille" if r["sz_a"] == small else "cont_b_permille"
+    assert r[side] >= 900
+
+
+def test_containment_blocked_by_lang(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared text body", "en"), (2, "shared text body", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    assert shingle_containment_pairs(docs, n=3, min_permille=500).count() == 0
+
+
+def test_nfc_normalize_fuses_combining_marks(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, None)], "id long, t string"
+    )
+    out = {r["id"]: r["norm"] for r in unicode_nfc_normalize(df, "t", "norm").collect()}
+    assert out[1] == out[2] == "café"
+    assert out[3] is None
+
+
+def test_nfc_normalize_preserves_schema_and_is_idempotent(spark):
+    df = spark.createDataFrame([(1, "éx", 9)], "id long, t string, extra int")
+    once = unicode_nfc_normalize(df, "t", "norm")
+    assert once.columns == ["id", "t", "extra", "norm"]
+    twice = unicode_nfc_normalize(once.select("id", F.col("norm").alias("t"), "extra"), "t", "norm")
+    assert twice.first()["norm"] == once.first()["norm"]
