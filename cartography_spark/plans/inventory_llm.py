@@ -2850,3 +2850,42 @@ def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5("norm_text")).cast("bigint").alias("n_keys"),
         F.min(F.length("norm_text")).cast("bigint").alias("norm_len"),
     )
+
+
+@query(
+    "similarity_binary_hamming",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+        list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                  FOR i IN generate_series(0, 31)]) AS lo,
+        list_sum([CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                  FOR i IN generate_series(0, 31)]) AS hi
+      FROM e
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, v AS qv FROM sig WHERE vec_id = 0),
+    h AS (
+      SELECT s.vec_id, s.v, q.qv,
+             CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS hamming
+      FROM sig s CROSS JOIN q WHERE s.vec_id <> 0
+    ),
+    cand AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 40)
+    SELECT vec_id, hamming, ROUND({_cos64('cand.v', 'cand.qv')}, 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    doc="Binary (1-bit sign) quantized retrieval "
+    "(operators/similarity.py:binary_sign_topk) — the 32x-compression "
+    "rung of the ANN ladder below int8 (4x) and PQ: signatures packed 32 "
+    "sign bits per BIGINT word (two words; bit 63 of one word overflows "
+    "signed engines), candidates ranked by Hamming distance (one "
+    "xor+popcount per word — the cheapest possible 100 TB vector scan), "
+    "exact-cosine re-rank over the top-40 pool. All JVM codegen: a fixed "
+    "fan of CASE terms packs, two popcounts scan, the float cosine "
+    "touches 40 rows.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.binary_sign_topk(emb, _query_vec(spark, sf_dir), dim=64, k=10, rerank=4)

@@ -1328,3 +1328,40 @@ def q_shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
         )
     )
+
+
+@query(
+    "curriculum_global_order",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(least(length(text) // 128, 3) AS BIGINT) AS phase,
+             md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS h
+      FROM documents
+    )
+    SELECT doc_id, phase,
+           CAST(row_number() OVER (ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS seq
+    FROM base
+    """,
+    doc="Curriculum ordering with a deterministic global shuffle "
+    "(operators/dedup.py:ordered_dense_ids): docs are staged into length "
+    "phases (short first — the standard curriculum axis), shuffled "
+    "within each phase by a salted md5 of the id (reproducible across "
+    "engines and runs, unlike RNG state), and assigned a DENSE 0-based "
+    "global sequence id WITHOUT a single-partition window: range-"
+    "partition by the order key, per-partition row_number, plus each "
+    "partition's cumulative offset (one P-row driver collect). This is "
+    "the training-data ordering step — sample order is part of the "
+    "training contract, so it must be total, stable, and distributed.",
+    tags=("llm", "prep", "scale"),
+)
+def q_curriculum_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import ordered_dense_ids
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(least(length(text) DIV 128, 3) AS BIGINT)").alias("phase"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))).alias("__h"),
+    )
+    out = ordered_dense_ids(base, ["phase", "__h", "doc_id"], "seq")
+    return out.select("doc_id", "phase", F.col("seq").cast("bigint").alias("seq"))
