@@ -56,6 +56,8 @@ HEADLINE = [
     "graph_pagerank",
     "tpch_q9_product_profit",
     "text_bm25_topk",
+    "text_char_entropy",
+    "similarity_binary_hamming",
 ]
 
 # Measured and reported, but excluded from the headline total: raw pair-list
