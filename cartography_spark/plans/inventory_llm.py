@@ -2889,3 +2889,112 @@ def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.binary_sign_topk(emb, _query_vec(spark, sf_dir), dim=64, k=10, rerank=4)
+
+
+# nDCG position discounts round(1e6 / log2(i+1)), i = 1..10 — shared integer
+# literals with the oracle so no engine evaluates log2 at query time.
+_NDCG_DISC = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_NDCG_IDCG = sum((11 - i) * d for i, d in zip(range(1, 11), _NDCG_DISC))  # = 29966114
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_SIG_SQL.format(vec='embedding')} AS qsig
+      FROM embeddings WHERE vec_id < 8
+    ),
+    sigs AS (
+      SELECT vec_id, embedding, {_SIG_SQL.format(vec='embedding')} AS sig
+      FROM embeddings
+    ),
+    disc AS (SELECT {_NDCG_DISC} AS d),
+    exact AS (
+      SELECT qid, vec_id, 11 - rn AS rel FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos64('e.embedding', 'q.qv')} DESC, e.vec_id ASC) AS rn
+        FROM sigs e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    ann AS (
+      SELECT qid, vec_id, rn AS arank FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_cos64('e.embedding', 'q.qv')} DESC, e.vec_id ASC) AS rn
+        FROM sigs e JOIN qs q ON e.sig = q.qsig WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    scored AS (
+      SELECT a.qid, a.arank, COALESCE(x.rel, 0) AS rel
+      FROM ann a LEFT JOIN exact x ON x.qid = a.qid AND x.vec_id = a.vec_id
+    )
+    SELECT s.qid,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) * 100 AS BIGINT) AS recall_permille,
+           CAST(COALESCE(max(CASE WHEN rel > 0 THEN 1000000 // arank END), 0) AS BIGINT) AS mrr_micro,
+           CAST(sum(rel * d.d[arank]) AS BIGINT) AS dcg_micro,
+           CAST(sum(rel * d.d[arank]) * 1000 // {_NDCG_IDCG} AS BIGINT) AS ndcg_permille
+    FROM scored s CROSS JOIN disc d
+    GROUP BY s.qid
+    """,
+    doc="In-engine retrieval-quality evaluation of the LSH ANN lane "
+    "against the exact ranking: per query (vec_ids 0-7), recall@10, "
+    "MRR and nDCG@10 of the same-bucket candidates vs the brute-force "
+    "top-10. Relevance = graded exact rank (11-rank); position discounts "
+    "are PRE-QUANTIZED integer micros round(1e6/log2(i+1)) shared as "
+    "literals with the oracle, so no log evaluates at query time and "
+    "every metric is an exact integer (ndcg_permille = dcg*1000 DIV "
+    "idcg). This is the measurement loop an ANN deployment needs before "
+    "trading recall for scan cost — the ladder's rungs (binary/int8/PQ/"
+    "IVF) are tuned BY this number. At 100 TB the per-query window "
+    "becomes a TakeOrdered per query; the plan is otherwise unchanged.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = sim.hyperplane_signature(F.col("embedding"), dim=64, n_planes=8)
+    embs = emb.select("vec_id", "embedding", sig.alias("sig"))
+    embs = embs.localCheckpoint(eager=False)  # signature computed once, reused by both lanes
+    qs = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    cos = sim.cosine_similarity(
+        F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+    exact = (
+        embs.crossJoin(F.broadcast(qs.select("qid", "qv")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("__cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", (11 - F.col("rn")).alias("rel"))
+    )
+    ann = (
+        embs.join(F.broadcast(qs), embs.sig == qs.qsig)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("__cos", cos)
+        .withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= 10)
+        .select("qid", "vec_id", "arank")
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    scored = ann.join(exact, ["qid", "vec_id"], "left").select(
+        "qid", "arank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    hit = F.col("rel") > 0
+    return scored.groupBy("qid").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        (F.sum(F.when(hit, 1).otherwise(0)) * 100).cast("bigint").alias("recall_permille"),
+        F.coalesce(
+            F.max(F.when(hit, F.expr("1000000 DIV arank"))), F.lit(0)
+        ).cast("bigint").alias("mrr_micro"),
+        F.sum(F.col("rel") * F.element_at(disc, F.col("arank"))).cast("bigint").alias("dcg_micro"),
+        F.expr(f"CAST(sum(rel * element_at(array({','.join(map(str, _NDCG_DISC))}), arank)) * 1000 DIV {_NDCG_IDCG} AS BIGINT)").alias("ndcg_permille"),
+    )
