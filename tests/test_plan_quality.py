@@ -88,6 +88,7 @@ _SCALAR_ATTACH = {
     "quality_decile_weights",       # x broadcast(1-row corpus token total, via unigram_surprisal)
     "sketch_kmv_intersection",      # x broadcast(1-row kth hash + 1-row exact count)
     "embedding_label_centroids",    # x broadcast(1-row min/max arrays, via int8_quantize)
+    "retrieval_eval_ndcg",          # exact lane x broadcast(8-row query frame — constant by contract)
     "sketch_kmv_difference",        # x broadcast(1-row kth hash + 1-row exact count)
     "sync_metadata_merge",          # x broadcast(1-row skipped-stage count)
     "dataset_split_leakage_safe",   # x broadcast(1-row leaky-cluster count)
