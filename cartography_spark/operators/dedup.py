@@ -503,18 +503,28 @@ def cluster_min_label(
             F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
 
-    # two hops per materialization: the label after hop k is min over the
-    # k-hop neighborhood either way, but each checkpoint+observe is a full
-    # Spark job whose fixed scheduling cost dominates on the small label
-    # frame — fusing two hops into one job halves the job count while
-    # keeping the hop semantics (and the max_iter-hop truncation the
-    # oracle's recursive CTE states) bit-identical
+    # Hop fusion, shallow-graph-aware: the label after hop k is min over
+    # the k-hop neighborhood either way, and each checkpoint+observe is a
+    # full Spark job whose fixed scheduling cost dominates the small label
+    # frame. The FIRST block runs a single hop — near-dup components are
+    # usually stars that converge in one hop, and a fused first block
+    # would burn a second hop just to observe stability. Blocks after the
+    # first fuse two hops, halving the job count on deep chains while the
+    # per-hop semantics (and the max_iter-hop truncation the oracle\'s
+    # recursive CTE states) stay bit-identical.
     remaining = max_iter
+    n_block = 0
     while remaining > 0:
+        # blocks of 1,1,2,2,...: shallow components (the common near-dup
+        # star) converge in block 1 and confirm in block 2 with EXACTLY the
+        # per-hop loop's work; only chains that are still changing after
+        # two hops pay fused blocks (which then halve the job count)
+        step = 1 if n_block < 2 else min(2, remaining)
+        n_block += 1
         block = labels
-        for _ in range(min(2, remaining)):
+        for _ in range(step):
             block = _hop(block)
-        remaining -= min(2, remaining)
+        remaining -= step
         stepped = block.join(
             labels.select("v", F.col("lbl").alias("prev")), "v"
         )
@@ -593,16 +603,22 @@ def cluster_min_label_bipartite(
             F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
 
-    # two pair-graph hops per materialization (see cluster_min_label): the
-    # checkpoint+observe job's fixed cost dominates the small label frame,
-    # so halving the job count nearly halves the loop's wall-clock while
-    # the per-hop semantics (and the max_iter truncation) stay identical
+    # Shallow-aware hop fusion (see cluster_min_label): single-hop first
+    # block — stars converge in one hop and must not pay a fused second —
+    # then two pair-graph hops per materialized block on deep chains.
     remaining = max_iter
+    n_block = 0
     while remaining > 0:
+        # blocks of 1,1,2,2,...: shallow components (the common near-dup
+        # star) converge in block 1 and confirm in block 2 with EXACTLY the
+        # per-hop loop's work; only chains that are still changing after
+        # two hops pay fused blocks (which then halve the job count)
+        step = 1 if n_block < 2 else min(2, remaining)
+        n_block += 1
         block = labels
-        for _ in range(min(2, remaining)):
+        for _ in range(step):
             block = _hop(block)
-        remaining -= min(2, remaining)
+        remaining -= step
         stepped = block.join(labels.select("v", F.col("lbl").alias("prev")), "v")
         obs = Observation()
         stepped = stepped.observe(
