@@ -776,3 +776,66 @@ def binary_sign_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    the diversity-aware rerank production retrieval runs on top of any ANN
+    lane: greedily pick the candidate maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` so the
+    final k answers are relevant AND mutually diverse (a plain top-k returns
+    near-duplicates of the same best hit).
+
+    Execution contract: the candidate pool (exact top-``pool`` by cosine)
+    is computed distributed once; each of the k greedy steps is one
+    distributed argmax over the pool with the selected vectors embedded as
+    literals (selected set is k <= 10 rows by contract — the same
+    driver-bounded iteration as the BPE merge table). Scores are quantized
+    to integer micros with ONE round per (candidate, step), so the greedy
+    trajectory is bit-reproducible in any engine.
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    cand = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), v.alias("__v"), cosine_similarity(v, q).alias("__rel"))
+        .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    cand = cand.localCheckpoint(eager=True)  # pool computed once; k argmax scans reuse it
+    selected: list[tuple[int, int, list[float]]] = []  # (id, score_micro, vec)
+    for _ in range(k):
+        if selected:
+            sims = [
+                cosine_similarity(F.col("__v"), F.lit(vec).cast("array<double>"))
+                for _, _, vec in selected
+            ]
+            maxsim = sims[0]
+            for s in sims[1:]:
+                maxsim = F.greatest(maxsim, s)
+        else:
+            maxsim = F.lit(0.0)
+        score = F.round(
+            (F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * maxsim) * 1_000_000
+        ).cast("bigint")
+        remaining = cand.filter(~F.col(id_col).isin([s[0] for s in selected])) if selected else cand
+        top = (
+            remaining.select(F.col(id_col), score.alias("__score"), F.col("__v"))
+            .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+            .first()
+        )
+        if top is None:
+            break
+        selected.append((top[0], top[1], list(top[2])))
+    spark = embeddings.sparkSession
+    rows = [(i + 1, s[0], s[1]) for i, s in enumerate(selected)]
+    return spark.createDataFrame(rows, f"rank int, {id_col} long, score_micro bigint")

@@ -2998,3 +2998,69 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rel") * F.element_at(disc, F.col("arank"))).cast("bigint").alias("dcg_micro"),
         F.expr(f"CAST(sum(rel * element_at(array({','.join(map(str, _NDCG_DISC))}), arank)) * 1000 DIV {_NDCG_IDCG} AS BIGINT)").alias("ndcg_permille"),
     )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled k-stage MMR oracle. The diversity penalty constant is the
+    exact IEEE repr of Python's ``1.0 - lam`` (0.30000000000000004 for 0.7)
+    so both engines evaluate the identical double chain before the single
+    micro-quantizing round per (candidate, step)."""
+    pen = repr(1.0 - lam)
+    stages = [
+        f"""s1 AS (
+      SELECT vec_id, v,
+             CAST(round(({lam!r}*rel - {pen}*0.0)*1000000) AS BIGINT) AS score
+      FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1
+    )"""
+    ]
+    for j in range(2, k + 1):
+        sims = ", ".join(_cos64("c.v", f"s{i}.v") for i in range(1, j))
+        maxsim = f"GREATEST({sims})" if j > 2 else sims
+        joins = " ".join(f"CROSS JOIN s{i}" for i in range(1, j))
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, j))
+        stages.append(
+            f"""s{j} AS (
+      SELECT c.vec_id, c.v,
+             CAST(round(({lam!r}*c.rel - {pen}*{maxsim})*1000000) AS BIGINT) AS score
+      FROM cand c {joins}
+      WHERE c.vec_id NOT IN ({excl})
+      ORDER BY score DESC, c.vec_id ASC LIMIT 1
+    )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS rank, vec_id, score AS score_micro FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v, {_cos64('e.v', 'q.qv')} AS rel
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, vec_id ASC LIMIT {pool}
+    ),
+    {', '.join(stages)}
+    {final}
+    """
+
+
+@query(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(k=5, pool=20, lam=0.7),
+    doc="Maximal Marginal Relevance diversified re-ranking "
+    "(operators/similarity.py:mmr_rerank, Carbonell & Goldstein 1998): "
+    "greedy top-5 from the exact top-20 pool maximizing lam*rel - "
+    "(1-lam)*max-sim-to-selected — the diversity-aware rerank production "
+    "retrieval runs above any ANN lane (plain top-k returns near-"
+    "duplicates of the best hit). The pool is computed distributed once; "
+    "each greedy step is one distributed argmax with the <=5 selected "
+    "vectors as plan literals (driver-bounded iteration, the BPE merge-"
+    "table precedent). Scores quantize to integer micros with ONE round "
+    "per (candidate, step) and the penalty constant is the exact IEEE "
+    "repr of 1.0-lam, so the greedy trajectory is bit-reproducible — the "
+    "oracle replays all five stages as unrolled CTEs.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(emb, _query_vec(spark, sf_dir), k=5, pool=20, lam=0.7)

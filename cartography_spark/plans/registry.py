@@ -61,7 +61,8 @@ PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity", "shard_assignment_balanced", "layout_skipping_stats",
     "job_label_swap_migration", "job_orphan_node_cleanup", "text_char_entropy",
     "dedup_shingle_containment", "unicode_nfc_dedup", "similarity_binary_hamming",
-    "curriculum_global_order", "retrieval_eval_ndcg", "streaming_dedup_watermark",
+    "curriculum_global_order", "retrieval_eval_ndcg", "similarity_mmr_rerank",
+    "streaming_dedup_watermark",
     "layout_compaction_plan",
     "layout_overlap_depth", "embedding_random_projection", "text_inverted_index",
     "graph_clustering_coefficient", "classifier_calibration_bins", "multimodal_jpeg_decode",

@@ -72,3 +72,34 @@ def test_nfc_normalize_preserves_schema_and_is_idempotent(spark):
     assert once.columns == ["id", "t", "extra", "norm"]
     twice = unicode_nfc_normalize(once.select("id", F.col("norm").alias("t"), "extra"), "t", "norm")
     assert twice.first()["norm"] == once.first()["norm"]
+
+
+def test_mmr_prefers_diversity_over_near_duplicates(spark):
+    from cartography_spark.operators.similarity import mmr_rerank
+
+    # query q; a-cluster: three near-identical vectors very close to q;
+    # b: a distinct direction still relevant. Plain top-3 = the a-cluster;
+    # MMR must swap a near-dup out for b.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0, 0.0]),
+        (2, [0.99, 0.141, 0.0, 0.0]),
+        (3, [0.99, 0.139, 0.0, 0.0]),
+        (4, [0.8, -0.6, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0, 0.0, 0.0], k=3, pool=4, lam=0.5)
+    picked = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picked[0] in (1, 2, 3)  # most relevant first
+    assert 4 in picked  # diversity pulls in the distinct direction
+    assert len(picked) == 3
+
+
+def test_mmr_first_pick_is_plain_top1(spark):
+    from cartography_spark.operators.similarity import mmr_rerank
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [0.0, 1.0, 0.0, 0.0], k=2, pool=3, query_id=99)
+    first = out.filter("rank = 1").first()
+    assert first["vec_id"] == 1
