@@ -74,23 +74,24 @@ def _best_of_n(spec, spark, sf_dir: str) -> float:
     # steal-time spikes; measured warmup curves keep improving through run
     # 4-5 on join-heavy plans (e.g. 4.5 -> 1.1 -> 0.8 -> 0.7 -> 0.5), so
     # best-of-3 overstated some queries by ~1.5x round-over-round. Run 5
-    # times, with an early exit once two consecutive runs stop improving
-    # the best by more than 10%.
+    # times, with an early exit once two consecutive runs show NO
+    # improvement at all (a still-descending warmup curve — e.g. two
+    # consecutive ~9% gains — must keep running, so stale only counts
+    # runs that fail to beat the best).
     best = float("inf")
     stale = 0
-    for _ in range(5):
+    for i in range(5):
         t0 = time.time()
         # noop sink: full distributed computation without paying the
         # driver-side Row materialization for large results
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
-        if dt < best * 0.9:
-            best = min(best, dt)
+        if dt < best:
+            best = dt
             stale = 0
         else:
-            best = min(best, dt)
             stale += 1
-            if stale >= 2 and best < float("inf"):
+            if stale >= 2 and i >= 3:
                 break
     # release checkpointed RDDs from lifecycle/dedup queries so their
     # executor memory doesn't GC-thrash the next measurement; the JVM
@@ -107,6 +108,13 @@ def main() -> None:
     from cartography_spark.session import get_spark, set_session_mode
 
     all_queries()
+    # `bench.py q1 [q2 ...]` measures only the named registry queries
+    # (headline or not) — single-query profiling without a bespoke script.
+    only = sys.argv[1:]
+    if only:
+        unknown = [q for q in only if q not in REGISTRY]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
     # bench runs one query at a time and exits: skip the per-query final
     # materialization barrier (identical results, see session.finalize_iterative)
     set_session_mode("oneshot")
@@ -118,7 +126,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in only or HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
@@ -129,7 +137,7 @@ def main() -> None:
     # the raw pair-list contracts are quadratic under exact-dup replication
     # BY CONTRACT; at high replication factors (sf5 rehearsal = 50 copies)
     # they would dominate the run without informing anything — skippable
-    skip_secondary = os.environ.get("SPARK_GRAFT_SKIP_SECONDARY", "") == "1"
+    skip_secondary = only or os.environ.get("SPARK_GRAFT_SKIP_SECONDARY", "") == "1"
     for name in () if skip_secondary else SECONDARY:
         spec = REGISTRY.get(name)
         if spec is None:

@@ -899,17 +899,20 @@ def shingle_containment_pairs(
     the collapsed cluster contracts remain the 100 TB bulk path, this is
     the targeted audit for containment relations within a blocked slice.
     """
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than n must yield no shingles (matches generate_series/oracle);
+    # same pitfall guarded at the minhash and substring-span shingle sites.
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}), "
+            f"i -> substring(lower({text_col}), i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = docs.select(
         F.col(id_col),
         F.col(block_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)), "
-                    f"i -> substring(lower({text_col}), i, {n}))"
-                )
-            )
-        ).alias("__sh"),
+        F.explode(F.array_distinct(grams)).alias("__sh"),
     )
     sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))

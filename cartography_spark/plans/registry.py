@@ -50,31 +50,15 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # move every query with no CORRECTNESS row in ANY prior round to the front of
 # PRIORITY, keeping already-driver-green queries behind them.
 #
-# r04 rotation (this file): r01 ∪ r02 ∪ r03 certified 150 distinct queries,
-# all green. The front 116 below are every remaining unverified query (the
-# driver's ~50-query window covers the first 50 this round; the rest queue for
-# r05/r06). The demoted 150 stay re-verified every round by the local gate
-# (tools/oracle_check.py).
+# r05 rotation (this file): r01 ∪ r02 ∪ r03 ∪ r04 certified 200 distinct
+# queries, all green. The front 74 below are every remaining unverified query;
+# the driver's ~50-query window covers the first 50 this round, and the next
+# 24 are pre-ordered as the r06 block. The demoted 200 stay re-verified every
+# round by the local gate (tools/oracle_check.py).
 PRIORITY: tuple[str, ...] = (
-    "analysis_azure_lb_exposure", "analysis_intune_policy_union",
-    "analysis_identity_projection", "analysis_semgrep_risk_matrix", "multimodal_gif_decode",
-    "privacy_l_diversity", "shard_assignment_balanced", "layout_skipping_stats",
-    "job_label_swap_migration", "job_orphan_node_cleanup", "text_char_entropy",
-    "dedup_shingle_containment", "unicode_nfc_dedup", "similarity_binary_hamming",
-    "curriculum_global_order", "retrieval_eval_ndcg", "similarity_mmr_rerank",
-    "streaming_dedup_watermark",
-    "layout_compaction_plan",
-    "layout_overlap_depth", "embedding_random_projection", "text_inverted_index",
-    "graph_clustering_coefficient", "classifier_calibration_bins", "multimodal_jpeg_decode",
-    "multimodal_ulaw_audio", "asof_join_forward_next", "graph_bfs_distances",
-    "sketch_kmv_intersection", "dq_expectations", "table_profile", "grouping_sets_revenue",
-    "dedup_simhash_pairs", "pipeline_llm_prep", "text_top_terms",
-    "similarity_token_cosine_pairs", "segment_dedup", "dedup_minhash_estimate",
-    "similarity_ann_multiprobe", "sampling_kcenter_diverse", "text_bigram_logprob",
-    "similarity_ivf_pq", "text_vocab_growth", "quality_decile_weights",
-    "dedup_canonical_longest", "source_dup_rates", "embedding_label_centroids",
-    "dedup_minhash_verified", "events_moving_avg", "agg_percentiles", "rollup_pricing",
-    "pivot_status_by_priority", "skew_salted_agg", "streaming_stateful_totals",
+    # --- r05 front: 74 queries with no CORRECTNESS row in r01-r04.
+    # Driver checks ~50/round; positions 1-50 are the r05 window. ---
+    "rollup_pricing", "pivot_status_by_priority", "skew_salted_agg", "streaming_stateful_totals",
     "asof_join_attribution", "bloom_prefilter_join", "streaming_stream_stream_join",
     "streaming_hll_distinct", "streaming_countmin_counts", "text_repetition_stats",
     "sequence_packing", "lang_temperature_weights", "sketch_kmv_difference",
@@ -89,52 +73,68 @@ PRIORITY: tuple[str, ...] = (
     "supplier_wait_chain", "idle_rich_customers", "promo_parts_share",
     "top_supplied_parts_nested_in", "window_percent_rank", "window_range_frame",
     "median_value_by_type", "unpivot_lineitem_metrics", "outlier_zscore_exact",
-    "linear_trend_exact", "throttle_dedup", "disjunctive_predicate_revenue",
-    "outlier_mad_robust", "window_first_last_nth", "events_gaps_islands",
-    "timeseries_time_weighted_avg", "division_full_coverage", "ratio_to_report_revenue",
-    "table_checksum_blocks", "event_transition_matrix", "argmax_mergeable_top1",
-    "interval_overlap_pairs", "unigram_viterbi_segmentation", "classifier_ranking_auc",
-    "multimodal_mjpeg_sample", "chi2_feature_selection", "sketch_hll_rollup_merge",
-    "privacy_t_closeness", "pareto_skyline", "bootstrap_mean_ci", "ks_drift_two_sample",
-    "psi_drift_binned", "conformal_interval_coverage", "psi_drift_windowed",
-    # --- end of the r04 front window (116 unverified; driver checks ~50/round) ---
-    # --- below: 150 queries already driver-green in r01/r02/r03 ---
-    "analysis_k8s_exposure", "client_read_sinks", "analysis_gcp_ontology_projection",
-    "multimodal_png_decode", "url_canonical_dedup", "logreg_train_exact",
-    "api_source_paged_ingest", "events_variant_semistructured", "dedup_minhash_collapsed",
-    "dedup_embedding_collapsed", "dataset_split_leakage_safe", "hybrid_search_rrf",
-    "bpe_merge_table", "bpe_segmentation", "text_pii_scrub", "doc_chunking",
-    "contamination_ngram_overlap", "dataset_split_hash", "weighted_sample",
-    "stratified_sample", "dsir_importance_resample", "text_nb_classifier",
+    "linear_trend_exact",
+    # --- r06 block: the remaining 24 unverified (pre-ordered so r06 needs
+    # no further rotation; new r05 queries are appended right after these). ---
+    "throttle_dedup", "disjunctive_predicate_revenue", "outlier_mad_robust",
+    "window_first_last_nth", "events_gaps_islands", "timeseries_time_weighted_avg",
+    "division_full_coverage", "ratio_to_report_revenue", "table_checksum_blocks",
+    "event_transition_matrix", "argmax_mergeable_top1", "interval_overlap_pairs",
+    "unigram_viterbi_segmentation", "classifier_ranking_auc", "multimodal_mjpeg_sample",
+    "chi2_feature_selection", "sketch_hll_rollup_merge", "privacy_t_closeness", "pareto_skyline",
+    "bootstrap_mean_ci", "ks_drift_two_sample", "psi_drift_binned",
+    "conformal_interval_coverage", "psi_drift_windowed",
+    # --- below: 200 queries already driver-green in r01-r04 ---
+    "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
+    "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",
+    "shard_assignment_balanced", "layout_skipping_stats", "job_label_swap_migration",
+    "job_orphan_node_cleanup", "text_char_entropy", "dedup_shingle_containment",
+    "unicode_nfc_dedup", "similarity_binary_hamming", "curriculum_global_order",
+    "retrieval_eval_ndcg", "similarity_mmr_rerank", "streaming_dedup_watermark",
+    "layout_compaction_plan", "layout_overlap_depth", "embedding_random_projection",
+    "text_inverted_index", "graph_clustering_coefficient", "classifier_calibration_bins",
+    "multimodal_jpeg_decode", "multimodal_ulaw_audio", "asof_join_forward_next",
+    "graph_bfs_distances", "sketch_kmv_intersection", "dq_expectations", "table_profile",
+    "grouping_sets_revenue", "dedup_simhash_pairs", "pipeline_llm_prep", "text_top_terms",
+    "similarity_token_cosine_pairs", "segment_dedup", "dedup_minhash_estimate",
+    "similarity_ann_multiprobe", "sampling_kcenter_diverse", "text_bigram_logprob",
+    "similarity_ivf_pq", "text_vocab_growth", "quality_decile_weights",
+    "dedup_canonical_longest", "source_dup_rates", "embedding_label_centroids",
+    "dedup_minhash_verified", "events_moving_avg", "agg_percentiles", "analysis_k8s_exposure",
+    "client_read_sinks", "analysis_gcp_ontology_projection", "multimodal_png_decode",
+    "url_canonical_dedup", "logreg_train_exact", "api_source_paged_ingest",
+    "events_variant_semistructured", "dedup_minhash_collapsed", "dedup_embedding_collapsed",
+    "dataset_split_leakage_safe", "hybrid_search_rrf", "bpe_merge_table", "bpe_segmentation",
+    "text_pii_scrub", "doc_chunking", "contamination_ngram_overlap", "dataset_split_hash",
+    "weighted_sample", "stratified_sample", "dsir_importance_resample", "text_nb_classifier",
     "semdedup_within_cluster", "range_join_error_clicks", "scd2_history",
     "rollup_continuous_aggregate", "incremental_agg_maintenance", "cdc_apply_changelog",
     "job_edge_direction_migration", "multimodal_phash_near_dup", "dedup_lsh_incremental",
     "tpch_q2_min_cost_offer", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_revenue",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_late_shipment_priority", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts", "tpch_q17_small_qty_revenue", "graph_hits_authorities",
-    "text_bm25_topk", "topk_per_group_salted", "privacy_k_anonymity",
-    "analysis_scoped_set_property", "asof_join_tolerance", "undirected_any_rel",
-    "closure_multi_rel_zero", "ontology_field_mapping", "events_session_window",
-    "cleanup_rel_only", "matchlink_scoped_cleanup", "analysis_add_to_set",
-    "analysis_set_rel_property", "permission_statement_eval", "permission_wildcard_eval",
-    "graph_job_json_roundtrip", "sync_metadata_merge", "rows_ingest_transform",
-    "analysis_exposure_chain", "analysis_ontology_owns", "rules_library_run",
-    "rules_extended_run", "rules_corpus_run", "introspection_schema_reflect",
-    "ontology_semantic_catalog", "ontology_mapping_compile", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters", "dedup_substring_spans", "dedup_embedding_cosine",
-    "similarity_cosine_topk", "similarity_ann_lsh", "similarity_ann_ivf", "similarity_pq_adc",
-    "similarity_int8_scan", "sketch_kmv_distinct", "sketch_hll_distinct",
-    "sketch_countmin_heavy_hitters", "sketch_histogram_quantiles", "graph_pagerank",
-    "graph_connected_components", "graph_triangle_count", "graph_label_propagation",
-    "text_token_stats", "text_quality_score", "text_language_id", "text_fingerprint",
-    "text_unigram_logprob", "embedding_kmeans_exact", "embedding_kmeans",
+    "tpch_q12_late_shipment_priority", "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue", "graph_hits_authorities", "text_bm25_topk",
+    "topk_per_group_salted", "privacy_k_anonymity", "analysis_scoped_set_property",
+    "asof_join_tolerance", "undirected_any_rel", "closure_multi_rel_zero",
+    "ontology_field_mapping", "events_session_window", "cleanup_rel_only",
+    "matchlink_scoped_cleanup", "analysis_add_to_set", "analysis_set_rel_property",
+    "permission_statement_eval", "permission_wildcard_eval", "graph_job_json_roundtrip",
+    "sync_metadata_merge", "rows_ingest_transform", "analysis_exposure_chain",
+    "analysis_ontology_owns", "rules_library_run", "rules_extended_run", "rules_corpus_run",
+    "introspection_schema_reflect", "ontology_semantic_catalog", "ontology_mapping_compile",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters", "dedup_substring_spans",
+    "dedup_embedding_cosine", "similarity_cosine_topk", "similarity_ann_lsh",
+    "similarity_ann_ivf", "similarity_pq_adc", "similarity_int8_scan", "sketch_kmv_distinct",
+    "sketch_hll_distinct", "sketch_countmin_heavy_hitters", "sketch_histogram_quantiles",
+    "graph_pagerank", "graph_connected_components", "graph_triangle_count",
+    "graph_label_propagation", "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "text_unigram_logprob", "embedding_kmeans_exact", "embedding_kmeans",
     "multimodal_decode_meta", "multimodal_audio_features", "asof_join_nearest",
     "incremental_join_maintenance", "projection", "filter_eq", "filter_bool_null",
     "coalesce_default", "list_membership_in", "string_match_filters", "exists_semijoin",
-    "not_exists_antijoin", "higher_order_list_predicates", "conditional_label",
-    "equi_join_1hop", "multihop_join_revenue", "optional_match_outer", "case_insensitive_join",
+    "not_exists_antijoin", "higher_order_list_predicates", "conditional_label", "equi_join_1hop",
+    "multihop_join_revenue", "optional_match_outer", "case_insensitive_join",
     "fuzzy_contains_join", "one_to_many_membership_join", "matchlink_edges",
     "cartesian_product_link", "agg_pricing_summary", "count_distinct_assets",
     "collect_group_members", "list_fold_reduce", "minmax_stats", "distinct_dedup",

@@ -49,6 +49,24 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert r[side] >= 900
 
 
+def test_containment_short_docs_yield_no_shingles(spark):
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being empty; an
+    # unguarded shingle transform emits ''/partial shingles for docs with
+    # length < n, so two empty docs in the same lang produced a spurious
+    # containment pair the generate_series-based oracle never does.
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "", "en"), (3, "ab", "en"), (4, "ab", "en"), (5, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert shingle_containment_pairs(docs, n=3, min_permille=500).count() == 0
+    # exactly-n-length docs still pair up normally
+    docs2 = spark.createDataFrame(
+        [(1, "abc", "en"), (2, "abc", "en")], "doc_id long, text string, lang string"
+    )
+    rows = shingle_containment_pairs(docs2, n=3, min_permille=900).collect()
+    assert len(rows) == 1 and rows[0]["inter"] == 1
+
+
 def test_containment_blocked_by_lang(spark):
     docs = spark.createDataFrame(
         [(1, "shared text body", "en"), (2, "shared text body", "fr")],

@@ -29,9 +29,12 @@ SCALING_TABLES = {"part", "supplier", "customer", "orders", "lineitem"}
 SCALING_NODES = {"Supplier": "supplier", "Customer": "customer", "Order": "orders",
                  "LineItem": "lineitem", "Part": "part"}
 
-# (filename, function, broadcast-arg source prefix) -> justification for a
+# (filename, function, FULL broadcast-arg source) -> justification for a
 # hint the heuristic flags but whose cardinality is domain-bounded, not
-# SF-bounded. Every entry must say WHY the frame stays broadcastable at 100 TB.
+# SF-bounded. Keyed on the complete argument source text (not its first
+# identifier) so a different frame that merely shares a variable-name prefix
+# cannot silently inherit an allowlist entry. Every entry must say WHY the
+# frame stays broadcastable at 100 TB.
 ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("inventory_analytics.py", "q_pareto_skyline", "run"):
         "per-date running maxima: rows = distinct calendar dates (~2.5k over "
@@ -59,6 +62,7 @@ class _FnScanner(ast.NodeVisitor):
     def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
         env_tables: dict[str, frozenset[str]] = {}
         env_bounded: dict[str, bool] = {}
+        env_grouped: dict[str, bool] = {}
 
         def tables_of(expr: ast.AST) -> frozenset[str]:
             out: set[str] = set()
@@ -86,15 +90,40 @@ class _FnScanner(ast.NodeVisitor):
             return frozenset(out)
 
         def bounded(expr: ast.AST) -> bool:
-            text = _expr_src(expr, self.src)
-            if ".limit(" in text:
-                return True
-            # a global agg bounds cardinality; groupBy().agg() does not
-            if ".agg(" in text and ".groupBy(" not in text and "groupBy(" not in text:
-                return True
+            # AST-resolved (not raw-source substrings, which misfire on
+            # '.agg(' inside strings or a groupBy spelled via an
+            # intermediate variable): a chain bounds cardinality iff it
+            # contains .limit(...), or a GLOBAL .agg(...) — one whose
+            # IMMEDIATE receiver is a plain DataFrame, not GroupedData.
+            # The receiver is GroupedData only when it is itself a
+            # .groupBy(...) call, or a variable whose defining expression
+            # ends in .groupBy(...). A groupBy buried deeper in the
+            # lineage (df.groupBy(k).agg(...) assigned, then .agg() on
+            # that result) does NOT make the later agg grouped.
+            def receiver_is_grouped_data(recv: ast.AST) -> bool:
+                if isinstance(recv, ast.Call) and isinstance(recv.func, ast.Attribute):
+                    return recv.func.attr in ("groupBy", "groupby", "rollup", "cube")
+                if isinstance(recv, ast.Name):
+                    return env_grouped.get(recv.id, False)
+                return False
+
             for sub in ast.walk(expr):
+                if isinstance(sub, ast.Call) and isinstance(sub.func, ast.Attribute):
+                    if sub.func.attr == "limit":
+                        return True
+                    if sub.func.attr == "agg" and not receiver_is_grouped_data(sub.func.value):
+                        return True
                 if isinstance(sub, ast.Name) and env_bounded.get(sub.id):
                     return True
+            return False
+
+        def grouped(expr: ast.AST) -> bool:
+            # True iff the expression's value IS a GroupedData: its
+            # top-level node is a .groupBy(...) call or an alias of one.
+            if isinstance(expr, ast.Call) and isinstance(expr.func, ast.Attribute):
+                return expr.func.attr in ("groupBy", "groupby", "rollup", "cube")
+            if isinstance(expr, ast.Name):
+                return env_grouped.get(expr.id, False)
             return False
 
         for stmt in ast.walk(node):
@@ -104,6 +133,7 @@ class _FnScanner(ast.NodeVisitor):
                 name = stmt.targets[0].id
                 env_tables[name] = tables_of(stmt.value)
                 env_bounded[name] = bounded(stmt.value)
+                env_grouped[name] = grouped(stmt.value)
 
         for sub in ast.walk(node):
             if (
@@ -117,8 +147,7 @@ class _FnScanner(ast.NodeVisitor):
                 arg = sub.args[0]
                 tbls = tables_of(arg)
                 arg_src = _expr_src(arg, self.src)
-                key = (self.fname, node.name, arg_src.split(".")[0].split("(")[0])
-                if key in ALLOWLIST:
+                if (self.fname, node.name, arg_src) in ALLOWLIST:
                     continue
                 if tbls and not bounded(arg):
                     self.violations.append(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
 import duckdb
 import pandas as pd
@@ -56,6 +57,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from cartography_spark.plans.registry import REGISTRY, all_queries
     from cartography_spark.session import get_spark
 
