@@ -465,6 +465,7 @@ def cluster_min_label(
     vertices: DataFrame,
     max_iter: int = 6,
     id_col: str = "doc_id",
+    hop_fusion: bool = True,
 ) -> DataFrame:
     """Near-dup pair sets -> clusters: bounded min-label propagation.
 
@@ -518,8 +519,10 @@ def cluster_min_label(
         # blocks of 1,1,2,2,...: shallow components (the common near-dup
         # star) converge in block 1 and confirm in block 2 with EXACTLY the
         # per-hop loop's work; only chains that are still changing after
-        # two hops pay fused blocks (which then halve the job count)
-        step = 1 if n_block < 2 else min(2, remaining)
+        # two hops pay fused blocks (which then halve the job count).
+        # hop_fusion=False pins the pre-fusion per-hop schedule (1,1,1,...)
+        # so tools/ab_bench.py can A/B the two shapes in one session.
+        step = 1 if (n_block < 2 or not hop_fusion) else min(2, remaining)
         n_block += 1
         block = labels
         for _ in range(step):
@@ -554,6 +557,7 @@ def cluster_min_label_bipartite(
     max_iter: int = 6,
     id_col: str = "doc_id",
     bucket_col: str = "bucket",
+    hop_fusion: bool = True,
 ) -> DataFrame:
     """Min-label clustering over BUCKET MEMBERSHIPS instead of pairs —
     star contraction on the hypergraph whose hyperedges are LSH buckets.
@@ -612,8 +616,10 @@ def cluster_min_label_bipartite(
         # blocks of 1,1,2,2,...: shallow components (the common near-dup
         # star) converge in block 1 and confirm in block 2 with EXACTLY the
         # per-hop loop's work; only chains that are still changing after
-        # two hops pay fused blocks (which then halve the job count)
-        step = 1 if n_block < 2 else min(2, remaining)
+        # two hops pay fused blocks (which then halve the job count).
+        # hop_fusion=False pins the pre-fusion per-hop schedule (1,1,1,...)
+        # so tools/ab_bench.py can A/B the two shapes in one session.
+        step = 1 if (n_block < 2 or not hop_fusion) else min(2, remaining)
         n_block += 1
         block = labels
         for _ in range(step):
@@ -802,6 +808,7 @@ def minhash_cluster_collapsed(
     max_iter: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hop_fusion: bool = True,
 ) -> DataFrame:
     """The 100 TB-sane MinHash dedup contract: (id, cluster, keep) — O(N)
     output — instead of the O(pairs) candidate list.
@@ -828,7 +835,7 @@ def minhash_cluster_collapsed(
         F.concat_ws(":", F.col("band"), F.col("bsig")).alias("bucket"),
     )
     cl = cluster_min_label_bipartite(
-        mem, reps.select(id_col), max_iter=max_iter, id_col=id_col
+        mem, reps.select(id_col), max_iter=max_iter, id_col=id_col, hop_fusion=hop_fusion
     )
     return (
         idmap.join(

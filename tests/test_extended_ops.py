@@ -146,6 +146,25 @@ def test_cluster_min_label_components(spark):
     }
 
 
+def test_cluster_min_label_hop_schedules_identical(spark):
+    # the fused (1,1,2,2) and per-hop (1,1,1,...) schedules are two
+    # physical shapes of the same fixed point — tools/ab_bench.py A/Bs
+    # them, so their results must stay bit-identical on deep chains
+    from cartography_spark.operators.dedup import cluster_min_label
+
+    # a 6-node chain (radius 5 from the min vertex) plus a star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (10, 12)], "a long, b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 10, 11, 12)], "doc_id long")
+    fused = {(r.doc_id, r.cluster, r.keep)
+             for r in cluster_min_label(pairs, verts, max_iter=6, hop_fusion=True).collect()}
+    perhop = {(r.doc_id, r.cluster, r.keep)
+              for r in cluster_min_label(pairs, verts, max_iter=6, hop_fusion=False).collect()}
+    assert fused == perhop
+    assert {(1, 1, True), (6, 1, False), (10, 10, True), (12, 10, False)} <= fused
+
+
 def test_embedding_near_dup_finds_injected_copy(spark):
     from cartography_spark.operators.dedup import embedding_near_dup_pairs
 
