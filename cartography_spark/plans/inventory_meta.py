@@ -592,6 +592,93 @@ def q_rules_corpus_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compliance_summary([fr for r in results for fr in r.facts])
 
 
+# The corpus rules' (framework, requirement) -> fact mapping, mirrored as
+# SQL VALUES for the rollup oracle. Source of truth is rules_corpus.py's
+# Rule.frameworks tuples (requirements lowercased by Framework.__post_init__);
+# tests/test_rules_engine.py asserts this literal equals the live mapping so
+# the two can't drift.
+_FRAMEWORK_MAPPING_VALUES = """
+      ('cis', '1.1', 'device-posture-gap'),
+      ('cis', '1.10', 'identity-mfa-org-gap'),
+      ('cis', '1.12', 'cis-aws-iam-stale-privileged'),
+      ('cis', '1.2.1', 'k8s-control-plane-exposed'),
+      ('cis', '2.1', 'cis-gcp-uncovered-nations'),
+      ('cis', '2.1.4', 'cis-aws-storage-public-large'),
+      ('cis', '2.2.2', 'public-snapshots'),
+      ('cis', '2.3.3', 'database-instance-exposed'),
+      ('cis', '3.1', 'cis-aws-logging-no-collector'),
+      ('cis', '3.1', 'cis-gws-external-sharing'),
+      ('cis', '4.3', 'serverless-exposed'),
+      ('cis', '5.1.1', 'cis-k8s-rbac-wildcard'),
+      ('cis', '5.2', 'cis-aws-networking-wide-open'),
+      ('cis', '5.2.1', 'cis-k8s-privileged-workload'),
+      ('iso27001', 'a.5.14', 'cis-gws-external-sharing'),
+      ('iso27001', 'a.5.15', 'policy-admin-privileges'),
+      ('iso27001', 'a.5.18', 'delegation-boundary-modifiable'),
+      ('iso27001', 'a.8.1', 'device-posture-gap'),
+      ('iso27001', 'a.8.15', 'cis-aws-logging-no-collector'),
+      ('iso27001', 'a.8.15', 'cis-gcp-uncovered-nations'),
+      ('iso27001', 'a.8.16', 'monitoring-gap-users'),
+      ('iso27001', 'a.8.20', 'tailscale-key-expiry'),
+      ('iso27001', 'a.8.9', 'cis-k8s-privileged-workload'),
+      ('nist-ai-rmf', 'govern-1.2', 'nist-ai-data-provenance'),
+      ('nist-ai-rmf', 'map-2.3', 'nist-ai-data-provenance'),
+      ('soc2', 'cc6.1', 'cis-aws-storage-public-large'),
+      ('soc2', 'cc6.1', 'databricks-weak-workspace'),
+      ('soc2', 'cc6.1', 'public-snapshots'),
+      ('soc2', 'cc6.2', 'cis-aws-iam-stale-privileged'),
+      ('soc2', 'cc6.3', 'cis-k8s-rbac-wildcard'),
+      ('soc2', 'cc6.3', 'delegation-boundary-modifiable'),
+      ('soc2', 'cc6.3', 'policy-admin-privileges'),
+      ('soc2', 'cc6.3', 'workload-identity-admin'),
+      ('soc2', 'cc6.6', 'cis-aws-networking-wide-open'),
+      ('soc2', 'cc6.6', 'database-instance-exposed'),
+      ('soc2', 'cc6.6', 'k8s-control-plane-exposed'),
+      ('soc2', 'cc6.6', 'serverless-exposed'),
+      ('soc2', 'cc6.7', 'identity-mfa-org-gap'),
+      ('soc2', 'cc7.1', 'security-product-deactivated'),
+      ('soc2', 'cc7.2', 'guardduty-active-threat'),
+      ('soc2', 'cc7.2', 'monitoring-gap-users')
+""".strip()
+
+
+@query(
+    "rules_framework_rollup",
+    oracle=f"""
+    WITH facts AS ({_CORPUS_ORACLE}),
+    m(framework, requirement, fact_id) AS (VALUES
+      {_FRAMEWORK_MAPPING_VALUES}
+    )
+    SELECT m.framework, m.requirement,
+           CAST(count(*) AS BIGINT) AS n_rules,
+           CAST(count(*) FILTER (WHERE f.failing > 0) AS BIGINT) AS n_failing_rules,
+           CAST(sum(f.failing) AS BIGINT) AS failing_assets,
+           CAST(sum(f.total) AS BIGINT) AS total_assets
+    FROM m JOIN facts f USING (fact_id)
+    GROUP BY m.framework, m.requirement
+    """,
+    doc="Per-(framework, requirement) compliance rollup over the full "
+    "23-rule corpus — the DataFrame form of the reference's "
+    "`cartography-rules frameworks` view (rules/runners.py:24-41 "
+    "get_all_frameworks; rules/cli.py:181-230 per-framework rule counts), "
+    "extended with the compliance math of runners.py:121-134 summed per "
+    "control: n_rules mapped, n_failing_rules (any fact failing), "
+    "failing/total asset sums. Each corpus rule's facts run distributed "
+    "once; the rollup itself is metadata-scale (41 mapping rows over 4 "
+    "frameworks). The oracle recomputes every fact in SQL and joins a "
+    "VALUES literal of the same rule->control mapping.",
+    tags=("engine", "rules"),
+)
+def q_rules_framework_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.rules import framework_rollup, run_rules
+    from cartography_spark.plans.rules_corpus import build_corpus_rules
+
+    cat = base_catalog(spark, sf_dir)
+    results = run_rules(build_corpus_rules(spark, sf_dir), cat)
+    return framework_rollup(results)
+
+
 # ---------------------------------------------------------------------------
 # Edge-direction migration job (the reference's JSON job corpus shape)
 # ---------------------------------------------------------------------------

@@ -189,6 +189,46 @@ def run_rules(rules: list[Rule] | tuple[Rule, ...], catalog: GraphCatalog) -> li
     ]
 
 
+def framework_rollup(results: list[RuleResult]) -> DataFrame:
+    """Per-(framework, requirement) compliance rollup over executed rules —
+    the DataFrame form of the reference's ``cartography-rules frameworks``
+    view (rules/runners.py:24-41 get_all_frameworks groups rule->framework
+    mappings by short_name; rules/cli.py:181-230 renders per-framework rule
+    counts). One row per control actually mapped by some rule:
+    (framework, requirement, n_rules, n_failing_rules, failing_assets,
+    total_assets). A rule fails a control iff any of its facts has failing
+    assets. The flatten + groupBy runs over rule COUNT x mapping rows —
+    metadata-scale (dozens), never data-scale: the per-fact counts were
+    already aggregated by the distributed fact queries themselves."""
+    if not results:
+        raise ValueError("no results")
+    spark = results[0].facts[0].findings.sparkSession
+    rows = [
+        (
+            fwk.short_name,
+            fwk.requirement,
+            rr.rule_id,
+            rr.total_failing,
+            rr.total_assets,
+        )
+        for rr in results
+        for fwk in rr.rule_frameworks
+    ]
+    flat = spark.createDataFrame(
+        rows,
+        "framework string, requirement string, rule_id string, failing long, total long",
+    )
+    return (
+        flat.groupBy("framework", "requirement")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rules"),
+            F.count_if(F.col("failing") > 0).cast("bigint").alias("n_failing_rules"),
+            F.sum("failing").cast("bigint").alias("failing_assets"),
+            F.sum("total").cast("bigint").alias("total_assets"),
+        )
+    )
+
+
 def compliance_summary(results: list[FactResult]) -> DataFrame:
     """One row per fact: (fact_id, failing, passing, total) — the formatter
     contract (rules/formatters.py:122+)."""

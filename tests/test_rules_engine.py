@@ -103,3 +103,41 @@ def test_corpus_rules_fire_on_fixture(spark, sf_dir):
         assert fr.failing_assets >= 0 and fr.total_assets > 0
     firing = [fr.fact.fact_id for fr in frs if fr.failing_assets > 0]
     assert len(firing) >= 8, firing
+
+
+def test_framework_mapping_oracle_literal_matches_rules():
+    """The rollup oracle's VALUES literal must equal the live rule->framework
+    mapping — the only way the Spark side and the DuckDB side can agree."""
+    import ast
+
+    from cartography_spark.plans.inventory_meta import _FRAMEWORK_MAPPING_VALUES
+    from cartography_spark.plans.rules_corpus import build_corpus_rules
+
+    literal = set(ast.literal_eval(f"[{_FRAMEWORK_MAPPING_VALUES}]"))
+    live = {
+        (fwk.short_name, fwk.requirement, fr.fact_id)
+        for r in build_corpus_rules(None, "/unused")
+        for fr in r.facts
+        for fwk in r.frameworks
+    }
+    assert literal == live
+
+
+def test_framework_rollup_math(spark, sf_dir):
+    """Rollup invariants: every mapped control appears once; n_failing_rules
+    <= n_rules; a control mapped by two rules sums both rules' counts."""
+    from cartography_spark.plans.rules import framework_rollup, run_rules
+    from cartography_spark.plans.rules_corpus import build_corpus_rules
+
+    cat = base_catalog(spark, sf_dir)
+    results = run_rules(build_corpus_rules(spark, sf_dir), cat)
+    rows = {(r.framework, r.requirement): r for r in framework_rollup(results).collect()}
+    live_controls = {
+        (fwk.short_name, fwk.requirement) for r in results for fwk in r.rule_frameworks
+    }
+    assert set(rows) == live_controls
+    for r in rows.values():
+        assert 0 <= r.n_failing_rules <= r.n_rules
+        assert r.failing_assets <= r.total_assets
+    # cc6.3 is mapped by four rules in the corpus
+    assert rows[("soc2", "cc6.3")].n_rules == 4
