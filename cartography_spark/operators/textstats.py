@@ -316,6 +316,47 @@ def inverted_index(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over a positional inverted index — the query
+    side of the index ``inverted_index`` builds, extended with positions
+    (what a search engine's phrase/proximity operator consumes). Returns
+    (doc_id, n_matches) for documents containing the phrase at least once;
+    overlapping occurrences all count.
+
+    Plan shape: one posexplode to the (doc, pos, term) positional posting
+    relation, then one selective filter per phrase term and k-1 equi-joins
+    on (doc, pos + i) adjacency. Each join side is a single term's posting
+    list — at 100 TB the postings relation is hash-partitioned by term
+    (the inverted_index shuffle), so a phrase query touches only its
+    terms' shards, and the adjacency joins key on (doc, pos) where both
+    sides are term-selective slivers of the corpus, never the corpus
+    itself. No windows, no arrays carried past the explode.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase must have at least two terms")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
+    out = toks.filter(F.col("term") == phrase[0].lower()).select("doc", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("term") == term.lower()).select(
+            F.col("doc"), (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["doc", "pos"])
+    return out.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )
+
+
 def ranking_auc(
     scored: DataFrame, score_col: str = "score_millinats", label_col: str = "correct"
 ) -> DataFrame:

@@ -2480,6 +2480,40 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, lower(ws[i]) AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    t1 AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+    t2 AS (SELECT doc_id, pos FROM toks WHERE term = 'value'),
+    t3 AS (SELECT doc_id, pos FROM toks WHERE term = 'table')
+    SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM t1
+    JOIN t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    JOIN t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+    GROUP BY t1.doc_id
+    """,
+    doc="Exact phrase search ('hash value table') over a positional "
+    "inverted index (operators/textstats.py:phrase_search) — the query "
+    "side of the index text_inverted_index builds: posexplode to the "
+    "(doc, pos, term) posting relation, per-term selective filters, "
+    "k-1 adjacency equi-joins on (doc, pos + i), per-doc match count "
+    "(overlapping occurrences all count). At 100 TB the postings "
+    "relation is term-partitioned, so a phrase query touches only its "
+    "terms' shards and joins term-selective slivers, never the corpus. "
+    "The oracle rebuilds positions with generate_series (1-based vs "
+    "Spark's 0-based posexplode — adjacency arithmetic is base-"
+    "invariant).",
+    tags=("llm", "text"),
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.phrase_search(_docs(spark, sf_dir), ["hash", "value", "table"])
+
+
+@query(
     "classifier_calibration_bins",
     oracle=f"""
     WITH {_NB_CTES},

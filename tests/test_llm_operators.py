@@ -564,3 +564,24 @@ def test_inverted_index_consistency(spark, sf_dir):
             tf[row.doc_id] = n
     best = min(tf, key=lambda d: (-tf[d], d))
     assert idx[term].top_doc == best and idx[term].top_tf == tf[best]
+
+
+def test_phrase_search_overlapping_and_case(spark):
+    """Overlapping occurrences all count ('a a a' has two 'a a' matches);
+    matching is case-insensitive; docs without the full phrase are absent."""
+    from cartography_spark.operators.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 'a a' at pos 0 and 1
+            (2, "A a x a a"),        # case-fold: pos 0 and 3
+            (3, "a b a b a"),        # no adjacent 'a a'
+            (4, "b a a"),            # one at pos 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, ["a", "a"]).collect()}
+    assert got == {1: 2, 2: 2, 4: 1}
+    # three-term phrase
+    got3 = {r.doc_id: r.n_matches for r in phrase_search(docs, ["a", "a", "a"]).collect()}
+    assert got3 == {1: 1}
