@@ -1429,3 +1429,59 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_unique"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    doc="STREAMING session windows (streaming/events.py:sessionize): gap-"
+    "based session assignment in the state store via the built-in "
+    "session_window — the declarative form of a custom "
+    "applyInPandasWithState sessionizer — with a 2h watermark bounding "
+    "state, run to completion with Trigger.AvailableNow in complete "
+    "mode (append would emit only watermark-finalized sessions, "
+    "dropping each user's trailing open session at end-of-stream). The "
+    "streaming twin of the batch events_session_window query: the oracle is the "
+    "same gaps-and-islands SQL over the static events table, so exact "
+    "agreement proves the state-store session merge equals the batch "
+    "window semantics (sessions that OVERLAP via the 30-min gap are "
+    "merged identically whether events arrive as a stream or a scan).",
+    tags=("streaming", "window"),
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        sessionize,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = sessionize(stream, gap="30 minutes")
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # complete mode: append would emit only watermark-FINALIZED sessions,
+    # silently dropping every user's trailing open session at end-of-stream
+    out = run_available_now(sess, name, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
