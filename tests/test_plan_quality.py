@@ -212,3 +212,26 @@ def test_interval_overlap_pair_set_never_shuffled(spark):
     assert "event_id" not in plan.split("Join")[0]  # no event-id dedup above the join
     n_shuffle = len(re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single)", plan))
     assert n_shuffle <= 1, plan
+
+
+def test_plan_audit_covers_every_registry_query():
+    """PLAN_AUDIT.md must have exactly one row per registry query — the
+    artifact lagged the registry once (r4 shipped 273 rows for 274
+    queries); regen tools/plan_audit.py as the last step of any round
+    that touches the registry."""
+    import re
+    from pathlib import Path
+
+    from cartography_spark.plans.registry import all_queries
+
+    md = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
+    rows = [
+        m.group(1)
+        for m in re.finditer(r"^\| ([a-z0-9_]+) \|", md.read_text(), re.M)
+        if m.group(1) != "query"
+    ]
+    names = set(all_queries())
+    assert len(rows) == len(names), (
+        f"PLAN_AUDIT.md has {len(rows)} rows, registry has {len(names)} — regen tools/plan_audit.py"
+    )
+    assert set(rows) == names
