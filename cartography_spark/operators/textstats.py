@@ -316,6 +316,65 @@ def inverted_index(
     )
 
 
+def blockmax_index(
+    docs: DataFrame,
+    block_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Block-Max index construction — the skipping structure WAND-family
+    dynamic pruning consumes (Block-Max WAND, Ding & Suel SIGIR'11): the
+    posting list of each term is cut into fixed doc-id blocks and each
+    block stores its LOCAL maximum impact score, letting the query
+    processor skip a whole block when its max can't enter the top-k.
+
+    Per (term, block of ``block_size`` doc ids): posting count, max term
+    frequency, and the block-max tf*idf impact with idf quantized to
+    integer millinats (round(ln(N/df)*1000) — one quantized log per term,
+    identical IEEE double in any engine, everything after it integer).
+
+    Plan shape: explode -> (term, doc) tf aggregate (map-side combinable)
+    -> term df aggregate -> idf broadcast back -> (term, block) max
+    aggregate. Doc-id blocks mean the final aggregate's key is derived
+    arithmetically (doc DIV block_size) — no windows, no sorts; at 100 TB
+    each term shard builds its block maxima in one combinable pass, and
+    the output is |postings| / block_size rows — the same compression
+    knob the on-disk structure has.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    )
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n"))
+    tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(F.log(F.col("n") / F.col("df")) * 1000)
+            .cast("bigint")
+            .alias("idf_millinat"),
+        )
+    )
+    return (
+        tf.join(idf, "term")
+        .groupBy(
+            "term",
+            (F.col("doc") - (F.col("doc") % block_size)).alias("block_start"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            F.max(F.col("tf") * F.col("idf_millinat")).cast("bigint").alias("block_max_impact"),
+        )
+    )
+
+
 def phrase_search(
     docs: DataFrame,
     phrase: list[str] | tuple[str, ...],

@@ -2480,6 +2480,42 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_blockmax_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, t.term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT term, doc, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    idf AS (
+      SELECT term, CAST(round(ln(n.n * 1.0 / count(DISTINCT doc)) * 1000) AS BIGINT) AS idf_millinat
+      FROM tf CROSS JOIN n GROUP BY term, n.n
+    )
+    SELECT tf.term, CAST(tf.doc - (tf.doc % 64) AS BIGINT) AS block_start,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(max(tf.tf) AS BIGINT) AS max_tf,
+           CAST(max(tf.tf * idf.idf_millinat) AS BIGINT) AS block_max_impact
+    FROM tf JOIN idf USING (term)
+    GROUP BY tf.term, tf.doc - (tf.doc % 64)
+    """,
+    doc="Block-Max index construction (operators/textstats.py:"
+    "blockmax_index) — the skipping structure Block-Max WAND dynamic "
+    "pruning consumes (Ding & Suel SIGIR'11): per (term, 64-doc-id "
+    "block), posting count, max tf, and the block-local max tf*idf "
+    "impact, idf quantized once per term to integer millinats. Doc-id "
+    "blocks derive arithmetically (doc - doc%64), so the build is "
+    "explode + three combinable hash aggregates — no windows or sorts; "
+    "at 100 TB each term shard emits its block maxima in one pass and "
+    "output size is |postings|/64.",
+    tags=("llm", "text"),
+)
+def q_text_blockmax_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.blockmax_index(_docs(spark, sf_dir), block_size=64)
+
+
+@query(
     "text_phrase_search",
     oracle="""
     WITH toks AS (

@@ -585,3 +585,29 @@ def test_phrase_search_overlapping_and_case(spark):
     # three-term phrase
     got3 = {r.doc_id: r.n_matches for r in phrase_search(docs, ["a", "a", "a"]).collect()}
     assert got3 == {1: 1}
+
+
+def test_blockmax_index_upper_bounds(spark):
+    """Block maxima really bound every posting's impact in the block — the
+    invariant WAND skipping relies on — and block_start is the enclosing
+    64-aligned range."""
+    import math
+
+    from cartography_spark.operators.textstats import blockmax_index
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y"), (65, "x"), (70, "y y")],
+        "doc_id long, text string",
+    )
+    rows = blockmax_index(docs, block_size=64).collect()
+    n = 4
+    tf = {("x", 1): 3, ("x", 2): 1, ("x", 65): 1, ("y", 1): 1, ("y", 2): 1, ("y", 70): 2}
+    df = {"x": 3, "y": 3}
+    idf = {t: round(math.log(n / d) * 1000) for t, d in df.items()}
+    by_key = {(r.term, r.block_start): r for r in rows}
+    assert set(by_key) == {("x", 0), ("x", 64), ("y", 0), ("y", 64)}
+    for (term, blk), r in by_key.items():
+        members = {d for (t, d) in tf if t == term and d - d % 64 == blk}
+        assert r.n_postings == len(members)
+        assert r.max_tf == max(tf[(term, d)] for d in members)
+        assert r.block_max_impact == max(tf[(term, d)] * idf[term] for d in members)
