@@ -175,6 +175,37 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "batch_length_buckets",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n,
+             CAST(power(2, ceil(log2(greatest(len({_TOKS}), 16)))) AS BIGINT) AS tgt
+      FROM documents
+    )
+    SELECT tgt AS bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS real_tokens,
+           CAST(sum(tgt) AS BIGINT) AS padded_tokens,
+           CAST((sum(tgt) - sum(n)) * 1000 // sum(tgt) AS BIGINT) AS waste_permille
+    FROM t GROUP BY tgt
+    """,
+    doc="Power-of-two length-bucketed batching with padding-waste "
+    "accounting (operators/textprep.py:length_bucket_batches) — the "
+    "shuffle-light alternative to bin packing when examples must stay "
+    "intact: each doc pads to the next power-of-two token length >= 16; "
+    "the report prices the padding per bucket (waste in integer "
+    "permille). Bucket assignment is a pure per-row expression, so the "
+    "only shuffle is one ~log2(max_len)-group combinable aggregate — vs "
+    "ntile bucketing's global sort — and bucket ids are stable under "
+    "data growth (a reproducibility property ntile lacks).",
+    tags=("llm", "sampling"),
+)
+def q_batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.length_bucket_batches(_docs(spark, sf_dir), min_bucket=16)
+
+
+@query(
     "lang_temperature_weights",
     oracle="""
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

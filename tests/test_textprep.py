@@ -99,3 +99,26 @@ def test_udtf_chunker_matches_jvm_chunker(spark, sf_dir):
     jvm = {tuple(r) for r in chunk_documents(docs).collect()}
     py = {tuple(r) for r in chunk_documents_udtf(docs).collect()}
     assert jvm == py and jvm
+
+
+def test_length_bucket_batches_boundaries(spark):
+    """Exact powers of two stay in their own bucket (no pad); min_bucket
+    floors tiny docs; waste is integer permille of the padded total."""
+    from cartography_spark.operators.textprep import length_bucket_batches
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 16)),   # exactly 16 -> bucket 16, no waste
+            (2, " ".join(["w"] * 17)),   # 17 -> bucket 32
+            (3, " ".join(["w"] * 3)),    # 3 -> floored to bucket 16
+            (4, " ".join(["w"] * 32)),   # exactly 32 -> bucket 32
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket_len: r for r in length_bucket_batches(docs, min_bucket=16).collect()}
+    assert set(rows) == {16, 32}
+    b16, b32 = rows[16], rows[32]
+    assert (b16.n_docs, b16.real_tokens, b16.padded_tokens) == (2, 19, 32)
+    assert b16.waste_permille == (32 - 19) * 1000 // 32
+    assert (b32.n_docs, b32.real_tokens, b32.padded_tokens) == (2, 49, 64)
+    assert b32.waste_permille == (64 - 49) * 1000 // 64
