@@ -262,6 +262,61 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+@query(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    band AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored WHERE cosine >= 0.2 AND cosine < 0.45
+    )
+    SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM band WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "anchor (vec_id < 8, the constant query frame retrieval_eval_ndcg "
+    "also uses), the top-5 most similar vectors inside the hard-negative "
+    "band 0.2 <= cos < 0.45 — similar enough to be informative, below "
+    "the near-dup ceiling that would make them false negatives (the "
+    "batch producer of triplet/InfoNCE training pairs). Exact cosine "
+    "JVM-side (zip_with fold), band filter BEFORE the per-anchor top-k "
+    "window so the ranked set is already pruned; the anchor frame is a "
+    "broadcast constant, so the scan parallelizes over the corpus side "
+    "at any scale, and the per-anchor window sorts only banded "
+    "candidates. Cosine rounded to 4dp on both engines before the "
+    "band/rank so the filter and order are bit-identical.",
+    tags=("llm", "similarity"),
+)
+def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cos = sim.cosine_similarity(
+        F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cos, 4).alias("cosine"))
+        .filter((F.col("cosine") >= 0.2) & (F.col("cosine") < 0.45))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 _SIG_SQL = """
     list_aggregate(list_transform(generate_series(0, 7), i ->
       CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j ->

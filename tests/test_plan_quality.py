@@ -89,6 +89,7 @@ _SCALAR_ATTACH = {
     "sketch_kmv_intersection",      # x broadcast(1-row kth hash + 1-row exact count)
     "embedding_label_centroids",    # x broadcast(1-row min/max arrays, via int8_quantize)
     "retrieval_eval_ndcg",          # exact lane x broadcast(8-row query frame — constant by contract)
+    "contrastive_hard_negatives",   # x broadcast(8-row anchor frame — same constant contract)
     "sketch_kmv_difference",        # x broadcast(1-row kth hash + 1-row exact count)
     "sync_metadata_merge",          # x broadcast(1-row skipped-stage count)
     "dataset_split_leakage_safe",   # x broadcast(1-row leaky-cluster count)
@@ -108,6 +109,7 @@ _SCALAR_ATTACH = {
     "tpch_q11_important_stock",     # x broadcast(1-row global value total)
     "tpch_q15_top_supplier",        # x broadcast(1-row max revenue scalar)
     "text_bm25_topk",               # x broadcast(1-row corpus N/avgdl stats)
+    "text_blockmax_index",          # x broadcast(1-row corpus doc count for idf)
     "events_cooccurrence_lift",     # x broadcast(1-row distinct-user count)
     "mixture_apportionment",        # x broadcast(1-row total + 1-row used-slots)
 }
