@@ -58,6 +58,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_char_entropy",
     "similarity_binary_hamming",
+    "text_blockmax_index",
 ]
 
 # Measured and reported, but excluded from the headline total: raw pair-list
