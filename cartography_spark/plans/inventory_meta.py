@@ -671,11 +671,14 @@ _FRAMEWORK_MAPPING_VALUES = """
 )
 def q_rules_framework_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.plans.inventory_lifecycle import base_catalog
-    from cartography_spark.plans.rules import framework_rollup, run_rules
+    from cartography_spark.plans.rules import framework_rollup, run_rules_batched
     from cartography_spark.plans.rules_corpus import build_corpus_rules
 
     cat = base_catalog(spark, sf_dir)
-    results = run_rules(build_corpus_rules(spark, sf_dir), cat)
+    # batched runner: one unioned findings job + one cached count per
+    # distinct label, instead of the reference's ~2-actions-per-rule
+    # sequential loop (results identical — run_rules is the parity form)
+    results = run_rules_batched(build_corpus_rules(spark, sf_dir), cat)
     return framework_rollup(results)
 
 

@@ -189,6 +189,100 @@ def run_rules(rules: list[Rule] | tuple[Rule, ...], catalog: GraphCatalog) -> li
     ]
 
 
+def run_rules_batched(
+    rules: list[Rule] | tuple[Rule, ...], catalog: GraphCatalog
+) -> list[RuleResult]:
+    """Spark-first batched rule execution: identical results to
+    :func:`run_rules`, a fraction of the driver round-trips.
+
+    The reference runner (rules/runners.py:188-340) executes rules
+    sequentially — each fact is its own query plus its own count query,
+    so N rules cost ~2N driver actions. Here all fact findings are
+    tagged with their fact_id, unioned into ONE plan, and every fact's
+    distinct-failing count comes back from a single groupBy job; total-
+    asset counts are computed once per DISTINCT asset label / count
+    query (rules share labels, the sequential form re-counts them per
+    rule). 23 corpus rules: ~50 sequential actions -> 1 union job + ~7
+    cached counts. At scale the union job reads each fact's inputs in
+    one pass and the per-fact aggregate is map-side combinable on the
+    (fact_id, asset) pairs.
+
+    Validation contract preserved: every fact's result frame must carry
+    its declared ``asset_id_field`` (model.py:414-462), enforced before
+    the union so a schema break still names the offending fact.
+    """
+    facts = [(rule, fact) for rule in rules for fact in rule.facts]
+    tagged = None
+    for _, fact in facts:
+        df = fact.query(catalog)
+        if fact.asset_id_field not in df.columns:
+            raise ValueError(
+                f"fact {fact.fact_id}: result is missing asset_id_field "
+                f"{fact.asset_id_field!r} (schema validation, model.py:414-462)"
+            )
+        part = df.select(
+            F.lit(fact.fact_id).alias("__fact"),
+            F.col(fact.asset_id_field).cast("string").alias("__asset"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    failing: dict[str, int] = {}
+    if tagged is not None:
+        failing = {
+            r["__fact"]: r["n"]
+            for r in tagged.groupBy("__fact")
+            .agg(F.countDistinct("__asset").alias("n"))
+            .collect()
+        }
+    # totals: all label counts in ONE unioned job; custom count_query
+    # callables (opaque ints by contract) cached per callable identity
+    labels_needed = sorted(
+        {f.asset_label for _, f in facts if f.count_query is None}
+    )
+    label_total: dict[str, int] = {}
+    if labels_needed:
+        counts = None
+        for lbl in labels_needed:
+            one = catalog.node(lbl).agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(lbl).alias("__lbl"), "n"
+            )
+            counts = one if counts is None else counts.unionByName(one)
+        label_total = {r["__lbl"]: r["n"] for r in counts.collect()}
+    fn_total: dict[int, int] = {}
+
+    def total_of(fact: Fact) -> int:
+        if fact.count_query is not None:
+            key = id(fact.count_query)
+            if key not in fn_total:
+                fn_total[key] = fact.count_query(catalog)
+            return fn_total[key]
+        return label_total[fact.asset_label]
+
+    by_rule: dict[str, list[FactResult]] = {}
+    for rule, fact in facts:
+        n_fail = failing.get(fact.fact_id, 0)
+        total = total_of(fact)
+        by_rule.setdefault(rule.rule_id, []).append(
+            FactResult(
+                fact=fact,
+                findings=fact.query(catalog),
+                failing_assets=n_fail,
+                total_assets=total,
+                passing_assets=max(total - n_fail, 0),
+            )
+        )
+    return [
+        RuleResult(
+            rule_id=rule.rule_id,
+            rule_name=rule.name,
+            rule_description=rule.description,
+            facts=by_rule.get(rule.rule_id, []),
+            rule_tags=rule.tags,
+            rule_frameworks=rule.frameworks,
+        )
+        for rule in rules
+    ]
+
+
 def framework_rollup(results: list[RuleResult]) -> DataFrame:
     """Per-(framework, requirement) compliance rollup over executed rules —
     the DataFrame form of the reference's ``cartography-rules frameworks``

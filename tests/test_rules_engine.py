@@ -141,3 +141,24 @@ def test_framework_rollup_math(spark, sf_dir):
         assert r.failing_assets <= r.total_assets
     # cc6.3 is mapped by four rules in the corpus
     assert rows[("soc2", "cc6.3")].n_rules == 4
+
+
+def test_batched_runner_equals_sequential(spark, sf_dir):
+    """run_rules_batched must produce the exact per-fact counters the
+    sequential reference-parity runner does, rule by rule."""
+    from cartography_spark.plans.rules import run_rules, run_rules_batched
+    from cartography_spark.plans.rules_corpus import build_corpus_rules
+
+    cat = base_catalog(spark, sf_dir)
+    rules = build_corpus_rules(spark, sf_dir)
+    seq = {
+        fr.fact.fact_id: (fr.failing_assets, fr.passing_assets, fr.total_assets)
+        for r in run_rules(rules, cat)
+        for fr in r.facts
+    }
+    bat = {
+        fr.fact.fact_id: (fr.failing_assets, fr.passing_assets, fr.total_assets)
+        for r in run_rules_batched(rules, cat)
+        for fr in r.facts
+    }
+    assert seq == bat
