@@ -387,27 +387,31 @@ def phrase_search(
     (doc_id, n_matches) for documents containing the phrase at least once;
     overlapping occurrences all count.
 
-    Plan shape: one posexplode to the (doc, pos, term) positional posting
-    relation, then one selective filter per phrase term and k-1 equi-joins
-    on (doc, pos + i) adjacency. Each join side is a single term's posting
-    list — at 100 TB the postings relation is hash-partitioned by term
-    (the inverted_index shuffle), so a phrase query touches only its
-    terms' shards, and the adjacency joins key on (doc, pos) where both
-    sides are term-selective slivers of the corpus, never the corpus
-    itself. No windows, no arrays carried past the explode.
+    Plan shape: ONE scan + posexplode producing only the phrase's own
+    terms' postings (term IN (...) right after the explode), the sliver
+    checkpointed doc-partitioned so the k per-term branches reuse one
+    materialization instead of re-scanning + re-exploding the corpus per
+    term, then k-1 equi-joins on (doc, pos + i) adjacency. At 100 TB the
+    corpus is read once; everything after the IN filter is
+    phrase-selective (a few postings per matching doc), and the
+    adjacency joins are co-partitioned on doc by construction. No
+    windows, no arrays carried past the explode.
     """
     if len(phrase) < 2:
         raise ValueError("phrase must have at least two terms")
+    terms = [t.lower() for t in phrase]
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
-    )
+    ).filter(F.col("term").isin(terms))
+    # one materialization of the tiny phrase-term sliver, reused by every
+    # per-term branch (without it each branch re-scans + re-explodes)
     toks = toks.repartition(
         toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
-    )
-    out = toks.filter(F.col("term") == phrase[0].lower()).select("doc", "pos")
-    for i, term in enumerate(phrase[1:], start=1):
-        nxt = toks.filter(F.col("term") == term.lower()).select(
+    ).localCheckpoint(eager=False)
+    out = toks.filter(F.col("term") == terms[0]).select("doc", "pos")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == term).select(
             F.col("doc"), (F.col("pos") - i).alias("pos")
         )
         out = out.join(nxt, ["doc", "pos"])
