@@ -349,7 +349,14 @@ def blockmax_index(
         toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
     )
     n_docs = docs.agg(F.countDistinct(id_col).alias("n"))
-    tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df/idf aggregate and the final block rollup:
+    # checkpoint it so the corpus is scanned + exploded + counted once,
+    # not once per branch
+    tf = (
+        toks.groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc").alias("df"))
