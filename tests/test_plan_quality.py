@@ -237,3 +237,39 @@ def test_plan_audit_covers_every_registry_query():
         f"PLAN_AUDIT.md has {len(rows)} rows, registry has {len(names)} — regen tools/plan_audit.py"
     )
     assert set(rows) == names
+
+
+def test_phrase_search_single_corpus_pass(spark):
+    """Phrase search must materialize the phrase-term posting sliver once:
+    the final plan joins checkpointed RDD scans, never a second parquet
+    scan + explode per phrase term."""
+    from cartography_spark.operators.textstats import phrase_search
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = phrase_search(docs, ["hash", "value", "table"])
+    df.collect()  # finalize AQE + materialize the lazy checkpoint
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 0, "per-term corpus re-scan crept back in"
+    assert "SortMergeJoin" not in plan
+
+
+def test_blockmax_single_tf_pass(spark):
+    """The blockmax build must compute the (term, doc) tf relation once —
+    one parquet scan feeding both the idf branch and the block rollup."""
+    from cartography_spark.operators.textstats import blockmax_index
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = blockmax_index(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, "tf branch re-scan crept back in"
+
+
+def test_length_buckets_single_shuffle(spark):
+    """Bucket assignment is a per-row expression: exactly one Exchange (the
+    final combinable aggregate), nothing resembling a global sort."""
+    reg = _registry()
+    plan = _plan(reg["batch_length_buckets"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1 and "Sort" not in plan
