@@ -392,3 +392,30 @@ def test_viterbi_min_pieces_property(spark, word_lists, min_count):
     for i, ws in enumerate(word_lists):
         expect = (len(ws), sum(len(w) for w in ws), sum(mp(w) for w in ws))
         assert out[i] == expect, (i, ws, out[i], expect)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase=st.lists(st.sampled_from("ab"), min_size=2, max_size=3),
+)
+@settings(max_examples=12, deadline=None)
+def test_phrase_search_matches_bruteforce(spark, docs, phrase):
+    """phrase_search equals the naive per-doc sliding-window count on
+    arbitrary tiny corpora (overlaps included, absent docs omitted)."""
+    from cartography_spark.operators.textstats import phrase_search
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches for r in phrase_search(df, list(phrase)).collect()}
+    want = {}
+    k = len(phrase)
+    for i, words in enumerate(docs):
+        toks = " ".join(words).split(" ")  # mirrors the operator's split(' ')
+        n = sum(1 for j in range(len(toks) - k + 1) if toks[j : j + k] == list(phrase))
+        if n:
+            want[i] = n
+    assert got == want
