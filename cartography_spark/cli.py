@@ -176,6 +176,37 @@ def cmd_rules_frameworks(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rules_rollup(args: argparse.Namespace) -> int:
+    """Per-(framework, requirement) compliance rollup over executed rules
+    (plans/rules.py framework_rollup; the `frameworks` listing extended
+    with runners.py:121-134 compliance math, batched execution)."""
+    from cartography_spark.plans.rules import framework_rollup, run_rules_batched
+    from cartography_spark.plans.rules_corpus import full_rule_set
+
+    spark = get_spark("cartography-spark-rules")
+    cat = GraphCatalog.load(spark, args.warehouse)
+    if getattr(args, "sf_dir", None):
+        rules = [r for r in full_rule_set(spark, args.sf_dir) if r.frameworks]
+    else:
+        from cartography_spark.plans.rules_library import CATALOG_RULES
+
+        rules = [r for r in CATALOG_RULES if r.frameworks]
+    if not rules:
+        print("no framework-mapped rules available", file=sys.stderr)
+        return 1
+    rows = (
+        framework_rollup(run_rules_batched(rules, cat))
+        .orderBy("framework", "requirement")
+        .collect()
+    )
+    print(f"{'framework':<14}{'requirement':<14}{'rules':>6}{'failing':>9}"
+          f"{'assets_fail':>12}{'assets_total':>13}")
+    for r in rows:
+        print(f"{r.framework:<14}{r.requirement:<14}{r.n_rules:>6}{r.n_failing_rules:>9}"
+              f"{r.failing_assets:>12}{r.total_assets:>13}")
+    return 0
+
+
 def cmd_drift_get_state(args: argparse.Namespace) -> int:
     spark = get_spark("cartography-spark-drift")
     cat = GraphCatalog.load(spark, args.warehouse)
@@ -307,6 +338,13 @@ def build_parser() -> argparse.ArgumentParser:
     rl.set_defaults(fn=cmd_rules_list)
     rf = rsub.add_parser("frameworks", help="aggregated framework summary")
     rf.set_defaults(fn=cmd_rules_frameworks)
+    ru = rsub.add_parser("rollup", help="per-control compliance rollup over executed rules")
+    ru.add_argument("--warehouse", required=True)
+    ru.add_argument(
+        "--sf-dir", dest="sf_dir",
+        help="raw-table directory; enables the full framework-mapped corpus",
+    )
+    ru.set_defaults(fn=cmd_rules_rollup)
 
     d = sub.add_parser("drift", help="state snapshot + drift detection")
     dsub = d.add_subparsers(dest="drift_cmd", required=True)

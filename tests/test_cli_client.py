@@ -46,6 +46,11 @@ def test_cli_full_lifecycle(tmp_path, capsys):
     cov = capsys.readouterr().out
     assert "iso27001" in cov and "<-" in cov
 
+    # per-control compliance rollup (batched runner)
+    assert main(["rules", "rollup", "--warehouse", wh]) == 0
+    roll = capsys.readouterr().out
+    assert "framework" in roll.splitlines()[0] and "iso27001" in roll
+
     # drift archive: register templates, sweep twice, detect via shortcut
     assert main(["drift", "init-query", "--state-dir", states, "--name", "cust",
                  "--sql", "SELECT id FROM n_Customer WHERE acctbal >= 0"]) == 0
