@@ -465,7 +465,7 @@ def cluster_min_label(
     vertices: DataFrame,
     max_iter: int = 6,
     id_col: str = "doc_id",
-    hop_fusion: bool = True,
+    hop_fusion: bool = False,
 ) -> DataFrame:
     """Near-dup pair sets -> clusters: bounded min-label propagation.
 
@@ -516,12 +516,14 @@ def cluster_min_label(
     remaining = max_iter
     n_block = 0
     while remaining > 0:
-        # blocks of 1,1,2,2,...: shallow components (the common near-dup
-        # star) converge in block 1 and confirm in block 2 with EXACTLY the
-        # per-hop loop's work; only chains that are still changing after
-        # two hops pay fused blocks (which then halve the job count).
-        # hop_fusion=False pins the pre-fusion per-hop schedule (1,1,1,...)
-        # so tools/ab_bench.py can A/B the two shapes in one session.
+        # Default schedule is PER-HOP (1,1,1,...): interleaved A/Bs at
+        # sf0.1 AND sf1 measured the r4 fused 1,1,2,2 schedule 15-20%
+        # SLOWER with non-overlapping run ranges — the dup graphs need
+        # ~3 hops, so every fused block past the front runs one wasted
+        # full-data hop after the fixed point, and per-hop's extra
+        # barrier is cheaper than that hop (see SCALE.md round-5).
+        # hop_fusion=True keeps the fused shape available for graphs
+        # whose barrier cost dominates per-hop data cost.
         step = 1 if (n_block < 2 or not hop_fusion) else min(2, remaining)
         n_block += 1
         block = labels
@@ -557,7 +559,7 @@ def cluster_min_label_bipartite(
     max_iter: int = 6,
     id_col: str = "doc_id",
     bucket_col: str = "bucket",
-    hop_fusion: bool = True,
+    hop_fusion: bool = False,
 ) -> DataFrame:
     """Min-label clustering over BUCKET MEMBERSHIPS instead of pairs —
     star contraction on the hypergraph whose hyperedges are LSH buckets.
@@ -613,12 +615,14 @@ def cluster_min_label_bipartite(
     remaining = max_iter
     n_block = 0
     while remaining > 0:
-        # blocks of 1,1,2,2,...: shallow components (the common near-dup
-        # star) converge in block 1 and confirm in block 2 with EXACTLY the
-        # per-hop loop's work; only chains that are still changing after
-        # two hops pay fused blocks (which then halve the job count).
-        # hop_fusion=False pins the pre-fusion per-hop schedule (1,1,1,...)
-        # so tools/ab_bench.py can A/B the two shapes in one session.
+        # Default schedule is PER-HOP (1,1,1,...): interleaved A/Bs at
+        # sf0.1 AND sf1 measured the r4 fused 1,1,2,2 schedule 15-20%
+        # SLOWER with non-overlapping run ranges — the dup graphs need
+        # ~3 hops, so every fused block past the front runs one wasted
+        # full-data hop after the fixed point, and per-hop's extra
+        # barrier is cheaper than that hop (see SCALE.md round-5).
+        # hop_fusion=True keeps the fused shape available for graphs
+        # whose barrier cost dominates per-hop data cost.
         step = 1 if (n_block < 2 or not hop_fusion) else min(2, remaining)
         n_block += 1
         block = labels
@@ -808,7 +812,7 @@ def minhash_cluster_collapsed(
     max_iter: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hop_fusion: bool = True,
+    hop_fusion: bool = False,
 ) -> DataFrame:
     """The 100 TB-sane MinHash dedup contract: (id, cluster, keep) — O(N)
     output — instead of the O(pairs) candidate list.

@@ -42,23 +42,33 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _variant_minhash_perhop(spark, sf_dir):
-    """The r3 cluster-loop shape: per-hop schedule (1,1,1,...), no fusion.
+def _minhash_variant(hop_fusion: bool):
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
 
-    Everything else identical to the registry's dedup_minhash_collapsed
-    (same params as plans/inventory_llm.py:q_dedup_minhash_collapsed).
-    """
-    from cartography_spark.operators import dedup as dd
-    from cartography_spark.sources.parquet import load_table
+        from cartography_spark.operators import dedup as dd
+        from cartography_spark.sources.parquet import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_cluster_collapsed(
-        docs, num_perm=16, n=3, bands=4, max_iter=6, hop_fusion=False
-    )
+        docs = load_table(spark, sf_dir, "documents")
+        copies = docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        return dd.minhash_cluster_collapsed(
+            docs.unionByName(copies),
+            num_perm=32, n=3, bands=4, max_iter=6, hop_fusion=hop_fusion,
+        )
+
+    return run
 
 
 VARIANTS = {
-    "minhash_collapsed_perhop": _variant_minhash_perhop,
+    # the r3 cluster-loop shape — per-hop schedule (1,1,1,...). As of
+    # round 5 this IS the registry default (the round-5 interleaved A/Bs
+    # at sf0.1 and sf1 measured it 15-20% faster than the fused form,
+    # non-overlapping ranges — see SCALE.md).
+    "minhash_collapsed_perhop": _minhash_variant(hop_fusion=False),
+    # the r4 fused 1,1,2,2 schedule, kept reproducible for the record
+    "minhash_collapsed_fused": _minhash_variant(hop_fusion=True),
 }
 
 
