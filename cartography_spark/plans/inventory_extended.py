@@ -1432,6 +1432,49 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_minute_rollup",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           ROUND(min(value), 2) AS min_value,
+           ROUND(max(value), 2) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Streaming front-end of the continuous-aggregate hierarchy "
+    "(streaming/events.py:minute_rollup_stream; batch levels in "
+    "operators/rollup.py): per-minute mergeable partials "
+    "(count/sum/min/max) with watermarked state, run to completion under "
+    "Trigger.AvailableNow in complete mode. The classic 'streaming "
+    "ingest, batch rollup' split with no lambda-architecture divergence "
+    "— the stream's final table must EQUAL the batch minute aggregate "
+    "(the oracle), which is what lets downstream hour/day levels merge "
+    "stream output and backfill output interchangeably.",
+    tags=("streaming", "rollup"),
+)
+def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.streaming.events import (
+        minute_rollup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    roll = minute_rollup_stream(stream)
+    name = f"stream_minute_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(roll, name, output_mode="complete")
+    return out.select(
+        "bucket",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@query(
     "streaming_session_window",
     oracle="""
     WITH o AS (

@@ -91,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     # --- new in r05 (unverified until a driver pass reaches them) ---
     "rules_framework_rollup", "text_phrase_search", "streaming_session_window",
     "text_blockmax_index", "batch_length_buckets", "contrastive_hard_negatives",
+    "streaming_minute_rollup",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",
