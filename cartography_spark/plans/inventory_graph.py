@@ -429,6 +429,50 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard_pairs(rel, "c", "s", threshold=0.4)
 
 
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH nb AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 300
+    ),
+    deg AS (SELECT s, count(*) AS d FROM nb GROUP BY s HAVING count(*) >= 2),
+    w AS (
+      SELECT nb.c, nb.s, CAST(round(1000.0 / ln(deg.d)) AS BIGINT) AS wm
+      FROM nb JOIN deg USING (s)
+    )
+    SELECT a.c AS a, b.c AS b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(a.wm) AS BIGINT) AS aa_millinat
+    FROM w a JOIN w b ON a.s = b.s AND a.c < b.c
+    GROUP BY a.c, b.c
+    HAVING sum(a.wm) >= 2000
+    """,
+    doc="Adamic-Adar link prediction between customers over shared "
+    "suppliers (operators/graph.py:adamic_adar_pairs): sum over shared "
+    "neighbors of 1/ln(degree) — rare shared suppliers count more than "
+    "popular ones, the weighted refinement of the common-neighbor / "
+    "Jaccard features beside it. One quantized log per supplier "
+    "(integer millinats) rides along the posting rows, so the score is "
+    "a pure integer sum and hash-compares exactly; the self-join is on "
+    "the supplier side (postings^2, never customers^2), same inverted-"
+    "index discipline as graph_neighbor_jaccard.",
+    tags=("graph", "similarity"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import adamic_adar_pairs
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    li = T(spark, sf_dir, "lineitem")
+    rel = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    return adamic_adar_pairs(rel, "c", "s", min_millinat=2000).select(
+        F.col("a"), F.col("b"), "n_common", "aa_millinat"
+    )
+
+
 def _modularity_oracle(rounds: int = 3) -> str:
     body = _lpa_cte(rounds)
     return f"""{body}

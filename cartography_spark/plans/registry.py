@@ -53,11 +53,11 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # r05 rotation (this file): r01 ∪ r02 ∪ r03 ∪ r04 certified 200 distinct
 # queries, all green. The front 74 below are every remaining unverified query;
 # the driver's ~50-query window covers the first 50 this round, and the next
-# 24 — plus the 7 queries ADDED in r05 (rules_framework_rollup,
+# 24 — plus the 8 queries ADDED in r05 (rules_framework_rollup,
 # text_phrase_search, streaming_session_window, text_blockmax_index,
-# batch_length_buckets, contrastive_hard_negatives, streaming_minute_rollup)
-# — are pre-ordered as the 31-query r06 block, so r06 needs no further
-# rotation to reach 281/281 cumulative. The demoted 200 stay re-verified every round by the local gate
+# batch_length_buckets, contrastive_hard_negatives, streaming_minute_rollup,
+# graph_adamic_adar) — are pre-ordered as the 32-query r06 block, so r06
+# needs no further rotation to reach 282/282 cumulative. The demoted 200 stay re-verified every round by the local gate
 # (tools/oracle_check.py).
 PRIORITY: tuple[str, ...] = (
     # --- r05 front: 74 queries with no CORRECTNESS row in r01-r04.
@@ -91,7 +91,7 @@ PRIORITY: tuple[str, ...] = (
     # --- new in r05 (unverified until a driver pass reaches them) ---
     "rules_framework_rollup", "text_phrase_search", "streaming_session_window",
     "text_blockmax_index", "batch_length_buckets", "contrastive_hard_negatives",
-    "streaming_minute_rollup",
+    "streaming_minute_rollup", "graph_adamic_adar",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",

@@ -172,3 +172,27 @@ def test_temporal_reachability_respects_time(spark):
     )
     got = {r.node: r.arrival for r in temporal_reachability(edges, 1, rounds=4).collect()}
     assert got == {1: 0, 2: 5, 4: 7, 3: 9}
+
+
+def test_adamic_adar_weights_rare_neighbors_higher(spark):
+    """A pair sharing one RARE item must outscore a pair sharing one
+    POPULAR item, degree-1 items contribute nothing, and the score is the
+    exact integer sum of per-item millinat weights."""
+    import math
+
+    from cartography_spark.operators.graph import adamic_adar_pairs
+
+    rel = spark.createDataFrame(
+        # item r (deg 2, rare) shared by (1,2); item p (deg 4, popular)
+        # shared by (3,4),(3,5),(4,5)...; item u (deg 1) never pairs
+        [(1, "r"), (2, "r"), (3, "p"), (4, "p"), (5, "p"), (6, "p"), (7, "u")],
+        "id long, item string",
+    )
+    rows = {(r.a, r.b): r for r in adamic_adar_pairs(rel, "id", "item").collect()}
+    w_r = round(1000 / math.log(2))
+    w_p = round(1000 / math.log(4))
+    assert rows[(1, 2)].aa_millinat == w_r
+    assert rows[(3, 4)].aa_millinat == w_p
+    assert w_r > w_p  # rare shared neighbor outscores popular one
+    assert rows[(1, 2)].n_common == 1
+    assert not any(a == 7 or b == 7 for (a, b) in rows)
