@@ -460,7 +460,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index discipline as graph_neighbor_jaccard.",
     tags=("graph", "similarity"),
 )
-def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.graph import adamic_adar_pairs
 
     orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
