@@ -78,7 +78,9 @@ def _best_of_n(spec, spark, sf_dir: str) -> float:
     # times, with an early exit once two consecutive runs show NO
     # improvement at all (a still-descending warmup curve — e.g. two
     # consecutive ~9% gains — must keep running, so stale only counts
-    # runs that fail to beat the best).
+    # runs that fail to beat the best). A deliberate 4-run floor (i >= 3)
+    # applies on top: warmup curves keep descending through run 4-5, so
+    # two early non-improvements are treated as noise, never as an exit.
     best = float("inf")
     stale = 0
     for i in range(5):

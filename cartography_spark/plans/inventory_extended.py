@@ -1504,7 +1504,17 @@ def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same gaps-and-islands SQL over the static events table, so exact "
     "agreement proves the state-store session merge equals the batch "
     "window semantics (sessions that OVERLAP via the 30-min gap are "
-    "merged identically whether events arrive as a stream or a scan).",
+    "merged identically whether events arrive as a stream or a scan). "
+    "PRODUCTION-CONTINUOUS NOTE: complete mode is strictly the run-to-"
+    "completion parity choice — under Trigger.AvailableNow it emits the "
+    "result table exactly once, at the end. A continuously-triggered "
+    "deployment must NOT use it (complete re-emits the ENTIRE result "
+    "table every trigger, unbounded in stream length); the production "
+    "shape is append mode — each session row emitted exactly once, when "
+    "the watermark passes session_end + gap — plus, when the dashboard "
+    "needs in-flight sessions, a side read of the open-session tail from "
+    "the state store (spark.read.format('statestore') on the checkpoint) "
+    "unioned over the append sink's finalized history.",
     tags=("streaming", "window"),
 )
 def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -212,6 +212,12 @@ def run_rules_batched(
     the union so a schema break still names the offending fact.
     """
     facts = [(rule, fact) for rule in rules for fact in rule.facts]
+    # failing counts are keyed by fact_id across the whole union — a duplicate
+    # fact_id in two rules would silently merge their findings into one count
+    fact_ids = [fact.fact_id for _, fact in facts]
+    dupes = {fid for fid in fact_ids if fact_ids.count(fid) > 1}
+    if dupes:
+        raise ValueError(f"duplicate fact_id(s) across rules: {sorted(dupes)}")
     tagged = None
     for _, fact in facts:
         df = fact.query(catalog)
@@ -227,10 +233,16 @@ def run_rules_batched(
         tagged = part if tagged is None else tagged.unionByName(part)
     failing: dict[str, int] = {}
     if tagged is not None:
+        # distinct-asset count must match the reference's Python-set semantics
+        # (a NULL asset_id is one set element) — countDistinct drops NULLs, so
+        # count distinct groups instead: groupBy collapses all NULLs into one
+        # group, and both aggregates are map-side combinable
         failing = {
             r["__fact"]: r["n"]
-            for r in tagged.groupBy("__fact")
-            .agg(F.countDistinct("__asset").alias("n"))
+            for r in tagged.groupBy("__fact", "__asset")
+            .count()
+            .groupBy("__fact")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
     # totals: all label counts in ONE unioned job; custom count_query
@@ -296,7 +308,13 @@ def framework_rollup(results: list[RuleResult]) -> DataFrame:
     already aggregated by the distributed fact queries themselves."""
     if not results:
         raise ValueError("no results")
-    spark = results[0].facts[0].findings.sparkSession
+    # a RuleResult may carry an empty facts list; take the session from the
+    # first result that actually has findings
+    spark = next(
+        (rr.facts[0].findings.sparkSession for rr in results if rr.facts), None
+    )
+    if spark is None:
+        raise ValueError("no results with facts")
     rows = [
         (
             fwk.short_name,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from cartography_spark.plans.frameworks import framework_coverage, fw
 from cartography_spark.plans.rules import Framework, run_rules
 from cartography_spark.plans.rules_formatters import format_json, format_text
@@ -162,3 +164,98 @@ def test_batched_runner_equals_sequential(spark, sf_dir):
         for fr in r.facts
     }
     assert seq == bat
+
+
+def _null_asset_catalog(spark):
+    """Tiny catalog whose 'Thing' node table is just ids; findings below
+    reference it by label for the total-asset count."""
+    from cartography_spark.catalog import ENGINE_NODE_COLS, GraphCatalog
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(6)], "id string"
+    )
+    for c in ENGINE_NODE_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("long"))
+    cat = GraphCatalog(spark=spark)
+    cat.set_node("Thing", df)
+    return cat
+
+
+def test_batched_counts_null_asset_ids_like_sequential(spark):
+    """A finding frame with NULL asset ids: reference semantics (Python set)
+    count NULL as ONE failing asset; the batched distinct-group count must
+    agree with the sequential distinct().count() — the ADVICE-flagged
+    F.countDistinct would silently drop the NULLs."""
+    from cartography_spark.plans.rules import Fact, Rule, run_rules, run_rules_batched
+
+    cat = _null_asset_catalog(spark)
+
+    def findings(c):
+        return c.spark.createDataFrame(
+            [("a",), ("a",), (None,), (None,), ("b",)], "id string"
+        )
+
+    rule = Rule(
+        rule_id="r-null",
+        name="null assets",
+        facts=(Fact(fact_id="f-null", name="n", query=findings,
+                    asset_label="Thing", asset_id_field="id"),),
+    )
+    seq = run_rules([rule], cat)[0].facts[0]
+    bat = run_rules_batched([rule], cat)[0].facts[0]
+    # 2 non-null distinct + the NULL group = 3 failing of 6 total
+    assert (seq.failing_assets, seq.total_assets) == (3, 6)
+    assert (bat.failing_assets, bat.passing_assets, bat.total_assets) == (
+        seq.failing_assets, seq.passing_assets, seq.total_assets)
+
+
+def test_batched_rejects_duplicate_fact_ids(spark):
+    """Failing counts are keyed by fact_id across the union; a collision
+    would merge two facts' findings — must be rejected up front."""
+    import pytest
+
+    from cartography_spark.plans.rules import Fact, Rule, run_rules_batched
+
+    cat = _null_asset_catalog(spark)
+
+    def findings(c):
+        return c.spark.createDataFrame([("a",)], "id string")
+
+    mk = lambda rid: Rule(
+        rule_id=rid, name=rid,
+        facts=(Fact(fact_id="f-shared", name="n", query=findings,
+                    asset_label="Thing", asset_id_field="id"),),
+    )
+    with pytest.raises(ValueError, match="duplicate fact_id"):
+        run_rules_batched([mk("r1"), mk("r2")], cat)
+
+
+def test_framework_rollup_skips_empty_facts_result(spark):
+    """A first RuleResult with an empty facts list must not crash the
+    session lookup (ADVICE: results[0].facts[0] raised IndexError)."""
+    import pytest
+
+    from cartography_spark.plans.rules import (
+        Fact, Framework, Rule, RuleResult, framework_rollup, run_rules,
+    )
+
+    cat = _null_asset_catalog(spark)
+
+    def findings(c):
+        return c.spark.createDataFrame([("a",)], "id string")
+
+    rule = Rule(
+        rule_id="r-x", name="x",
+        facts=(Fact(fact_id="f-x", name="n", query=findings,
+                    asset_label="Thing", asset_id_field="id"),),
+        frameworks=(Framework(name="SOC 2", short_name="soc2",
+                              requirement="cc1.1"),),
+    )
+    real = run_rules([rule], cat)[0]
+    empty = RuleResult(rule_id="r-empty", rule_name="e", rule_description="",
+                       facts=[])
+    rows = framework_rollup([empty, real]).collect()
+    assert len(rows) == 1 and rows[0].n_rules == 1
+    with pytest.raises(ValueError, match="no results with facts"):
+        framework_rollup([empty])
