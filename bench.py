@@ -59,6 +59,11 @@ HEADLINE = [
     "text_char_entropy",
     "similarity_binary_hamming",
     "text_blockmax_index",
+    # r6: the three heaviest r5 additions, promoted so sf1/sf5 artifacts give
+    # them round-over-round regression visibility (r5 verdict item 3)
+    "rules_framework_rollup",
+    "contrastive_hard_negatives",
+    "streaming_session_window",
 ]
 
 # Measured and reported, but excluded from the headline total: raw pair-list

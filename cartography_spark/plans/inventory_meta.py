@@ -1030,3 +1030,288 @@ def q_job_orphan_node_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={"UPDATE_TAG": 100})
     return job.run(cat, params={"UPDATE_TAG": 100})[-1]  # second run proves idempotency
+
+
+# ---------------------------------------------------------------------------
+# Resource-edge backfill + unattributable sweep (cloudflare/github corpus shape)
+# ---------------------------------------------------------------------------
+
+_EDGE_BACKFILL_JOB_JSON = """
+{
+  "name": "DNS record RESOURCE edge backfill and orphan sweep",
+  "short_name": "record_resource_backfill",
+  "statements": [
+    {"query": "SELECT src_id, dst_id, firstseen, lastupdated FROM e_Region__RESOURCE__Customer UNION ALL SELECT a.src_id, zr.dst_id, r.firstseen, r.lastupdated FROM e_Region__RESOURCE__Nation a JOIN e_Nation__RESOURCE__Customer zr ON zr.src_id = a.dst_id JOIN n_Customer r ON r.id = zr.dst_id LEFT ANTI JOIN e_Region__RESOURCE__Customer c ON c.src_id = a.src_id AND c.dst_id = zr.dst_id WHERE a.src_id = $ACCOUNT_ID",
+     "writes": "Region,RESOURCE,Customer"},
+    {"query": "SELECT n.* FROM n_Customer n WHERE EXISTS (SELECT 1 FROM e_Region__RESOURCE__Customer e WHERE e.dst_id = n.id) OR EXISTS (SELECT 1 FROM e_Nation__RESOURCE__Customer e WHERE e.dst_id = n.id)",
+     "writes": "Customer"},
+    {"query": "SELECT e.* FROM e_Customer__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Customer n WHERE n.id = e.src_id)",
+     "writes": "Customer,LOCATED_IN,Nation"},
+    {"query": "SELECT n.id, a.dst_id IS NOT NULL AS has_account_edge, a.lastupdated AS account_lastupdated, z.dst_id IS NOT NULL AS has_zone_edge FROM n_Customer n LEFT JOIN e_Region__RESOURCE__Customer a ON a.dst_id = n.id LEFT JOIN e_Nation__RESOURCE__Customer z ON z.dst_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_resource_edge_backfill",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS k, n_regionkey,
+             CASE WHEN c_custkey % 2 = 1 THEN 60 ELSE 100 END AS rec_tag,
+             (c_custkey % 11 <> 0) AS has_zone,
+             (c_custkey % 3 = 0) AS pre_account
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT CAST(k AS VARCHAR) AS id,
+           (pre_account OR (n_regionkey = 0 AND has_zone)) AS has_account_edge,
+           CAST(CASE WHEN pre_account THEN 77
+                     WHEN n_regionkey = 0 AND has_zone THEN rec_tag
+                     ELSE NULL END AS BIGINT) AS account_lastupdated,
+           has_zone AS has_zone_edge
+    FROM c WHERE has_zone OR pre_account
+    """,
+    doc="Sub-resource re-scoping backfill + unattributable sweep — the "
+    "resource-edge migration shape of the reference corpus (data/jobs/"
+    "analysis/cloudflare_dnsrecord_resource_edge_migration.json; same "
+    "2-hop MERGE in github_repo_actions_secret_resource_edge_migration"
+    ".json): records formerly scoped per-zone gain a direct account "
+    "RESOURCE edge via the account->zone->record path, MERGE ON CREATE "
+    "SET rel.lastupdated = record.lastupdated (stale records stay "
+    "stale and cleanup-eligible — pre-existing account edges KEEP "
+    "their own tag 77), scoped by $ACCOUNT_ID exactly like the "
+    "reference's $account_id neo4j parameter. The second statement is "
+    "the corpus's follow-up global sweep: records whose zone was "
+    "DETACH-DELETEd before reconciliation carry no incoming RESOURCE "
+    "edge from anywhere and are unattributable garbage — deleted "
+    "set-based (the reference's LIMIT-chunked iterative DELETE is one "
+    "job here), with the detach half as a third statement dropping "
+    "their remaining LOCATED_IN edges. Cypher MERGE compiles to "
+    "UNION ALL + LEFT ANTI JOIN on the edge key; NOT (r)<-[:RESOURCE]-() "
+    "compiles to NOT EXISTS over both RESOURCE edge tables. Pre-state: "
+    "zone edges missing for custkey%11=0 (zone-deleted), account edges "
+    "pre-exist only for custkey%3=0 at tag 77, record tags 60/100 by "
+    "parity. The job runs TWICE (MERGE + sweep are idempotent); the "
+    "final read hashes every survivor's (account edge?, its tag, zone "
+    "edge?).",
+    tags=("engine", "job"),
+)
+def q_job_resource_edge_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    cust = cat.node("Customer")
+    k = F.col("id").cast("long")
+    # record tags by parity: ON CREATE must copy these onto the new edges
+    cat.set_node(
+        "Customer",
+        cust.withColumn(
+            "lastupdated",
+            F.when(k % 2 == 1, F.lit(60)).otherwise(F.lit(100)).cast("bigint"),
+        ),
+    )
+    cust = cat.node("Customer")
+    # zone->record RESOURCE edges; custkey%11=0 lost theirs with the zone
+    cat.set_edge(
+        ("Nation", "RESOURCE", "Customer"),
+        cust.filter(k % 11 != 0).select(
+            F.col("c_nationkey").cast("string").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            F.lit(100).cast("bigint").alias("firstseen"),
+            F.lit(100).cast("bigint").alias("lastupdated"),
+        ),
+    )
+    # account->record edges pre-exist only for custkey%3=0, at their own tag
+    nation_region = cat.edges[("Region", "RESOURCE", "Nation")].select(
+        F.col("dst_id").alias("nat_id"), F.col("src_id").alias("reg_id")
+    )
+    cat.set_edge(
+        ("Region", "RESOURCE", "Customer"),
+        cust.filter(k % 3 == 0)
+        .join(nation_region, cust["c_nationkey"].cast("string") == F.col("nat_id"))
+        .select(
+            F.col("reg_id").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            F.lit(100).cast("bigint").alias("firstseen"),
+            F.lit(77).cast("bigint").alias("lastupdated"),
+        ),
+    )
+    job = GraphJob.from_json(_EDGE_BACKFILL_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={"ACCOUNT_ID": "0"})
+    return job.run(cat, params={"ACCOUNT_ID": "0"})[-1]  # second run proves idempotency
+
+
+# ---------------------------------------------------------------------------
+# Guarded one-way relabel (ontology package rename corpus shape)
+# ---------------------------------------------------------------------------
+
+_RELABEL_JOB_JSON = """
+{
+  "name": "Ontology - rename Package to PackageVersion",
+  "short_name": "package_version_relabel",
+  "statements": [
+    {"query": "SELECT * FROM n_PackageVersion UNION ALL SELECT * FROM n_Package WHERE version IS NOT NULL",
+     "writes": "PackageVersion"},
+    {"query": "SELECT * FROM n_Package WHERE version IS NULL",
+     "writes": "Package"},
+    {"query": "SELECT 'Package' AS label, n.id, n.version, e.dst_id IS NOT NULL AS has_edge FROM n_Package n LEFT JOIN e_Package__DEPENDS_ON__Nation e ON e.src_id = n.id UNION ALL SELECT 'PackageVersion' AS label, n.id, n.version, e.dst_id IS NOT NULL AS has_edge FROM n_PackageVersion n LEFT JOIN e_Package__DEPENDS_ON__Nation e ON e.src_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_guarded_relabel_migration",
+    oracle="""
+    WITH p AS (
+      SELECT s_suppkey AS k,
+             CASE WHEN s_suppkey % 4 = 0 THEN NULL
+                  ELSE 'v' || CAST(s_suppkey % 9 AS VARCHAR) END AS version,
+             (s_suppkey % 5 <> 0) AS has_edge
+      FROM supplier
+    )
+    SELECT 'Package' AS label, CAST(k AS VARCHAR) AS id, version, has_edge
+    FROM p WHERE version IS NULL
+    UNION ALL
+    SELECT 'PackageVersion' AS label, CAST(k AS VARCHAR) AS id, version, has_edge
+    FROM p WHERE version IS NOT NULL
+    """,
+    doc="Guarded one-way relabel migration (data/jobs/analysis/"
+    "ontology_package_version_rename_migration.json): version-carrying "
+    ":Package nodes become :PackageVersion IN PLACE — node identity and "
+    "every attached edge survive, which is the whole point of relabeling "
+    "over delete+recreate. Cypher's 'REMOVE n:Package SET "
+    "n:PackageVersion WHERE n.version IS NOT NULL' compiles to one "
+    "guarded row move between the two label tables (the reference's "
+    "LIMIT-chunked iterative form is one set-based write per table); the "
+    "DEPENDS_ON edge table is NOT touched — edges key on node id, so the "
+    "moved rows still resolve their edges, and the final read proves it "
+    "by joining both labels back to the UNMOVED edge table (edges exist "
+    "only for suppkey%5!=0, so a broken identity would flip has_edge "
+    "bits, not just counts). Distinct from job_label_swap_migration: "
+    "that shape EXCHANGES two labels through a temp table; this one is a "
+    "one-way guarded move where the guard (version IS NOT NULL) makes "
+    "the second run a no-op. The job runs TWICE to prove it.",
+    tags=("engine", "job"),
+)
+def q_job_guarded_relabel_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    sup = cat.node("Supplier")
+    k = F.col("id").cast("long")
+    pkg = sup.select(
+        "id",
+        F.when(k % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), (k % 9).cast("string")))
+        .alias("version"),
+        "firstseen",
+        "lastupdated",
+    )
+    cat.set_node("Package", pkg)
+    cat.set_node("PackageVersion", pkg.filter(F.lit(False)))
+    # DEPENDS_ON edges for suppkey%5!=0 — attached BEFORE the relabel and
+    # never rewritten by it; survival is verified through the final read
+    cat.set_edge(
+        ("Package", "DEPENDS_ON", "Nation"),
+        sup.filter(k % 5 != 0).select(
+            F.col("id").alias("src_id"),
+            F.col("s_nationkey").cast("string").alias("dst_id"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    job = GraphJob.from_json(_RELABEL_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # guard makes the second run a no-op
+
+
+# ---------------------------------------------------------------------------
+# Stale-property strip across labels (ontology status cleanup corpus shape)
+# ---------------------------------------------------------------------------
+
+_PROPERTY_REMOVE_JOB_JSON = """
+{
+  "name": "Ontology - remove stale _ont_status left by de-scoped mappings",
+  "short_name": "ont_status_cleanup",
+  "statements": [
+    {"query": "SELECT id, CASE WHEN _ont_status IS NOT NULL THEN CAST(NULL AS STRING) ELSE _ont_status END AS _ont_status, detail, firstseen, lastupdated FROM n_SpaceliftStack",
+     "writes": "SpaceliftStack"},
+    {"query": "SELECT id, CASE WHEN _ont_status IS NOT NULL THEN CAST(NULL AS STRING) ELSE _ont_status END AS _ont_status, detail, firstseen, lastupdated FROM n_AzureTenant",
+     "writes": "AzureTenant"},
+    {"query": "SELECT 'SpaceliftStack' AS label, id, _ont_status IS NULL AS status_removed, detail FROM n_SpaceliftStack UNION ALL SELECT 'AzureTenant' AS label, id, _ont_status IS NULL AS status_removed, detail FROM n_AzureTenant",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_property_remove_cleanup",
+    oracle="""
+    SELECT 'SpaceliftStack' AS label, CAST(s_suppkey AS VARCHAR) AS id,
+           TRUE AS status_removed, s_name AS detail
+    FROM supplier
+    UNION ALL
+    SELECT 'AzureTenant' AS label, CAST(c_custkey AS VARCHAR) AS id,
+           TRUE AS status_removed, c_mktsegment AS detail
+    FROM customer
+    """,
+    doc="Stale-property strip across two labels (data/jobs/analysis/"
+    "ontology_removed_status_cleanup.json): a de-scoped ontology mapping "
+    "left _ont_status values that no longer mean anything — one "
+    "statement per label strips the property while every OTHER property "
+    "survives untouched. Cypher's 'WHERE n._ont_status IS NOT NULL "
+    "REMOVE n._ont_status' compiles to a guarded column rewrite (the "
+    "CASE mirrors the match guard; rows already NULL pass through "
+    "unchanged), one whole-table write per label. Pre-state seeds "
+    "stale run-phase values on ~2/3 of SpaceliftStacks and geographic "
+    "state strings on odd AzureTenants; the final read hashes (label, "
+    "id, status IS NULL, surviving detail column) across BOTH labels, "
+    "so stripping the wrong column, the wrong label, or the wrong rows "
+    "all break the oracle. Runs TWICE — the guard makes the second run "
+    "the identity.",
+    tags=("engine", "job"),
+)
+def q_job_property_remove_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    sup = cat.node("Supplier")
+    cust = cat.node("Customer")
+    sk = F.col("id").cast("long")
+    cat.set_node(
+        "SpaceliftStack",
+        sup.select(
+            "id",
+            F.when(sk % 3 != 0, F.concat(F.lit("RUN_"), (sk % 4).cast("string")))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("_ont_status"),
+            F.col("name").alias("detail"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    cat.set_node(
+        "AzureTenant",
+        cust.select(
+            "id",
+            F.when(sk % 2 == 1, F.lit("Wyoming"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("_ont_status"),
+            F.col("mktsegment").alias("detail"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    job = GraphJob.from_json(_PROPERTY_REMOVE_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # second run is the identity

@@ -92,6 +92,11 @@ PRIORITY: tuple[str, ...] = (
     "rules_framework_rollup", "text_phrase_search", "streaming_session_window",
     "text_blockmax_index", "batch_length_buckets", "contrastive_hard_negatives",
     "streaming_minute_rollup", "graph_adamic_adar",
+    # --- new in r06, appended AFTER the 32-query r06 block above (the r5
+    # verdict pinned positions 1-32; the driver's ~50-query window reaches
+    # these too) ---
+    "job_resource_edge_backfill", "job_guarded_relabel_migration",
+    "job_property_remove_cleanup",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",
