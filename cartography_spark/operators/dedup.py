@@ -951,3 +951,50 @@ def shingle_containment_pairs(
             F.expr("CAST(inter * 1000 DIV sz_b AS BIGINT)").alias("cont_b_permille"),
         )
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score: the fraction of a document's
+    distinct character n-grams that appear in NO other document —
+    1_000_000 = entirely novel content, 0 = every shingle also occurs
+    elsewhere. The corpus-level complement of the pairwise containment
+    audit (shingle_containment_pairs): containment asks 'which pair
+    overlaps', novelty asks 'how much of THIS doc is boilerplate the
+    rest of the corpus already has' — the signal data-mixing pipelines
+    weight up (novel long-tail text) or down (mirrored/templated spans)
+    without ever materializing pairs.
+
+    Exact integer contract: novelty_ppm = (n_unique * 1_000_000) DIV
+    n_shingles over distinct-per-doc shingles; a shingle is unique iff
+    its doc frequency is exactly 1.
+
+    Plan at 100 TB: doc_shingles is computed ONCE and checkpointed
+    (blockmax single-pass pattern — the relation feeds both the df
+    aggregate and the join back); df is a map-side-combinable count
+    keyed by shingle; the join back is shingle-co-partitioned; the
+    final per-doc aggregate reuses the doc key. Never O(pairs) — cost
+    is |postings| + |vocabulary|, linear in corpus size.
+    """
+    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_unique",
+            F.expr("(n_unique * 1000000) DIV n_shingles").cast("long").alias("novelty_ppm"),
+        )
+    )

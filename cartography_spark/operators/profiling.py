@@ -272,3 +272,52 @@ def conformal_interval_calibrate(
             F.col("q_hat").cast("long").alias("q_hat"),
         )
     )
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelers,
+    the standard QA gate on LLM-judge or double-annotated training
+    labels (raw percent-agreement overstates quality whenever the label
+    distribution is skewed; kappa subtracts what agreement chance alone
+    would buy).
+
+    kappa = (p_o - p_e) / (1 - p_e) with p_o = diag/N and
+    p_e = sum_i(row_i * col_i) / N^2 is reported as its EXACT integer
+    numerator and denominator:
+
+        kappa_num = N * diag - sum_i(row_i * col_i)
+        kappa_den = N^2     - sum_i(row_i * col_i)
+
+    so the distributed aggregation is bit-reproducible and the float
+    division is one driver-side op (linear_trend_exact pattern).
+    BIGINT-safe to N ~ 3e9 rows per call.
+
+    Plan at 100 TB: one groupBy over the label-pair cells (map-side
+    combinable, bounded by |classes|^2), marginals derived FROM the
+    cell counts (no second scan), one 1-row aggregate.
+    """
+    cells = df.groupBy(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    ).agg(F.count("*").cast("long").alias("c"))
+    ra = cells.groupBy("__a").agg(F.sum("c").alias("row_n"))
+    rb = cells.groupBy("__b").agg(F.sum("c").alias("col_n"))
+    chance = (
+        ra.join(rb, ra["__a"] == rb["__b"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("pe_num"))
+    )
+    totals = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("diag"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(chance))
+        .select(
+            "n",
+            "diag",
+            "pe_num",
+            (F.col("n") * F.col("diag") - F.col("pe_num")).cast("long").alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("pe_num")).cast("long").alias("kappa_den"),
+        )
+    )

@@ -351,3 +351,76 @@ def unicode_nfc_normalize(
             yield pdf
 
     return df.mapInPandas(gen, schema)
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    base: int = 31,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): chunk boundaries where a
+    polynomial hash of the preceding ``window`` characters is 0 mod
+    ``divisor`` — so an insertion early in a document shifts only the
+    chunks it touches, and every chunk after the next boundary keeps its
+    byte content and therefore its fingerprint. This is the dedup
+    primitive rsync/LBFS/storage dedup use, applied to corpus text: join
+    chunk_md5 across snapshots and only genuinely-new spans survive,
+    where fixed-size chunking would re-hash the whole tail of every
+    edited document.
+
+    The hash is position-independent by construction: H(i) = sum_j
+    code(c[i+j]) * base^j over the window starting at i, computed with
+    built-in transform/aggregate (JVM codegen, exact BIGINT — max term
+    0x10FFFF * 31^7 ~ 3e16, window sum < 3e17, no overflow). A boundary
+    at position i >= 2 starts a new chunk; position 1 always starts the
+    first. Documents shorter than window+1 are a single chunk (Spark's
+    sequence(2, n) is DESCENDING for n < 2 — guarded, same pitfall as
+    doc_shingles).
+
+    100 TB: no key shuffle — scan, per-row array math, explode. The only
+    exchange is the cheap pre-explode repartition of COMPACT doc rows
+    (doc_shingles parallelism-guard pattern: a single-split parquet input
+    would otherwise run the O(window * chars) codegen loop on one task);
+    everything downstream of it is pipelined. Output is chunk rows keyed
+    by (doc_id, chunk_idx) with the chunk md5 ready for a dedup groupBy.
+    """
+    pows = ", ".join(str(base**j) + "L" for j in range(window))
+    h = (
+        f"aggregate(sequence(0, {window - 1}), 0L, "
+        f"(acc, j) -> acc + ascii(substring(__t, i + j, 1)) * element_at(array({pows}), j + 1))"
+    )
+    rows = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    rows = rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    starts = F.expr(
+        f"""concat(array(1),
+            CASE WHEN length(__t) >= {window + 1}
+                 THEN filter(sequence(2, length(__t) - {window - 1}),
+                             i -> ({h}) % {divisor} = 0)
+                 ELSE array() END)"""
+    )
+    chunked = rows.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.posexplode(
+            F.zip_with(
+                starts,
+                F.concat(
+                    F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                    F.array(F.length("__t") + 1),
+                ),
+                lambda s, nxt: F.struct(s.alias("start"), (nxt - s).alias("chunk_len")),
+            )
+        ).alias("idx0", "c"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        (F.col("idx0") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("c.start").cast("bigint").alias("start"),
+        F.col("c.chunk_len").cast("bigint").alias("chunk_len"),
+        F.md5(F.expr("substring(__t, c.start, c.chunk_len)").cast("binary")).alias("chunk_md5"),
+    )

@@ -574,3 +574,128 @@ def char_entropy(
             F.expr("CAST(__sw DIV n_chars AS BIGINT)").alias("entropy_millinat"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining signal (two words that co-occur far more than
+    their marginals predict form a lexical unit worth a single token).
+
+    Exactness contract: PMI = ln(N * c_xy / (c_x * c_y)) is never
+    materialized as a float. The output carries the exact BIGINT
+    numerator (pmi_num = N * c_xy) and denominator (pmi_den = c_x *
+    c_y); ranking uses the IEEE double ratio pmi_num / pmi_den — a
+    single correctly-rounded operation on exact integer inputs, so
+    every engine computes the identical double and the top-k row SET is
+    deterministic (ties broken by (prev, tok)). ln is monotone, so
+    ratio order IS PMI order. BIGINT-safe: N ~ 1e8 pairs x c_xy fits
+    to ~sf1000 for this corpus shape.
+
+    Plan at 100 TB: one posexplode + lag per doc, then three
+    vocabulary-bounded aggregations (pair counts, both marginals — all
+    map-side combinable) and two dictionary joins on the FILTERED
+    pair table (min_count prunes the long tail before any join). The
+    global pair count N attaches as a 1-row broadcast, and the final
+    top-k is a TakeOrdered — no full sort.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    n_total = pairs.agg(F.count("*").cast("long").alias("__n"))
+    cx = pairs.groupBy("prev").agg(F.count("*").cast("long").alias("c_x"))
+    cy = pairs.groupBy("tok").agg(F.count("*").cast("long").alias("c_y"))
+    cxy = (
+        pairs.groupBy("prev", "tok")
+        .agg(F.count("*").cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
+    scored = (
+        cxy.join(cx, "prev")
+        .join(cy, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "prev",
+            "tok",
+            "c_pair",
+            (F.col("__n") * F.col("c_pair")).cast("long").alias("pmi_num"),
+            (F.col("c_x") * F.col("c_y")).cast("long").alias("pmi_den"),
+        )
+    )
+    ratio = F.col("pmi_num").cast("double") / F.col("pmi_den").cast("double")
+    return scored.orderBy(ratio.desc(), "prev", "tok").limit(k)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    ln(freq) against ln(rank) over the top_n terms — the one-number
+    health check of a text corpus (natural language sits near -1;
+    boilerplate-heavy or templated corpora flatten, spam steepens).
+
+    Exactness contract (linear_trend_exact pattern): ln values are
+    quantized ONCE per term to fixed-point 1e-5 nats (floor(ln * 1e5)
+    as BIGINT) and the whole regression runs in exact integer
+    arithmetic from there — the slope is an exact numerator/denominator
+    pair, bit-reproducible under any partition order. The only
+    cross-engine surface is the per-value floor of a library ln,
+    quantized coarsely enough that a last-ulp disagreement would need
+    ln(k) * 1e5 within ~1e-10 of an integer. BIGINT-safe: n * sum(x*y)
+    ~ top_n^2 * x_max * y_max < 2^63 for top_n <= ~400 at any corpus
+    scale (x_max is pinned by top_n). The intercept's closed form
+    (sum_y*Sxx - sum_x*Sxy) would overflow BIGINT, so the exact sums
+    ride along instead and intercept = (sum_y - slope*sum_x)/n is one
+    driver-side division.
+
+    Plan at 100 TB: one explode + one vocabulary-bounded count, a
+    TakeOrdered(top_n) for the rank assignment (the only serial step,
+    bounded by top_n), then a single-row exact aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    ranked = freq.orderBy(F.col("freq").desc(), "term").limit(top_n).select(
+        "term",
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "term"))
+        .cast("long")
+        .alias("rank"),
+    )
+    q = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 100000).cast("long").alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 100000).cast("long").alias("y"),
+    )
+    return q.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("slope_den"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )

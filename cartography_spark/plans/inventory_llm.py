@@ -3189,3 +3189,166 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
 def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.mmr_rerank(emb, _query_vec(spark, sf_dir), k=5, pool=20, lam=0.7)
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM words CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    pairs AS (
+      SELECT * FROM (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        FROM toks
+      ) WHERE prev IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS nn FROM pairs),
+    cx AS (SELECT prev, count(*) AS c_x FROM pairs GROUP BY prev),
+    cy AS (SELECT tok, count(*) AS c_y FROM pairs GROUP BY tok),
+    cxy AS (SELECT prev, tok, count(*) AS c_pair FROM pairs
+            GROUP BY prev, tok HAVING count(*) >= 3)
+    SELECT prev, tok, CAST(c_pair AS BIGINT) AS c_pair,
+           CAST(nn * c_pair AS BIGINT) AS pmi_num,
+           CAST(c_x * c_y AS BIGINT) AS pmi_den
+    FROM cxy JOIN cx USING (prev) JOIN cy USING (tok) CROSS JOIN n
+    ORDER BY CAST(nn * c_pair AS DOUBLE) / CAST(c_x * c_y AS DOUBLE) DESC, prev, tok
+    LIMIT 100
+    """,
+    doc="Top-100 bigram collocations by PMI (operators/textstats.py:"
+    "pmi_collocations) — the phrase-mining pass that finds multi-word "
+    "lexical units worth single tokens. PMI is never a float: the "
+    "output carries exact BIGINT pmi_num = N*c(x,y) and pmi_den = "
+    "c(x)*c(y); ranking divides the two exact integers once (IEEE "
+    "division is correctly rounded, so both engines compute the "
+    "identical double and the identical top-k row set; ln is monotone "
+    "so ratio order IS PMI order). min_count=3 prunes the pair tail "
+    "BEFORE the dictionary joins; the global N attaches as a 1-row "
+    "broadcast; top-k is a TakeOrdered, no full sort.",
+    tags=("llm", "text"),
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.pmi_collocations(_docs(spark, sf_dir), min_count=3, k=100)
+
+
+@query(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS freq FROM toks WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM freq ORDER BY freq DESC, term LIMIT 200
+    ),
+    q AS (
+      SELECT CAST(floor(ln(rank) * 100000) AS BIGINT) AS x,
+             CAST(floor(ln(freq) * 100000) AS BIGINT) AS y
+      FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+    FROM q
+    """,
+    doc="Zipf's-law fit over the top-200 terms (operators/textstats.py:"
+    "zipf_fit): OLS slope of ln(freq) vs ln(rank), the one-number "
+    "corpus health check (natural text ~ -1; templated corpora "
+    "flatten). linear_trend_exact pattern: each ln is quantized ONCE "
+    "to fixed-point 1e-5 nats, then the slope comes out as an exact "
+    "integer numerator/denominator (the intercept's closed form would "
+    "overflow BIGINT, so the exact sums ride along and intercept = "
+    "(sum_y - slope*sum_x)/n is one driver-side division) — "
+    "bit-reproducible under any partition order; the only cross-engine surface is the per-value "
+    "floor, coarse enough that a last-ulp ln disagreement would need "
+    "ln(k)*1e5 within ~1e-10 of an integer. One explode + one "
+    "vocabulary-bounded count + TakeOrdered(200) + a 1-row aggregate.",
+    tags=("llm", "text"),
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.zipf_fit(_docs(spark, sf_dir), top_n=200)
+
+
+@query(
+    "classifier_cohens_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS a,
+             CASE WHEN n_chars + 7 * (doc_id % 13) < 200 THEN 'short'
+                  WHEN n_chars + 7 * (doc_id % 13) < 350 THEN 'mid'
+                  ELSE 'long' END AS b
+      FROM documents
+    ),
+    cells AS (SELECT a, b, count(*) AS c FROM labeled GROUP BY a, b),
+    ra AS (SELECT a AS lbl, sum(c) AS row_n FROM cells GROUP BY a),
+    rb AS (SELECT b AS lbl, sum(c) AS col_n FROM cells GROUP BY b),
+    chance AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS pe_num
+               FROM ra JOIN rb USING (lbl)),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+            FROM cells)
+    SELECT n, diag, pe_num,
+           CAST(n * diag - pe_num AS BIGINT) AS kappa_num,
+           CAST(n * n - pe_num AS BIGINT) AS kappa_den
+    FROM tot CROSS JOIN chance
+    """,
+    doc="Cohen's kappa between two labelers (operators/profiling.py:"
+    "cohens_kappa) — the chance-corrected agreement gate on LLM-judge "
+    "or double-annotated labels (raw agreement overstates quality "
+    "under skewed label distributions; kappa subtracts what chance "
+    "buys). Raters here are two deterministic length-bucket labelers, "
+    "the second systematically perturbed by doc_id so the confusion "
+    "matrix is non-trivial. kappa = (N*diag - sum(row_i*col_i)) / "
+    "(N^2 - sum(row_i*col_i)) reported as EXACT integer num/den "
+    "(linear_trend_exact pattern). One |classes|^2-bounded cell "
+    "aggregate; marginals derived from the cells, no second scan.",
+    tags=("llm", "eval"),
+)
+def q_classifier_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import cohens_kappa
+
+    d = _docs(spark, sf_dir)
+    shifted = F.col("n_chars") + 7 * (F.col("doc_id") % 13)
+    labeled = d.select(
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 350, "mid")
+        .otherwise("long")
+        .alias("a"),
+        F.when(shifted < 200, "short").when(shifted < 350, "mid").otherwise("long").alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(lower(text), i, 6) AS shingle
+      FROM documents
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - 5)) AS i)
+      WHERE length(text) >= 6
+    ),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN dfc USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="Per-document n-gram novelty (operators/dedup.py:"
+    "shingle_novelty): fraction of a doc's distinct 6-grams appearing "
+    "in NO other document, as exact integer ppm — 'how much of this "
+    "doc is boilerplate the corpus already has', the data-mixing "
+    "weight signal that needs no pair materialization. Corpus-level "
+    "complement of dedup_shingle_containment's pairwise audit. The "
+    "shingle relation is computed ONCE and checkpointed (blockmax "
+    "single-pass pattern) feeding both the df count and the join "
+    "back; cost is |postings| + |vocabulary|, never O(pairs).",
+    tags=("llm", "dedup", "text"),
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.shingle_novelty(_docs(spark, sf_dir), n=6)

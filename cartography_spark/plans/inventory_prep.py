@@ -1396,3 +1396,46 @@ def q_curriculum_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ordered_dense_ids(base, ["phase", "__h", "doc_id"], "seq")
     return out.select("doc_id", "phase", F.col("seq").cast("bigint").alias("seq"))
+
+
+_CDC_POWS = "[" + ", ".join(str(31**j) for j in range(8)) + "]"
+
+
+@query(
+    "text_cdc_chunking",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text AS t,
+             list_prepend(1,
+               CASE WHEN length(text) >= 9 THEN
+                 list_filter(generate_series(2, length(text) - 7),
+                   i -> (list_sum(list_transform(generate_series(0, 7),
+                         j -> ord(substr(text, i + j, 1)) * ({_CDC_POWS})[j + 1])) % 64) = 0)
+               ELSE [] END) AS starts
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(starts[i] AS BIGINT) AS start,
+           CAST((CASE WHEN i < len(starts) THEN starts[i + 1]
+                      ELSE length(t) + 1 END) - starts[i] AS BIGINT) AS chunk_len,
+           md5(substr(t, starts[i],
+               (CASE WHEN i < len(starts) THEN starts[i + 1]
+                     ELSE length(t) + 1 END) - starts[i])) AS chunk_md5
+    FROM b CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
+    """,
+    doc="Content-defined chunking (operators/textprep.py:"
+    "content_defined_chunks): Rabin-style boundaries where the "
+    "polynomial hash of the preceding 8 chars is 0 mod 64 — the "
+    "rsync/LBFS dedup primitive over corpus text. An insertion shifts "
+    "only the chunks it touches; every chunk after the next boundary "
+    "keeps its md5, so snapshot-over-snapshot dedup joins on chunk_md5 "
+    "instead of re-fingerprinting edited documents end-to-end. Exact "
+    "BIGINT hash arithmetic inside transform/aggregate (whole-stage "
+    "codegen, no UDF); chunks provably tile each document "
+    "(sum(chunk_len) = length(text), pinned in tests). No key shuffle: "
+    "scan -> per-row array math -> explode, with only the doc_shingles "
+    "parallelism-guard repartition of compact pre-explode rows.",
+    tags=("llm", "dedup", "text"),
+)
+def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tp.content_defined_chunks(_docs(spark, sf_dir))

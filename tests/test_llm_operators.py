@@ -611,3 +611,64 @@ def test_blockmax_index_upper_bounds(spark):
         assert r.n_postings == len(members)
         assert r.max_tf == max(tf[(term, d)] for d in members)
         assert r.block_max_impact == max(tf[(term, d)] * idf[term] for d in members)
+
+
+def test_cohens_kappa_textbook_example(spark):
+    """Classic 2x2 worked example: po=0.7, pe=0.5 -> kappa = 0.4 exactly
+    (kappa_num/kappa_den = 500/1250)."""
+    from cartography_spark.operators.profiling import cohens_kappa
+
+    rows = (
+        [("yes", "yes")] * 20 + [("yes", "no")] * 5
+        + [("no", "yes")] * 10 + [("no", "no")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.diag, r.pe_num) == (50, 35, 1250)
+    assert (r.kappa_num, r.kappa_den) == (500, 1250)
+
+
+def test_pmi_collocations_ranking_and_exactness(spark, sf_dir):
+    """pmi_num/pmi_den are exact integers consistent with c_pair, and the
+    output is ratio-descending with the declared tiebreak."""
+    from cartography_spark.operators.textstats import pmi_collocations
+    from cartography_spark.sources.parquet import load_table
+
+    out = pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=3, k=25).collect()
+    assert 0 < len(out) <= 25
+    keys = [(-(r.pmi_num / r.pmi_den), r.prev, r.tok) for r in out]
+    assert keys == sorted(keys)
+    for r in out:
+        assert r.pmi_num % r.c_pair == 0 and r.c_pair >= 3
+
+
+def test_zipf_fit_slope_is_negative_and_exact(spark, sf_dir):
+    """The corpus frequency spectrum must fit a negative power law, with
+    the slope reproducible from the exact integer counters."""
+    from cartography_spark.operators.textstats import zipf_fit
+    from cartography_spark.sources.parquet import load_table
+
+    # the synthetic corpus has a ~31-word vocabulary; top_n caps, not pads
+    r = zipf_fit(load_table(spark, sf_dir, "documents"), top_n=100).collect()[0]
+    assert 20 <= r.n_terms <= 100 and r.slope_den > 0
+    slope = r.slope_num / r.slope_den
+    assert -3.0 < slope < -0.1
+    intercept = (r.sum_y - slope * r.sum_x) / r.n_terms
+    assert intercept > 0  # ln of a positive frequency scale
+
+
+def test_shingle_novelty_bounds_and_duplicate_kills_novelty(spark, sf_dir):
+    """novelty_ppm in [0, 1e6]; an exact duplicate drives both copies'
+    novelty to 0 (every shingle now has df >= 2)."""
+    from cartography_spark.operators.dedup import shingle_novelty
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    base = shingle_novelty(docs, n=6)
+    assert base.filter("novelty_ppm < 0 OR novelty_ppm > 1000000").count() == 0
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 999999)
+    out = shingle_novelty(docs.unionByName(dup), n=6)
+    tgt = docs.limit(1).collect()[0].doc_id
+    got = {r.doc_id: r.novelty_ppm for r in out.filter(
+        F.col("doc_id").isin(int(tgt), int(tgt) + 999999)).collect()}
+    assert got[tgt] == 0 and got[tgt + 999999] == 0

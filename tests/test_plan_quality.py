@@ -112,6 +112,8 @@ _SCALAR_ATTACH = {
     "text_blockmax_index",          # x broadcast(1-row corpus doc count for idf)
     "events_cooccurrence_lift",     # x broadcast(1-row distinct-user count)
     "mixture_apportionment",        # x broadcast(1-row total + 1-row used-slots)
+    "text_pmi_collocations",        # x broadcast(1-row total pair count N)
+    "classifier_cohens_kappa",      # x broadcast(1-row chance-agreement numerator)
 }
 
 
@@ -273,3 +275,27 @@ def test_length_buckets_single_shuffle(spark):
     reg = _registry()
     plan = _plan(reg["batch_length_buckets"].spark(spark, SF_SMOKE))
     assert plan.count("Exchange") == 1 and "Sort" not in plan
+
+
+def test_cdc_chunking_no_key_shuffle(spark):
+    """Content-defined chunking is scan -> per-row array math -> explode:
+    the ONLY exchange is the compact pre-explode parallelism-guard
+    repartition; no aggregate/join shuffle, no sort."""
+    reg = _registry()
+    plan = _plan(reg["text_cdc_chunking"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1 and "Sort" not in plan
+    assert "Join" not in plan
+
+
+def test_novelty_single_shingle_pass(spark):
+    """shingle_novelty must materialize the shingle relation once — the
+    checkpointed RDD feeds both the df aggregate and the join back,
+    never a second parquet scan + explode."""
+    from cartography_spark.operators.dedup import shingle_novelty
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = shingle_novelty(docs, n=6)
+    df.collect()  # finalize AQE + materialize the lazy checkpoint
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 0, "shingle branch re-scan crept back in"

@@ -122,3 +122,61 @@ def test_length_bucket_batches_boundaries(spark):
     assert b16.waste_permille == (32 - 19) * 1000 // 32
     assert (b32.n_docs, b32.real_tokens, b32.padded_tokens) == (2, 49, 64)
     assert b32.waste_permille == (64 - 49) * 1000 // 64
+
+
+def test_cdc_chunks_tile_documents(spark, sf_dir):
+    """Chunks must partition each document exactly: starts ascending from
+    1, lengths positive, sum(chunk_len) == length(text)."""
+    from cartography_spark.operators.textprep import content_defined_chunks
+    from cartography_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = content_defined_chunks(docs)
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.sum("chunk_len").alias("s"), F.min("chunk_len").alias("m"))
+        .join(docs.select("doc_id", F.length("text").alias("l")), "doc_id")
+        .filter((F.col("s") != F.col("l")) | (F.col("m") <= 0))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cdc_chunking_shift_resilience(spark):
+    """The rsync property CDC exists for: prepending text to a document
+    shifts only the chunks before the next boundary — every chunk after
+    it keeps its md5. Fixed-size chunking would lose ALL of them."""
+    from cartography_spark.operators.textprep import content_defined_chunks
+
+    # high-entropy deterministic text (an LCG over a-z + space): periodic
+    # marketing prose can legitimately yield zero boundaries, which would
+    # make this test vacuous
+    x, chars = 1, []
+    for _ in range(1200):
+        x = (x * 1103515245 + 12345) % (2**31)
+        chars.append(" abcdefghijklmnopqrstuvwxyz"[x % 27])
+    base = "".join(chars)
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XYZZY " + base)], "doc_id long, text string"
+    )
+    rows = content_defined_chunks(docs).collect()
+    h1 = [r.chunk_md5 for r in rows if r.doc_id == 1]
+    h2 = [r.chunk_md5 for r in rows if r.doc_id == 2]
+    shared = set(h1) & set(h2)
+    # all original chunks except the (shifted) first must survive verbatim
+    assert len(shared) >= len(h1) - 1 and len(h1) > 3
+
+
+def test_cdc_chunk_md5_matches_content(spark):
+    """chunk_md5 is the md5 of exactly substring(text, start, chunk_len)."""
+    import hashlib
+
+    from cartography_spark.operators.textprep import content_defined_chunks
+
+    docs = spark.createDataFrame(
+        [(7, "abcdefgh" * 12 + " tail of text")], "doc_id long, text string"
+    )
+    text = docs.collect()[0].text
+    for r in content_defined_chunks(docs).collect():
+        seg = text[r.start - 1 : r.start - 1 + r.chunk_len]
+        assert hashlib.md5(seg.encode()).hexdigest() == r.chunk_md5
