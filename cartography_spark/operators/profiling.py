@@ -321,3 +321,109 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             (F.col("n") * F.col("n") - F.col("pe_num")).cast("long").alias("kappa_den"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i) over x_i < x_j — the estimator that
+    shrugs off up to ~29% contaminated points where the OLS slope
+    (linear_trend_exact) chases every outlier.
+
+    Exactness contract: inputs must be integer (x, y); every pairwise
+    slope is kept as its exact integer numerator/denominator (den > 0 by
+    construction). The median is selected POSITIONALLY: pairs are ranked
+    by the IEEE double num/den (one correctly-rounded division on exact
+    integers — identical in any engine) with (num, den) as a total-order
+    tiebreak, and the lower median (rank floor((n+1)/2)) is returned as
+    the exact rational med_num/med_den.
+
+    Scale contract: the pair space is O(points_per_group^2), so callers
+    MUST pre-aggregate to a bounded grid first (e.g. hourly rollups:
+    tens-to-hundreds of points per group) — then the self-join runs on
+    the ROLLUP, never the raw fact table, and each group's pair set is
+    thousands of rows however big the raw data was. The join is a
+    single co-partitioned self-join on the group key with an x_i < x_j
+    residual; the median window sorts only the bounded pair sets.
+    """
+    a = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("long").alias("xi"),
+        F.col(y_col).cast("long").alias("yi"),
+    )
+    b = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("long").alias("xj"),
+        F.col(y_col).cast("long").alias("yj"),
+    )
+    pairs = a.join(b, "__g").filter(F.col("xi") < F.col("xj")).select(
+        "__g",
+        (F.col("yj") - F.col("yi")).alias("num"),
+        (F.col("xj") - F.col("xi")).alias("den"),
+    )
+    wr = Window.partitionBy("__g").orderBy(
+        F.col("num").cast("double") / F.col("den").cast("double"), "num", "den"
+    )
+    wc = Window.partitionBy("__g")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wc))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("long").alias("n_pairs"),
+            F.col("num").cast("long").alias("med_num"),
+            F.col("den").cast("long").alias("med_den"),
+        )
+    )
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame, agree_cols: list[str], m_prob: float = 0.95
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over blocked candidate
+    pairs: each comparison field contributes ln(m/u) millinats when it
+    agrees and ln((1-m)/(1-u)) when it doesn't; the pair's match score
+    is the sum. u_f — the chance-agreement rate of field f — is
+    estimated from the candidate pairs themselves (the standard
+    unsupervised shortcut; m is a prior). Callers must block first so
+    the candidate space is linear, and every u_f must land strictly
+    inside (0, 1) — a field that always or never agrees carries no
+    signal and would blow up the log.
+
+    Exactness: the six ln() calls are GLOBAL (one per field per side),
+    quantized once to integer millinats (floor) and broadcast — after
+    that every pair's score is exact integer addition, reproducible
+    under any partition order (blockmax idf pattern).
+
+    Plan: one aggregate over the pairs for all u_f rates (map-side
+    combinable), one 1-row broadcast attach, one per-row projection.
+    """
+    n = F.count(F.lit(1))
+    u_aggs = [
+        (F.sum(F.col(c).cast("long")) / n).alias(f"__u_{c}") for c in agree_cols
+    ]
+    u = pairs.agg(*u_aggs)
+    scored = pairs.crossJoin(F.broadcast(u))
+    w_terms = []
+    for c in agree_cols:
+        uf = F.col(f"__u_{c}")
+        wa = F.floor(F.log(F.lit(m_prob) / uf) * 1000).cast("long")
+        wd = F.floor(F.log(F.lit(1.0 - m_prob) / (F.lit(1.0) - uf)) * 1000).cast("long")
+        w_terms.append(F.when(F.col(c), wa).otherwise(wd))
+    score = w_terms[0]
+    for t in w_terms[1:]:
+        score = score + t
+    n_agree = None
+    for c in agree_cols:
+        term = F.col(c).cast("long")
+        n_agree = term if n_agree is None else n_agree + term
+    return scored.select(
+        *[x for x in pairs.columns if x not in agree_cols],
+        n_agree.cast("long").alias("n_agree"),
+        score.cast("long").alias("score_milli"),
+    )

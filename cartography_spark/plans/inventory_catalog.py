@@ -406,3 +406,93 @@ def q_layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_overlapping").cast("bigint").alias("max_depth"),
         F.round(F.avg("n_overlapping"), 4).alias("avg_depth"),
     )
+
+
+@query(
+    "record_linkage_fs_scores",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey AS a_id, c_nationkey AS block, c_name AS name,
+             c_mktsegment AS seg, CAST(floor(round(c_acctbal) / 1000) AS BIGINT) AS bal
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey + 1000000 AS b_id, c_nationkey AS block,
+             CASE WHEN c_custkey % 5 = 0 THEN reverse(c_name) ELSE c_name END AS name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'OTHER' ELSE c_mktsegment END AS seg,
+             CAST(floor(round(c_acctbal) / 1000) AS BIGINT)
+               + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bal
+      FROM customer
+    ),
+    p AS (
+      SELECT a_id, b_id,
+             (a.name = b.name) AS g_name, (a.seg = b.seg) AS g_seg,
+             (a.bal = b.bal) AS g_bal
+      FROM a JOIN b USING (block)
+    ),
+    u AS (
+      SELECT sum(CASE WHEN g_name THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS u_name,
+             sum(CASE WHEN g_seg THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS u_seg,
+             sum(CASE WHEN g_bal THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS u_bal
+      FROM p
+    ),
+    s AS (
+      SELECT a_id, b_id,
+             CAST((CASE WHEN g_name THEN 1 ELSE 0 END)
+                + (CASE WHEN g_seg THEN 1 ELSE 0 END)
+                + (CASE WHEN g_bal THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST((CASE WHEN g_name THEN floor(ln(0.95 / u_name) * 1000)
+                        ELSE floor(ln(0.05 / (1 - u_name)) * 1000) END)
+                + (CASE WHEN g_seg THEN floor(ln(0.95 / u_seg) * 1000)
+                        ELSE floor(ln(0.05 / (1 - u_seg)) * 1000) END)
+                + (CASE WHEN g_bal THEN floor(ln(0.95 / u_bal) * 1000)
+                        ELSE floor(ln(0.05 / (1 - u_bal)) * 1000) END) AS BIGINT) AS score_milli
+      FROM p CROSS JOIN u
+    )
+    SELECT a_id, b_id, n_agree, score_milli FROM s WHERE score_milli > 0
+    """,
+    doc="Fellegi-Sunter record linkage (operators/profiling.py:"
+    "fellegi_sunter_scores) over a nation-blocked roster vs its "
+    "perturbed twin (reversed names on custkey%5, swapped segment on "
+    "%7, shifted balance bucket on %3): per-field ln(m/u) agreement "
+    "weights with u estimated from the candidate pairs, summed to an "
+    "integer-millinat match score — the probabilistic upgrade of "
+    "entity_resolution_fuzzy's fixed edit-distance threshold (fields "
+    "that agree by chance buy little; rare agreements buy a lot). Six "
+    "GLOBAL quantized logs broadcast once (blockmax idf pattern), then "
+    "pure integer addition per pair; blocking keeps candidates linear, "
+    "never all-pairs. Output: every pair scoring above the match "
+    "threshold 0.",
+    tags=("join", "fuzzy", "catalog", "llm"),
+)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import fellegi_sunter_scores
+
+    cust = T(spark, sf_dir, "customer")
+    bal = F.floor(F.round("c_acctbal") / 1000).cast("long")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        bal.alias("bal_a"),
+    )
+    k = F.col("c_custkey")
+    b = cust.select(
+        (k + 1000000).alias("b_id"),
+        F.col("c_nationkey").alias("block"),
+        F.when(k % 5 == 0, F.reverse("c_name")).otherwise(F.col("c_name")).alias("name_b"),
+        F.when(k % 7 == 0, F.lit("OTHER")).otherwise(F.col("c_mktsegment")).alias("seg_b"),
+        (bal + F.when(k % 3 == 0, 1).otherwise(0)).alias("bal_b"),
+    )
+    pairs = a.join(b, "block").select(
+        "a_id",
+        "b_id",
+        (F.col("name_a") == F.col("name_b")).alias("g_name"),
+        (F.col("seg_a") == F.col("seg_b")).alias("g_seg"),
+        (F.col("bal_a") == F.col("bal_b")).alias("g_bal"),
+    )
+    scored = fellegi_sunter_scores(pairs, ["g_name", "g_seg", "g_bal"], m_prob=0.95)
+    return scored.filter(F.col("score_milli") > 0).select(
+        "a_id", "b_id", "n_agree", "score_milli"
+    )

@@ -799,3 +799,58 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_permille"
         ),
     )
+
+
+@query(
+    "theil_sen_trend_robust",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) - floor(epoch(TIMESTAMP '2024-01-01') / 3600) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, 2
+    ),
+    p AS (
+      SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+      FROM h a JOIN h b ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    r AS (
+      SELECT event_type, num, den,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM p
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil-Sen robust trend per event_type (operators/profiling.py:"
+    "theil_sen_trend): the median of all pairwise slopes over the HOURLY "
+    "rollup — the robust companion to linear_trend_exact's OLS (Theil-Sen "
+    "ignores up to ~29% contaminated points; OLS chases every outlier). "
+    "Slopes stay exact integer num/den; the median is selected "
+    "positionally with ranking by one correctly-rounded IEEE division "
+    "(engine-identical) and (num, den) tiebreak, so the reported rational "
+    "is bit-exact. Scale contract: the O(n^2) pair space runs over the "
+    "BOUNDED hourly grid (the 30-day window caps points per group at "
+    "~720 whatever the raw event volume), one co-partitioned self-join + "
+    "bounded-partition median windows; the raw table is touched once by "
+    "the map-side-combinable hourly aggregate.",
+    tags=("aggregation", "warehouse"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import theil_sen_trend
+
+    e = T(spark, sf_dir, "events")
+    anchor = F.floor(F.unix_timestamp(F.lit("2024-01-01").cast("timestamp")) / 3600)
+    h = (
+        e.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) - anchor).cast("long").alias("x"),
+            F.round("value").cast("long").alias("v"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("v").cast("long").alias("y"))
+    )
+    return theil_sen_trend(h, "event_type", "x", "y")

@@ -672,3 +672,39 @@ def test_shingle_novelty_bounds_and_duplicate_kills_novelty(spark, sf_dir):
     got = {r.doc_id: r.novelty_ppm for r in out.filter(
         F.col("doc_id").isin(int(tgt), int(tgt) + 999999)).collect()}
     assert got[tgt] == 0 and got[tgt + 999999] == 0
+
+
+def test_theil_sen_ignores_outlier_ols_chases_it(spark):
+    """On y = 2x with one wrecked point, the Theil-Sen median slope stays
+    exactly 2 while the OLS slope moves — the whole reason the robust
+    estimator exists."""
+    from cartography_spark.operators.profiling import theil_sen_trend
+
+    pts = [(1, "g", x, 2 * x) for x in range(1, 12)] + [(1, "g", 12, 500)]
+    df = spark.createDataFrame(
+        [(g, x, y) for _, g, x, y in pts], "g string, x long, y long"
+    )
+    r = theil_sen_trend(df, "g", "x", "y").collect()[0]
+    assert r.med_num / r.med_den == 2.0
+    # OLS on the same points is pulled far off 2 by the outlier
+    n = len(pts)
+    sx = sum(p[2] for p in pts); sy = sum(p[3] for p in pts)
+    sxy = sum(p[2] * p[3] for p in pts); sxx = sum(p[2] * p[2] for p in pts)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(ols - 2.0) > 5
+
+
+def test_fs_linkage_true_pairs_score_highest(spark, sf_dir):
+    """Every unperturbed roster row must meet its twin at n_agree=3, and
+    all-agree pairs must outscore every partial-agreement pair (rare
+    name agreement dominates the weight budget)."""
+    from cartography_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["record_linkage_fs_scores"].spark(spark, sf_dir).collect()
+    true_full = [r for r in rows if r.b_id - r.a_id == 1000000 and r.n_agree == 3]
+    # custkeys not divisible by 3, 5 or 7 are unperturbed on every field
+    assert len(true_full) > 0
+    min_full = min(r.score_milli for r in rows if r.n_agree == 3)
+    max_partial = max((r.score_milli for r in rows if r.n_agree < 3), default=-10**9)
+    assert min_full > max_partial

@@ -114,6 +114,7 @@ _SCALAR_ATTACH = {
     "mixture_apportionment",        # x broadcast(1-row total + 1-row used-slots)
     "text_pmi_collocations",        # x broadcast(1-row total pair count N)
     "classifier_cohens_kappa",      # x broadcast(1-row chance-agreement numerator)
+    "record_linkage_fs_scores",     # x broadcast(1-row per-field u rates)
 }
 
 
