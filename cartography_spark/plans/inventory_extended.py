@@ -1538,3 +1538,64 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         "total_value",
     )
+
+
+@query(
+    "streaming_cdc_latest_state",
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey, c_name AS name, 1 AS seq, 'I' AS op FROM customer
+      UNION ALL
+      SELECT c_custkey, upper(c_name), 2, 'U' FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, 'D' FROM customer WHERE c_custkey % 5 = 0
+    ),
+    latest AS (
+      SELECT c_custkey, name, op FROM (
+        SELECT c_custkey, name, op,
+               row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey, name FROM latest WHERE op <> 'D'
+    """,
+    doc="STREAMING CDC apply (streaming/events.py:cdc_latest_state): the "
+    "same I/U/D changelog cdc_apply_changelog replays in batch is "
+    "written to parquet and re-consumed as a STREAM; one mergeable "
+    "max_by(payload, seq) aggregate in the state store picks each "
+    "key's winner and 'D' tombstones are filtered after the aggregate "
+    "(so a later re-insert revives the key). Run to completion with "
+    "Trigger.AvailableNow in complete mode; exact agreement with the "
+    "batch oracle proves stream-replayed CDC state equals the batch "
+    "apply — the property that lets a deployment switch between "
+    "backfill (batch) and tail (stream) without reconciliation. State "
+    "size tracks the live-key population, not the changelog length.",
+    tags=("streaming", "lifecycle"),
+)
+def q_streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import cdc_latest_state, run_available_now
+
+    c = load_table(spark, sf_dir, "customer")
+    ins = c.select(
+        "c_custkey", F.col("c_name").alias("name"), F.lit(1).alias("seq"), F.lit("I").alias("op")
+    )
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper("c_name").alias("name"), F.lit(2).alias("seq"), F.lit("U").alias("op")
+    )
+    dele = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    path = tempfile.mkdtemp(prefix="cdc_log_")
+    log.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(log.schema).parquet(path)
+    state = cdc_latest_state(stream, "c_custkey", payload_cols=("name",))
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    return run_available_now(state, name, output_mode="complete")

@@ -3352,3 +3352,147 @@ def q_classifier_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.shingle_novelty(_docs(spark, sf_dir), n=6)
+
+
+@query(
+    "source_ablation_stats",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS nn, sum(chars) AS cc, sum(toks) AS tt FROM per_src)
+    SELECT source, n_docs, chars, toks,
+           CAST(nn - n_docs AS BIGINT) AS loo_docs,
+           CAST(chars * (nn - n_docs) - n_docs * (cc - chars) AS BIGINT) AS chars_delta_num,
+           CAST(n_docs * (nn - n_docs) AS BIGINT) AS delta_den,
+           CAST(toks * (nn - n_docs) - n_docs * (tt - toks) AS BIGINT) AS toks_delta_num
+    FROM per_src CROSS JOIN tot
+    """,
+    doc="Leave-one-source-out ablation table in ONE pass: for every "
+    "source, how its mean doc length (chars, tokens) compares to the "
+    "complement corpus — the data-valuation primitive behind 'what does "
+    "dropping this feed do to the mixture'. The naive ablation reruns "
+    "the pipeline k times over (N - n_i) docs each; here complement "
+    "stats are pure arithmetic on the per-source aggregate plus one "
+    "1-row broadcast of the global totals (LOO mean = (S - s_i) / "
+    "(N - n_i)), so cost is one map-side-combinable aggregate whatever "
+    "k is. Deltas are exact integer num/den (delta = s_i*(N-n_i) - "
+    "n_i*(S-s_i) over n_i*(N-n_i)): sign says the source runs "
+    "longer/shorter than the rest of the corpus, magnitude is exact.",
+    tags=("llm", "sampling"),
+)
+def q_source_ablation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias("toks"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("nn"), F.sum("chars").alias("cc"), F.sum("toks").alias("tt")
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    loo = F.col("nn") - F.col("n_docs")
+    return j.select(
+        "source",
+        "n_docs",
+        "chars",
+        "toks",
+        loo.cast("long").alias("loo_docs"),
+        (F.col("chars") * loo - F.col("n_docs") * (F.col("cc") - F.col("chars")))
+        .cast("long")
+        .alias("chars_delta_num"),
+        (F.col("n_docs") * loo).cast("long").alias("delta_den"),
+        (F.col("toks") * loo - F.col("n_docs") * (F.col("tt") - F.col("toks")))
+        .cast("long")
+        .alias("toks_delta_num"),
+    )
+
+
+_COS16_SQL = """
+      list_aggregate(list_transform(generate_series(1, 16),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(generate_series(1, 16),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(generate_series(1, 16),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')))
+"""
+
+
+@query(
+    "similarity_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({_COSINE_SQL}, 4) AS cos64,
+             ROUND({_COS16_SQL}, 4) AS cos16
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos64 DESC, vec_id) AS rn64,
+             row_number() OVER (PARTITION BY qid ORDER BY cos16 DESC, vec_id) AS rn16
+      FROM scored
+    )
+    SELECT qid,
+           CAST(sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS overlap_at_10,
+           CAST((sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END) * 1000)
+                // (20 - sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END))
+                AS BIGINT) AS jaccard_permille
+    FROM ranked GROUP BY qid
+    """,
+    doc="Matryoshka truncation eval: per anchor (the constant vec_id<8 "
+    "frame), the top-10 overlap between exact cosine rankings at the "
+    "FULL 64 dims and the 16-dim PREFIX — the number that tells you "
+    "whether MRL-style truncated embeddings can serve the cheap tier "
+    "of a two-stage retrieval stack (4x memory/compute cut, measured "
+    "recall cost) before you deploy them. One corpus scan computes "
+    "both cosines per candidate (the prefix dot product is a slice of "
+    "the same fold), two per-anchor rank windows on the SAME rows — "
+    "no self-join, no second pass; both cosines rounded to 4dp so "
+    "ranks are engine-identical. Output: overlap@10 and its exact "
+    "integer Jaccard permille per anchor.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    e64 = F.col("embedding").cast("array<double>")
+    q64 = F.col("qv").cast("array<double>")
+    cos64 = F.round(sim.cosine_similarity(e64, q64), 4)
+    cos16 = F.round(
+        sim.cosine_similarity(F.slice(e64, 1, 16), F.slice(q64, 1, 16)), 4
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos64.alias("cos64"), cos16.alias("cos16"))
+    )
+    w64 = Window.partitionBy("qid").orderBy(F.col("cos64").desc(), "vec_id")
+    w16 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w64).alias("rn64"),
+        F.row_number().over(w16).alias("rn16"),
+    )
+    ov = F.sum(((F.col("rn64") <= 10) & (F.col("rn16") <= 10)).cast("long"))
+    return ranked.groupBy("qid").agg(
+        ov.cast("long").alias("overlap_at_10"),
+        F.expr(
+            "CAST((sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END) * 1000)"
+            " DIV (20 - sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END)) AS BIGINT)"
+        ).alias("jaccard_permille"),
+    )

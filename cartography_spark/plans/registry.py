@@ -98,7 +98,8 @@ PRIORITY: tuple[str, ...] = (
     "job_resource_edge_backfill", "job_guarded_relabel_migration",
     "job_property_remove_cleanup", "text_cdc_chunking", "text_pmi_collocations",
     "corpus_zipf_fit", "classifier_cohens_kappa", "doc_ngram_novelty",
-    "theil_sen_trend_robust", "record_linkage_fs_scores",
+    "theil_sen_trend_robust", "record_linkage_fs_scores", "source_ablation_stats",
+    "similarity_matryoshka_eval", "streaming_cdc_latest_state",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",

@@ -320,3 +320,29 @@ def stateful_user_activity(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_latest_state(
+    changelog: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: tuple[str, ...] = ("name",),
+) -> DataFrame:
+    """Streaming CDC apply: reduce an I/U/D changelog STREAM to the
+    latest state per key with one mergeable max_by aggregate — the
+    streaming twin of operators/incremental.py:cdc_apply. Each key's
+    winner is max_by(payload, seq); a 'D' tombstone winning means the
+    key is absent from the state (filtered AFTER the aggregate, so a
+    later re-insert still revives it). The aggregate is map-side
+    combinable and the state store holds one row per live key — state
+    size tracks the KEY population, not the changelog length, which is
+    the property that lets the same query run over an unbounded log."""
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols], F.col(op_col).alias("__op")),
+        F.col(seq_col),
+    )
+    agg = changelog.groupBy(key_col).agg(winner.alias("w"))
+    return agg.filter(F.col("w.__op") != "D").select(
+        key_col, *[F.col(f"w.{c}").alias(c) for c in payload_cols]
+    )

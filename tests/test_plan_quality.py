@@ -115,6 +115,8 @@ _SCALAR_ATTACH = {
     "text_pmi_collocations",        # x broadcast(1-row total pair count N)
     "classifier_cohens_kappa",      # x broadcast(1-row chance-agreement numerator)
     "record_linkage_fs_scores",     # x broadcast(1-row per-field u rates)
+    "source_ablation_stats",        # x broadcast(1-row global totals)
+    "similarity_matryoshka_eval",   # x broadcast(8-row anchor frame — constant contract)
 }
 
 

@@ -295,3 +295,31 @@ def test_streaming_dedup_watermark_query_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_cdc_revive_after_tombstone(spark):
+    """A key deleted at seq 3 and re-inserted at seq 4 must be LIVE with
+    the seq-4 payload — the reason tombstones are filtered after the
+    max_by aggregate, not before."""
+    from cartography_spark.streaming.events import cdc_latest_state, run_available_now
+    import tempfile
+    import uuid
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", 1, "I"), (1, None, 2, "D"),            # dead
+            (2, "b", 1, "I"), (2, None, 2, "D"), (2, "b2", 3, "I"),  # revived
+            (3, "c", 1, "I"), (3, "c2", 2, "U"),            # updated
+        ],
+        "k long, name string, seq long, op string",
+    )
+    path = tempfile.mkdtemp(prefix="cdc_revive_")
+    log.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(log.schema).parquet(path)
+    out = run_available_now(
+        cdc_latest_state(stream, "k", payload_cols=("name",)),
+        f"cdc_t_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    got = {r.k: r.name for r in out.collect()}
+    assert got == {2: "b2", 3: "c2"}
