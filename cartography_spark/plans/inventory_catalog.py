@@ -465,7 +465,7 @@ def q_layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold 0.",
     tags=("join", "fuzzy", "catalog", "llm"),
 )
-def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_record_linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.profiling import fellegi_sunter_scores
 
     cust = T(spark, sf_dir, "customer")

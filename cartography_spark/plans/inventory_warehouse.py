@@ -839,7 +839,7 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the map-side-combinable hourly aggregate.",
     tags=("aggregation", "warehouse"),
 )
-def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_theil_sen_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.profiling import theil_sen_trend
 
     e = T(spark, sf_dir, "events")
