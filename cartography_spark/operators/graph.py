@@ -613,3 +613,54 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias("global_cc"),
     )
     return finalize_iterative(out, o)
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (deg(src), deg(dst)) over the DIRECTED edge list of a
+    symmetrized graph. Returns a 1-row DataFrame with the exact integer
+    moment sums (n_edges, sum_dx, sum_dy, sum_dxdy, sum_dx2, sum_dy2)
+    plus the quantized coefficient (assortativity_micros).
+
+    Positive r = hubs link to hubs (social nets), negative = hubs link
+    to leaves (infrastructure / bipartite trade graphs like ours).
+
+    Scale shape: one degree aggregate (map-side combinable), then the
+    degree relation joined onto the edge list twice — both joins are
+    plain shuffle hash/SMJ on (src) then (dst), each touching the edge
+    list once; the final six-sum aggregate collapses to a single row
+    with partial aggregation, so nothing is ever collected or sorted.
+    All six moments are exact BIGINTs (order-free sums); the only float
+    math is the closed-form Pearson ratio computed once from those six
+    numbers, identical in any engine up to 1 ulp — far inside the 1e-6
+    quantization.
+    """
+    e = symmetrize(edges, "src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "node")
+    dx = deg.select(F.col("node").alias("src"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy"))
+    j = e.join(dx, "src").join(dy, "dst")
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("sum_dx"),
+        F.sum("dy").cast("bigint").alias("sum_dy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sum_dxdy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sum_dx2"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("sum_dy2"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("sum_dxdy").cast("double") - F.col("sum_dx").cast("double") * F.col("sum_dy").cast("double")
+    den = F.sqrt(n * F.col("sum_dx2").cast("double") - F.col("sum_dx").cast("double") * F.col("sum_dx").cast("double")) * F.sqrt(
+        n * F.col("sum_dy2").cast("double") - F.col("sum_dy").cast("double") * F.col("sum_dy").cast("double")
+    )
+    return s.select(
+        "n_edges",
+        "sum_dx",
+        "sum_dy",
+        "sum_dxdy",
+        "sum_dx2",
+        "sum_dy2",
+        # try_divide: a regular graph has zero degree variance, so the
+        # coefficient is undefined (NULL), not a divide-by-zero error
+        F.round(F.try_divide(F.lit(1_000_000.0) * num, den)).cast("bigint").alias("assortativity_micros"),
+    )

@@ -427,3 +427,162 @@ def fellegi_sunter_scores(
         n_agree.cast("long").alias("n_agree"),
         score.cast("long").alias("score_milli"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of an integer-
+    quantized metric column. Returns ONE row with the exact per-group
+    moment sums (n/sum/sumsq as BIGINTs) plus the t statistic
+    (t_micros), Welch–Satterthwaite degrees of freedom (df_milli), and
+    the large-sample 5% two-sided decision (reject_95, |t| > 1.96).
+
+    The A/B-test primitive every experimentation pipeline runs; Welch's
+    form (per-group variances, no pooling) is the safe default when the
+    arms differ in size or spread.
+
+    Exactness: value_col must already be integer (e.g. cents), so all
+    six moments are order-free BIGINT sums collected in ONE conditional-
+    aggregation pass (no join, map-side combine, single-row output).
+    The t/df floats are closed-form expressions over those six integers
+    — a fixed handful of IEEE ops, identical in any engine, quantized
+    at 1e-6/1e-3 with ~1e9 headroom.
+    """
+    a, b = (F.col(group_col) == group_a), (F.col(group_col) == group_b)
+    v = F.col(value_col)
+    s = df.filter(a | b).agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, v).otherwise(0)).cast("bigint").alias("sum_a"),
+        F.sum(F.when(b, v).otherwise(0)).cast("bigint").alias("sum_b"),
+        F.sum(F.when(a, v * v).otherwise(0)).cast("bigint").alias("sumsq_a"),
+        F.sum(F.when(b, v * v).otherwise(0)).cast("bigint").alias("sumsq_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
+    va = (F.col("sumsq_a").cast("double") - sa * sa / na) / (na - 1)
+    vb = (F.col("sumsq_b").cast("double") - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dfree = se2 * se2 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    return s.select(
+        "n_a", "n_b", "sum_a", "sum_b", "sumsq_a", "sumsq_b",
+        F.round(F.lit(1_000_000.0) * t).cast("bigint").alias("t_micros"),
+        F.round(F.lit(1_000.0) * dfree).cast("bigint").alias("df_milli"),
+        (F.abs(t) > 1.96).alias("reject_95"),
+    )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over right-censored integer durations:
+    one row per distinct OBSERVED death time t with n_at_risk, d_deaths,
+    and the product-limit estimate S(t) = prod_{t'<=t} (1 - d/n) as
+    surv_micros. The churn/retention estimator that handles users still
+    alive at the observation horizon correctly (censoring), where a
+    naive mean lifetime is biased low.
+
+    Exactness: n_at_risk and d_deaths are exact integers from ONE
+    grouped collapse to distinct times (map-side combinable) followed by
+    a cumulative window over that bounded time axis — n_at_risk(t) =
+    N_total - #{t_i < t} via running sums, never a per-t rescan. The
+    product is evaluated as exp(cumsum(ln((n-d)/n))) on the collapsed
+    axis; each log term is a correctly-rounded IEEE op on exact
+    integers, and the running float sum carries ~1e-14 relative error
+    across thousands of terms — nine orders inside the 1e-6
+    quantization. The d == n_at_risk row (everyone at risk dies — only
+    possible when the largest duration is uncensored) is log-guarded:
+    engines disagree on ln(0) (NULL vs error), so S collapses to an
+    exact 0 via a windowed extinction flag instead.
+
+    Scale: the raw table collapses to |distinct durations| rows before
+    any window; the single unpartitioned cumulative window runs on that
+    bounded axis (time cardinality, not data cardinality).
+    """
+    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(F.col(observed_col), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("arrivals"),
+    )
+    w_rest = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        # at-risk(t) = everyone whose duration is >= t = the suffix sum of
+        # arrivals from t to the end — no separate count() action needed
+        per_t.withColumn("n_at_risk", F.sum("arrivals").over(w_rest))
+        .withColumn(
+            "log_s",
+            F.sum(
+                F.when(
+                    (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+                    F.log((F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk").cast("double")),
+                ).otherwise(0.0)
+            ).over(w_cum),
+        )
+        .withColumn(
+            "extinct",
+            F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(w_cum),
+        )
+        .filter(F.col("d") > 0)
+    )
+    return curve.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("d_deaths"),
+        F.when(F.col("extinct") > 0, F.lit(0))
+        .otherwise(F.round(F.lit(1_000_000.0) * F.exp("log_s")))
+        .cast("bigint")
+        .alias("surv_micros"),
+    )
+
+
+def seasonal_decompose_hourly(
+    events: DataFrame,
+    ts_col: str,
+    value_cents_col: Column,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of an hourly series:
+    trend = centered moving average (±half_window buckets), seasonal =
+    mean detrended value per hour-of-day. Returns 24 rows (hour_of_day,
+    n_buckets, seasonal_millicents) — the daily load shape with the
+    multi-day trend removed, the standard pre-pass before anomaly
+    thresholds or capacity forecasts.
+
+    Exactness: the raw table collapses to hourly (sum_cents, cnt)
+    integer pairs first; every division is immediately re-quantized to
+    an integer (bucket mean -> millicents, trend -> millicents, seasonal
+    -> millicents), so all window/group sums are order-free BIGINT sums
+    and each engine performs the SAME three correctly-rounded divisions.
+
+    Scale: both windows run on the collapsed hourly axis (8,760 rows per
+    year per series — time cardinality, not data cardinality), so the
+    single unpartitioned ORDER BY bucket window is a deliberate,
+    bounded choice; the raw scan is one map-side-combinable aggregate.
+    """
+    hourly = events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket")).agg(
+        F.sum(value_cents_col).cast("bigint").alias("sum_cents"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    mean_mc = F.round(F.lit(1000.0) * F.col("sum_cents").cast("double") / F.col("cnt").cast("double")).cast("bigint")
+    w = Window.orderBy("bucket").rowsBetween(-half_window, half_window)
+    trend_mc = F.round(F.sum("mean_mc").over(w).cast("double") / F.count("*").over(w).cast("double")).cast("bigint")
+    detrended = (
+        hourly.withColumn("mean_mc", mean_mc)
+        .withColumn("trend_mc", trend_mc)
+        .withColumn("resid_mc", F.col("mean_mc") - F.col("trend_mc"))
+    )
+    return (
+        detrended.groupBy(F.hour("bucket").cast("bigint").alias("hour_of_day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.round(F.sum("resid_mc").cast("double") / F.count("*").cast("double")).cast("bigint").alias("seasonal_millicents"),
+        )
+    )

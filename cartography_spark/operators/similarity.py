@@ -839,3 +839,52 @@ def mmr_rerank(
     spark = embeddings.sparkSession
     rows = [(i + 1, s[0], s[1]) for i, s in enumerate(selected)]
     return spark.createDataFrame(rows, f"rank int, {id_col} long, score_micro bigint")
+
+
+def dimension_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension moment profile of an embedding column: one row per
+    dimension with exact integer micro-quantized moment sums (n,
+    sum_micros, sumsq_micros2), the mean (mean_micros), the sample
+    variance (var_micros2), and the dimension's variance rank — the
+    feature-health check before PCA / whitening / matryoshka truncation
+    decisions (dead dims have ~0 variance; dominant dims distort cosine).
+
+    Exactness: each float component is quantized to integer micros ON
+    READ (one correctly-rounded op per value, identical in any engine);
+    all sums are then order-free BIGINTs. Variance is the closed-form
+    (sumsq - sum^2/n)/(n-1) in doubles over those exact integers,
+    re-quantized to whole micros^2.
+
+    Scale shape: posexplode is a flat-map (no shuffle); the per-dim
+    aggregate map-side combines down to |dims| rows, and the variance
+    rank window sorts only that |dims|-row frame. sumsq headroom:
+    unit-normalized micros^2 terms are <=1e12, so BIGINT holds ~9e6
+    row-dims per partial — at larger scale, pre-divide the quantization
+    to 1e4 or aggregate per shard and merge.
+    """
+    from pyspark.sql import Window
+
+    vals = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.lit(1_000_000.0) * F.col("val").cast("double")).cast("bigint").alias("q"),
+    )
+    per_dim = vals.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_micros"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sumsq_micros2"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("sum_micros").cast("double")
+    var = (F.col("sumsq_micros2").cast("double") - s * s / n) / (n - 1)
+    stats = per_dim.select(
+        "dim",
+        "n",
+        "sum_micros",
+        "sumsq_micros2",
+        F.round(s / n).cast("bigint").alias("mean_micros"),
+        F.round(var).cast("bigint").alias("var_micros2"),
+    )
+    w = Window.orderBy(F.col("var_micros2").desc(), F.col("dim").asc())
+    return stats.withColumn("var_rank", F.row_number().over(w).cast("bigint"))

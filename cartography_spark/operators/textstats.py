@@ -699,3 +699,111 @@ def zipf_fit(
         F.sum("x").cast("long").alias("sum_x"),
         F.sum("y").cast("long").alias("sum_y"),
     )
+
+
+def bleu_ngram_precision(
+    pairs: DataFrame,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Corpus-level BLEU-2 between (candidate, reference) text pairs:
+    modified (clipped) unigram and bigram precision, brevity penalty,
+    and their geometric mean — the standard automatic metric for
+    generation / translation eval over a labelled pair table.
+
+    Returns ONE row: clip1/tot1, clip2/tot2 (exact BIGINT clipped and
+    total n-gram counts), cand_len/ref_len, p1_micros, p2_micros,
+    bp_micros, bleu2_micros.
+
+    Exactness: tokenization is a shared regex (lowercase alphanumeric
+    runs); every count is an exact integer from grouped aggregation, so
+    both engines derive the four floats from the SAME integers with a
+    fixed handful of IEEE ops (quantized at 1e-6).
+
+    Scale shape: ONE scan of the pair table explodes both sides into a
+    single (pair, side, pos, token) stream; bigrams come from a lag
+    window per (pair, side) — a bounded per-document frame; the clip
+    join is cand-counts LEFT JOIN ref-counts on (pair, n, gram), both
+    sides pre-collapsed by the same grouped count (map-side combine),
+    so the join cardinality is the distinct-n-gram space, never the
+    token stream; final single-row corpus rollup is a plain aggregate.
+    """
+    from pyspark.sql import Window
+
+    sides = pairs.select(
+        F.col(pair_col).alias("pid"),
+        F.posexplode(
+            F.create_map(
+                F.lit("c"), F.col(cand_col), F.lit("r"), F.col(ref_col)
+            )
+        ).alias("_i", "side", "txt"),
+    ).select("pid", "side", "txt")
+    toks = (
+        sides.select(
+            "pid",
+            "side",
+            F.posexplode(F.split(F.lower("txt"), "[^a-z0-9]+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("pid", "side").orderBy("pos")
+    grams = toks.withColumn("nxt", F.lead("tok").over(w)).select(
+        "pid",
+        "side",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("n"), F.col("tok").alias("gram")),
+                F.struct(
+                    F.lit(2).alias("n"),
+                    F.when(F.col("nxt").isNotNull(), F.concat_ws(" ", "tok", "nxt")).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("pid", "side", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    counts = grams.groupBy("pid", "side", "n", "gram").agg(F.count("*").alias("cnt"))
+    cand = counts.filter(F.col("side") == "c").drop("side").withColumnRenamed("cnt", "c_cnt")
+    ref = counts.filter(F.col("side") == "r").drop("side").withColumnRenamed("cnt", "r_cnt")
+    clipped = cand.join(ref, ["pid", "n", "gram"], "left").select(
+        "n",
+        F.col("c_cnt").alias("tot"),
+        F.least(F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0))).alias("clip"),
+    )
+    per_n = clipped.groupBy("n").agg(
+        F.sum("tot").cast("bigint").alias("tot"), F.sum("clip").cast("bigint").alias("clip")
+    )
+    lens = (
+        toks.groupBy("side")
+        .agg(F.count("*").alias("n_tok"))
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("side") == "c", F.col("n_tok")).otherwise(0)).cast("bigint").alias("cand_len"),
+            F.sum(F.when(F.col("side") == "r", F.col("n_tok")).otherwise(0)).cast("bigint").alias("ref_len"),
+        )
+    )
+    wide = per_n.groupBy().agg(
+        F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("clip1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("clip"))).alias("clip2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+    )
+    p1 = F.col("clip1").cast("double") / F.col("tot1").cast("double")
+    p2 = F.col("clip2").cast("double") / F.col("tot2").cast("double")
+    bp = F.when(
+        F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(F.exp(F.lit(1.0) - F.col("ref_len").cast("double") / F.col("cand_len").cast("double")))
+    # guard the logs: a zero clipped count means BLEU-2 is 0 by definition,
+    # and engines disagree on log(0) (null vs error)
+    bleu2 = F.when(
+        (F.col("clip1") > 0) & (F.col("clip2") > 0),
+        F.round(F.lit(1_000_000.0) * bp * F.exp((F.log(p1) + F.log(p2)) / 2)),
+    ).otherwise(F.lit(0))
+    return wide.crossJoin(lens).select(
+        "clip1", "tot1", "clip2", "tot2", "cand_len", "ref_len",
+        F.round(F.lit(1_000_000.0) * p1).cast("bigint").alias("p1_micros"),
+        F.round(F.lit(1_000_000.0) * p2).cast("bigint").alias("p2_micros"),
+        F.round(F.lit(1_000_000.0) * bp).cast("bigint").alias("bp_micros"),
+        bleu2.cast("bigint").alias("bleu2_micros"),
+    )

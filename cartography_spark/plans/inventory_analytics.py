@@ -773,3 +773,184 @@ def q_psi_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi") > 0.2).alias("major_shift"),
         )
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sumsq_a,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sumsq_b
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    v AS (
+      SELECT *,
+             (CAST(sumsq_a AS DOUBLE)
+              - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) - 1) AS va,
+             (CAST(sumsq_b AS DOUBLE)
+              - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / (CAST(n_b AS DOUBLE) - 1) AS vb
+      FROM s
+    ),
+    e AS (
+      SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM v
+    )
+    SELECT n_a, n_b, sum_a, sum_b, sumsq_a, sumsq_b,
+           CAST(round(1000000.0 * ((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                    - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                   / sqrt(se2))) AS BIGINT) AS t_micros,
+           CAST(round(1000.0 * (se2 * se2 /
+                 ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+                  + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1))))
+                AS BIGINT) AS df_milli,
+           (abs((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt(se2)) > 1.96) AS reject_95
+    FROM e
+    """,
+    doc="Welch's unequal-variance t-test between the click and view "
+    "event-value arms (operators/profiling.py:welch_ttest) — the "
+    "experimentation-pipeline primitive beside the KS/PSI/chi2 drift "
+    "suite. ONE conditional-aggregation scan produces all six moment "
+    "sums as exact BIGINTs over integer cents (no join, map-side "
+    "combine, single-row output); t and the Welch-Satterthwaite df are "
+    "closed-form floats over those six integers, quantized at "
+    "1e-6/1e-3, with the large-sample 5% decision as a boolean.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import welch_ttest
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return welch_ttest(ev, "event_type", "cents", "click", "view")
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS dur
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN dur < 42000 THEN dur ELSE 42000 END AS t,
+             (dur < 42000) AS ev
+      FROM d
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS arrivals
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(arrivals) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+      FROM per_t
+    ),
+    curve AS (
+      SELECT t, d, n_at_risk,
+             sum(CASE WHEN d > 0 AND d < n_at_risk
+                      THEN ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s,
+             max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_at_risk, d AS d_deaths,
+           CAST(CASE WHEN extinct > 0 THEN 0
+                     ELSE round(1000000.0 * exp(log_s)) END AS BIGINT) AS surv_micros
+    FROM curve WHERE d > 0
+    """,
+    doc="Kaplan-Meier survival curve of user lifetimes with "
+    "administrative right-censoring at 42,000 minutes "
+    "(operators/profiling.py:kaplan_meier) — the churn estimator that "
+    "handles still-active users correctly where a naive mean lifetime "
+    "is biased low. Lifetimes collapse to per-user integer minutes "
+    "(floor-div on epoch micros, exact in any engine), then to distinct "
+    "death times; n_at_risk is the suffix running sum over that bounded "
+    "axis (never a per-t rescan), and the product-limit estimate is "
+    "exp(cumsum(ln((n-d)/n))) with ~1e-14 relative float error against "
+    "a 1e-6 quantization. Windows run on time-axis cardinality, not "
+    "data cardinality.",
+    tags=("analytics", "stats", "window"),
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import kaplan_meier
+
+    ev = T(spark, sf_dir, "events")
+    dur = ev.groupBy("user_id").agg(
+        # integer floor-div, mirroring the oracle's `//` — a double division
+        # could round up across an exact-minute boundary
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
+    ).select(F.expr("dur_us div 60000000").cast("bigint").alias("dur"))
+    obs = dur.select(
+        F.when(F.col("dur") < 42000, F.col("dur")).otherwise(F.lit(42000)).alias("t"),
+        (F.col("dur") < 42000).alias("ev"),
+    )
+    return kaplan_meier(obs, "t", "ev")
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    m AS (
+      SELECT bucket,
+             CAST(round(1000.0 * CAST(sum_cents AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS mean_mc
+      FROM hourly
+    ),
+    t AS (
+      SELECT bucket, mean_mc,
+             CAST(round(CAST(sum(mean_mc) OVER w AS DOUBLE)
+                        / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trend_mc
+      FROM m
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT CAST(extract(hour FROM bucket) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(round(CAST(sum(mean_mc - trend_mc) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_millicents
+    FROM t GROUP BY extract(hour FROM bucket)
+    """,
+    doc="Classical additive seasonal decomposition of the hourly event-"
+    "value series (operators/profiling.py:seasonal_decompose_hourly): "
+    "trend = +-12h centered moving average, seasonal = mean detrended "
+    "value per hour-of-day — the daily load shape with the multi-day "
+    "trend removed, the standard pre-pass before anomaly thresholds and "
+    "capacity forecasts. The raw scan collapses to integer "
+    "(sum_cents, cnt) hourly pairs first (map-side combine); every "
+    "division is immediately re-quantized to an integer so all window/"
+    "group sums stay order-free, and both windows run on the collapsed "
+    "hourly axis (time cardinality — 8,760 rows/year — not data "
+    "cardinality), which is why the single unpartitioned ORDER BY "
+    "bucket window is a deliberate, bounded choice.",
+    tags=("analytics", "timeseries", "window"),
+)
+def q_timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import seasonal_decompose_hourly
+
+    ev = T(spark, sf_dir, "events")
+    return seasonal_decompose_hourly(
+        ev, "ts", F.round(F.col("value") * 100).cast("bigint"), half_window=12
+    )

@@ -901,3 +901,52 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficient(pairs)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH base_e AS ({_TRADE_EDGES_SQL}),
+    e AS (SELECT a AS src, b AS dst FROM base_e UNION SELECT b, a FROM base_e),
+    d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+    j AS (
+      SELECT dx.deg AS dx, dy.deg AS dy
+      FROM e JOIN d dx ON e.src = dx.node JOIN d dy ON e.dst = dy.node
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(dx) AS BIGINT) AS sum_dx,
+             CAST(sum(dy) AS BIGINT) AS sum_dy,
+             CAST(sum(dx * dy) AS BIGINT) AS sum_dxdy,
+             CAST(sum(dx * dx) AS BIGINT) AS sum_dx2,
+             CAST(sum(dy * dy) AS BIGINT) AS sum_dy2
+      FROM j
+    )
+    SELECT n_edges, sum_dx, sum_dy, sum_dxdy, sum_dx2, sum_dy2,
+           CAST(round(1000000.0 *
+                 (CAST(n_edges AS DOUBLE) * sum_dxdy
+                  - CAST(sum_dx AS DOUBLE) * sum_dy)
+                 / (sqrt(CAST(n_edges AS DOUBLE) * sum_dx2
+                         - CAST(sum_dx AS DOUBLE) * sum_dx)
+                    * sqrt(CAST(n_edges AS DOUBLE) * sum_dy2
+                           - CAST(sum_dy AS DOUBLE) * sum_dy)))
+                AS BIGINT) AS assortativity_micros
+    FROM s
+    """,
+    doc="Degree assortativity (Newman 2002) of the symmetrized customer-"
+    "supplier trade graph (operators/graph.py:degree_assortativity): the "
+    "Pearson correlation of endpoint degrees across directed edges — the "
+    "one-number answer to 'do hubs trade with hubs?'. Bipartite trade "
+    "graphs are strongly disassortative (high-degree suppliers serve "
+    "long-tail customers), which is exactly what capacity planning and "
+    "skew-salting decisions key on. All six moment sums are exact "
+    "BIGINTs (order-free, map-side combinable; two shuffle joins of the "
+    "degree relation onto the edge list, single-row output); the only "
+    "float op is the closed-form Pearson ratio from those six integers, "
+    "quantized to micros.",
+    tags=("graph", "analytics"),
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_trade_edges(spark, sf_dir).selectExpr("a AS src", "b AS dst"))

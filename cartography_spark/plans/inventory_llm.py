@@ -3496,3 +3496,144 @@ def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (20 - sum(CASE WHEN rn64 <= 10 AND rn16 <= 10 THEN 1 ELSE 0 END)) AS BIGINT)"
         ).alias("jaccard_permille"),
     )
+
+
+@query(
+    "eval_bleu_ngram_precision",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.doc_id // 2 AS pid, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    sides AS (
+      SELECT pid, 'c' AS side, cand AS txt FROM pairs
+      UNION ALL
+      SELECT pid, 'r' AS side, ref AS txt FROM pairs
+    ),
+    raw AS (
+      SELECT pid, side,
+             generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      FROM (SELECT pid, side,
+                   regexp_split_to_array(lower(txt), '[^a-z0-9]+') AS l
+            FROM sides)
+    ),
+    toks AS (SELECT pid, side, pos, tok FROM raw WHERE tok <> ''),
+    seq AS (
+      SELECT pid, side, tok,
+             lead(tok) OVER (PARTITION BY pid, side ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    grams AS (
+      SELECT pid, side, 1 AS n, tok AS gram FROM seq
+      UNION ALL
+      SELECT pid, side, 2 AS n, tok || ' ' || nxt AS gram FROM seq WHERE nxt IS NOT NULL
+    ),
+    counts AS (
+      SELECT pid, side, n, gram, count(*) AS cnt
+      FROM grams GROUP BY pid, side, n, gram
+    ),
+    clipped AS (
+      SELECT c.n, c.cnt AS tot,
+             least(c.cnt, coalesce(r.cnt, 0)) AS clip
+      FROM (SELECT * FROM counts WHERE side = 'c') c
+      LEFT JOIN (SELECT * FROM counts WHERE side = 'r') r
+        ON c.pid = r.pid AND c.n = r.n AND c.gram = r.gram
+    ),
+    per_n AS (
+      SELECT n, CAST(sum(tot) AS BIGINT) AS tot, CAST(sum(clip) AS BIGINT) AS clip
+      FROM clipped GROUP BY n
+    ),
+    lens AS (
+      SELECT CAST(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS cand_len,
+             CAST(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT) AS ref_len
+      FROM toks
+    ),
+    wide AS (
+      SELECT max(CASE WHEN n = 1 THEN clip END) AS clip1,
+             max(CASE WHEN n = 1 THEN tot END) AS tot1,
+             max(CASE WHEN n = 2 THEN clip END) AS clip2,
+             max(CASE WHEN n = 2 THEN tot END) AS tot2
+      FROM per_n
+    ),
+    x AS (
+      SELECT *,
+             CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE) AS p1,
+             CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE) AS p2,
+             CASE WHEN cand_len >= ref_len THEN 1.0
+                  ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)) END AS bp
+      FROM wide CROSS JOIN lens
+    )
+    SELECT clip1, tot1, clip2, tot2, cand_len, ref_len,
+           CAST(round(1000000.0 * p1) AS BIGINT) AS p1_micros,
+           CAST(round(1000000.0 * p2) AS BIGINT) AS p2_micros,
+           CAST(round(1000000.0 * bp) AS BIGINT) AS bp_micros,
+           CAST(CASE WHEN clip1 > 0 AND clip2 > 0
+                     THEN round(1000000.0 * bp * exp((ln(p1) + ln(p2)) / 2))
+                     ELSE 0 END AS BIGINT) AS bleu2_micros
+    FROM x
+    """,
+    doc="Corpus BLEU-2 over a deterministic candidate/reference pairing "
+    "of the documents table — even doc_id as candidate, its successor "
+    "as reference (operators/textstats.py:bleu_ngram_precision). The "
+    "generation-eval counterpart of retrieval_eval_ndcg: clipped "
+    "unigram/bigram precision, brevity penalty, geometric mean. All "
+    "counts are exact integers from grouped aggregation (ONE corpus "
+    "scan explodes both sides; the clip join runs on pre-collapsed "
+    "distinct-n-gram counts, never the token stream); the four floats "
+    "are closed-form over those integers, log-guarded at zero overlap "
+    "(engines disagree on log(0)) and quantized to micros.",
+    tags=("llm", "eval", "text"),
+)
+def q_eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
+    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    return ts.bleu_ngram_precision(pairs, "pair_id", "cand_text", "ref_text")
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(round(1000000.0 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sum_micros,
+             CAST(sum(q * q) AS BIGINT) AS sumsq_micros2
+      FROM vals GROUP BY dim
+    ),
+    stats AS (
+      SELECT dim, n, sum_micros, sumsq_micros2,
+             CAST(round(CAST(sum_micros AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_micros,
+             CAST(round((CAST(sumsq_micros2 AS DOUBLE)
+                         - CAST(sum_micros AS DOUBLE) * CAST(sum_micros AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1)) AS BIGINT) AS var_micros2
+      FROM per_dim
+    )
+    SELECT dim, n, sum_micros, sumsq_micros2, mean_micros, var_micros2,
+           CAST(row_number() OVER (ORDER BY var_micros2 DESC, dim ASC) AS BIGINT) AS var_rank
+    FROM stats
+    """,
+    doc="Per-dimension moment profile of the embedding table "
+    "(operators/similarity.py:dimension_stats): micro-quantized exact "
+    "integer moments, mean, sample variance, and variance rank per "
+    "dimension — the feature-health check before PCA/whitening or "
+    "matryoshka truncation (dead dims have ~0 variance; dominant dims "
+    "distort cosine). posexplode is a flat-map; the per-dim aggregate "
+    "map-side combines to |dims| rows and the rank window sorts only "
+    "that 64-row frame.",
+    tags=("llm", "embedding", "analytics"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.dimension_stats(load_table(spark, sf_dir, "embeddings"), "embedding")

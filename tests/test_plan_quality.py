@@ -117,6 +117,7 @@ _SCALAR_ATTACH = {
     "record_linkage_fs_scores",     # x broadcast(1-row per-field u rates)
     "source_ablation_stats",        # x broadcast(1-row global totals)
     "similarity_matryoshka_eval",   # x broadcast(8-row anchor frame — constant contract)
+    "eval_bleu_ngram_precision",    # x broadcast(1-row corpus length totals)
 }
 
 
