@@ -586,3 +586,49 @@ def seasonal_decompose_hourly(
             F.round(F.sum("resid_mc").cast("double") / F.count("*").cast("double")).cast("bigint").alias("seasonal_millicents"),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_ppm: int = 50_000,
+) -> DataFrame:
+    """Two-sided trimmed mean per group: drop the lowest and highest
+    floor(n * trim_ppm / 1e6) values exactly (by rank, not by
+    percentile interpolation) and average the rest — the robust
+    location estimate between the mean (trim 0) and the median (trim
+    50%), completing the robust suite beside MAD and Theil-Sen.
+
+    Returns per group: n_rows, n_trimmed_each_side, kept_sum, n_kept,
+    trimmed_mean_milli (= round(1000 * kept_sum / n_kept)).
+
+    Exactness: value_col must be integer; the trim boundary is an exact
+    integer rank (ties at the boundary are interchangeable — equal
+    values contribute equally to the kept sum, so the kept MULTISET is
+    well-defined even though row_number breaks ties arbitrarily), and
+    kept_sum/n_kept are order-free BIGINTs. One shuffle on the group
+    key; the rank window sorts within groups only. At 100 TB swap the
+    exact rank for approx-quantile thresholds + an exact residual
+    filter — same contract, no full per-group sort.
+    """
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc())
+    wc = Window.partitionBy("__g")
+    ranked = (
+        df.select(F.col(group_col).alias("__g"), F.col(value_col).cast("long").alias("__v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wc))
+    )
+    k = F.expr(f"(__n * {trim_ppm}) div 1000000")
+    kept = ranked.filter((F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k))
+    return kept.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__n").cast("bigint").alias("n_rows"),
+        F.max(k).cast("bigint").alias("n_trimmed_each_side"),
+        F.sum("__v").cast("bigint").alias("kept_sum"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            F.lit(1000.0) * F.sum("__v").cast("double") / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("trimmed_mean_milli"),
+    )

@@ -10,7 +10,7 @@ All md5-derived, so any engine recomputes the identical assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cartography_spark.operators.dedup import portable_hash32
@@ -256,4 +256,67 @@ def poisson_bootstrap_ci(
         F.max(F.when(F.col("rk") == lo_rank, F.col("m"))).alias("ci_lo"),
         F.max(F.when(F.col("rk") == hi_rank, F.col("m"))).alias("ci_hi"),
         F.lit(n_replicates).alias("n_replicates"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman (optimal) allocation of a fixed sampling budget across
+    strata: n_h proportional to N_h * S_h (stratum size x stratum
+    standard deviation), the allocation that minimizes the variance of
+    the stratified mean estimator for a given total budget — the
+    principled upgrade over proportional allocation when strata differ
+    in spread (survey sampling / eval-set budgeting / labeling-budget
+    planning).
+
+    Returns one row per stratum: n_rows, sum/sumsq moment BIGINTs, the
+    quantized weight w_micros = round(1e6 * N_h * sd_h), and the exact
+    integer allocation alloc_n (largest-remainder rounding, so the
+    allocations sum to exactly n_total).
+
+    Exactness: moments are order-free BIGINT sums from ONE grouped scan
+    (map-side combine); sd is one closed-form sqrt over those integers,
+    immediately re-quantized, so the apportionment arithmetic
+    (floor-div, mod, remainder ranking) is pure integer and
+    engine-identical. Scale: everything after the first aggregate runs
+    on |strata| rows; the two 1-row total attaches are broadcast
+    scalars.
+    """
+    v = F.col(value_col)
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(v).cast("bigint").alias("sum_v"),
+        F.sum(v * v).cast("bigint").alias("sumsq_v"),
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("sum_v").cast("double")
+    sd = F.sqrt((F.col("sumsq_v").cast("double") - s * s / n) / (n - 1))
+    w = per.withColumn("w_micros", F.round(F.lit(1_000_000.0) * n * sd).cast("bigint"))
+    tot = w.agg(F.sum("w_micros").alias("w_total"))
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("base_n", F.expr(f"({n_total} * w_micros) div w_total"))
+        .withColumn("rem", (F.lit(n_total) * F.col("w_micros")) % F.col("w_total"))
+    )
+    used = base.agg(F.sum("base_n").alias("used"))
+    ranked = base.crossJoin(F.broadcast(used)).withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())),
+    )
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "sum_v",
+        "sumsq_v",
+        "w_micros",
+        (
+            F.col("base_n")
+            + F.when(F.col("rnk") <= F.lit(n_total) - F.col("used"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
     )

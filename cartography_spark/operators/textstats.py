@@ -807,3 +807,78 @@ def bleu_ngram_precision(
         F.round(F.lit(1_000_000.0) * bp).cast("bigint").alias("bp_micros"),
         bleu2.cast("bigint").alias("bleu2_micros"),
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq (deg =
+    total length of phrases it appears in, freq = its occurrence count)
+    and a phrase scores the sum of its words' scores. Returns the top-k
+    distinct phrases corpus-wide: (phrase, n_words, n_occurrences,
+    score_micros) — the unsupervised keyphrase baseline for corpus
+    triage and topic labeling.
+
+    Exactness: deg and freq are exact integers; each word ratio is ONE
+    correctly-rounded division quantized to integer micros, and phrase
+    scores are integer sums of those micros, so the (score, phrase)
+    ranking is engine-identical. Identical phrase texts score
+    identically by construction (scores depend only on corpus-wide word
+    stats), so the distinct-phrase collapse is well-defined.
+
+    Scale shape: one corpus scan tokenizes and segments (the phrase id
+    is a running stopword count per doc — a bounded per-document
+    window); word stats are two map-side-combinable aggregates on the
+    word key; the phrase score join is words-to-ratios on the word key
+    (never a pair join); top-k is TakeOrdered over the distinct-phrase
+    collapse, no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("is_stop", F.col("tok").isin(*stopwords))
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    seg = toks.withColumn(
+        "seg", F.sum(F.col("is_stop").cast("int")).over(w)
+    ).filter(~F.col("is_stop"))
+    phrase_len = seg.groupBy("doc", "seg").agg(F.count("*").alias("plen"))
+    words = seg.join(phrase_len, ["doc", "seg"])
+    ratios = words.groupBy("tok").agg(
+        F.round(
+            F.lit(1_000_000.0) * F.sum("plen").cast("double") / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("ratio_micros")
+    )
+    scored = (
+        words.join(ratios, "tok")
+        .groupBy("doc", "seg")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x.tok
+                ),
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("ratio_micros").cast("bigint").alias("score_micros"),
+        )
+    )
+    return (
+        scored.groupBy("phrase", "n_words", "score_micros")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .select("phrase", "n_words", "n_occurrences", "score_micros")
+        .orderBy(F.col("score_micros").desc(), F.col("phrase").asc())
+        .limit(k)
+    )

@@ -954,3 +954,109 @@ def q_timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFra
     return seasonal_decompose_hourly(
         ev, "ts", F.round(F.col("value") * 100).cast("bigint"), half_window=12
     )
+
+
+@query(
+    "robust_trimmed_mean",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    k AS (SELECT *, (n * 50000) // 1000000 AS kk FROM r)
+    SELECT grp AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(kk) AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(c) AS BIGINT) AS kept_sum,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(round(1000.0 * CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             AS trimmed_mean_milli
+    FROM k WHERE rn > kk AND rn <= n - kk
+    GROUP BY grp
+    """,
+    doc="5% two-sided trimmed mean of order value per priority "
+    "(operators/profiling.py:trimmed_mean) — the robust location "
+    "estimate between mean and median, completing the robust suite "
+    "beside MAD and Theil-Sen. The trim boundary is an exact integer "
+    "rank (boundary ties are interchangeable: equal values contribute "
+    "equally, so the kept MULTISET is well-defined despite arbitrary "
+    "row_number tie order); kept_sum/n_kept are order-free BIGINTs and "
+    "the only float op is one final division. One shuffle on the group "
+    "key; at 100 TB swap the exact rank for approx-quantile thresholds "
+    "+ an exact residual filter.",
+    tags=("analytics", "stats", "window"),
+)
+def q_robust_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import trimmed_mean
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return trimmed_mean(o, "o_orderpriority", "cents", trim_ppm=50_000)
+
+
+@query(
+    "sampling_neyman_allocation",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS stratum, CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders
+    ),
+    per AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(d) AS BIGINT) AS sum_v,
+             CAST(sum(d * d) AS BIGINT) AS sumsq_v
+      FROM v GROUP BY stratum
+    ),
+    w AS (
+      SELECT *,
+             CAST(round(1000000.0 * CAST(n_rows AS DOUBLE)
+                   * sqrt((CAST(sumsq_v AS DOUBLE)
+                           - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                          / (CAST(n_rows AS DOUBLE) - 1))) AS BIGINT) AS w_micros
+      FROM per
+    ),
+    t AS (SELECT CAST(sum(w_micros) AS BIGINT) AS w_total FROM w),
+    b AS (
+      SELECT w.*, (1000 * w_micros) // w_total AS base_n,
+             (1000 * w_micros) % w_total AS rem
+      FROM w, t
+    ),
+    u AS (SELECT CAST(sum(base_n) AS BIGINT) AS used FROM b),
+    r AS (
+      SELECT b.*, u.used,
+             row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+      FROM b, u
+    )
+    SELECT stratum, n_rows, sum_v, sumsq_v, w_micros,
+           CAST(base_n + CASE WHEN rnk <= 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+    FROM r
+    """,
+    doc="Neyman (optimal) allocation of a 1,000-row sampling budget "
+    "across order priorities (operators/sampling.py:neyman_allocation): "
+    "n_h proportional to N_h * S_h, the allocation that minimizes the "
+    "stratified-mean variance — survey sampling / labeling-budget "
+    "planning, the variance-aware upgrade over proportional splits. "
+    "Moments are order-free BIGINTs over integer dollars from ONE "
+    "grouped scan (dollars, not cents: sum(d*d) must stay inside int64 "
+    "at rehearsal scale; shift the quantization with data volume); sd "
+    "is one closed-form sqrt immediately re-quantized to micros, so the "
+    "largest-remainder apportionment (floor-div/mod/rank) is pure "
+    "integer and sums to exactly the budget. Everything after the scan "
+    "runs on |strata| rows; both totals are 1-row broadcast attaches.",
+    tags=("analytics", "sampling", "scale"),
+)
+def q_sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import neyman_allocation
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice")).cast("bigint").alias("dollars")
+    )
+    return neyman_allocation(o, "o_orderpriority", "dollars", n_total=1000)

@@ -3637,3 +3637,63 @@ def q_eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.dimension_stats(load_table(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id AS doc, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+') AS l
+            FROM documents)
+    ),
+    nz AS (
+      SELECT doc, pos, tok,
+             tok IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it') AS is_stop
+      FROM raw WHERE tok <> ''
+    ),
+    segd AS (
+      SELECT doc, pos, tok, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY pos) AS seg
+      FROM nz
+    ),
+    words AS (SELECT doc, pos, tok, seg FROM segd WHERE NOT is_stop),
+    plen AS (SELECT doc, seg, count(*) AS plen FROM words GROUP BY doc, seg),
+    ratios AS (
+      SELECT w.tok,
+             CAST(round(1000000.0 * CAST(sum(p.plen) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS ratio_micros
+      FROM words w JOIN plen p ON w.doc = p.doc AND w.seg = p.seg
+      GROUP BY w.tok
+    ),
+    scored AS (
+      SELECT w.doc, w.seg,
+             string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(r.ratio_micros) AS BIGINT) AS score_micros
+      FROM words w JOIN ratios r ON w.tok = r.tok
+      GROUP BY w.doc, w.seg
+    )
+    SELECT phrase, n_words, n_occurrences, score_micros FROM (
+      SELECT phrase, n_words, score_micros,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM scored GROUP BY phrase, n_words, score_micros)
+    ORDER BY score_micros DESC, phrase ASC LIMIT 20
+    """,
+    doc="RAKE keyword extraction over the documents table "
+    "(operators/textstats.py:rake_keywords): stopword-delimited "
+    "candidate phrases scored by sum of member words' deg/freq — the "
+    "unsupervised keyphrase baseline for corpus triage beside PMI "
+    "collocations (which ranks adjacent PAIRS; RAKE ranks variable-"
+    "length phrases). Word ratios are one correctly-rounded division "
+    "each, quantized to micros, so phrase scores are exact integer "
+    "sums; the (score, phrase) ranking key is unique per distinct "
+    "phrase, making the top-20 boundary engine-identical. One corpus "
+    "scan, per-doc segment window, word-keyed stat joins, TakeOrdered "
+    "top-k — never a pair join or global sort.",
+    tags=("llm", "text", "eval"),
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.rake_keywords(_docs(spark, sf_dir), "text", "doc_id", k=20)

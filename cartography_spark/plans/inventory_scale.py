@@ -379,3 +379,65 @@ def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("o_orderpriority", "o_orderkey", "price_cents", "rnk")
     )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+    cnt AS (SELECT cur, nxt, count(*) AS n FROM tr GROUP BY cur, nxt),
+    model AS (
+      SELECT cur, nxt AS pred FROM (
+        SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt ASC) AS rk
+        FROM cnt) WHERE rk = 1
+    )
+    SELECT t.cur AS event_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(round(1000000.0 * CAST(sum(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_micros
+    FROM tr t JOIN model m ON t.cur = m.cur
+    GROUP BY t.cur
+    """,
+    doc="Top-1 next-event prediction accuracy of the first-order Markov "
+    "model beside event_transition_matrix: train = argmax next-type per "
+    "current type (most transitions, smallest type on ties), eval = "
+    "in-sample accuracy per current type. Spark computes the argmax as "
+    "a mergeable min_by(nxt, (-n, nxt)) aggregate — map-side combine, "
+    "no per-group sort — while the oracle uses the naive row_number "
+    "window; agreement proves the sort-free plan, the same discipline "
+    "as graph_label_propagation. The model is |event types|^2 rows "
+    "however big the stream is; scoring is one equi-join of transitions "
+    "against that broadcast-size model.",
+    tags=("scale", "analytics", "eval"),
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    model = cnt.groupBy("cur").agg(
+        F.min_by("nxt", F.struct((-F.col("n")).alias("nn"), F.col("nxt").alias("t"))).alias("pred")
+    )
+    correct = F.sum((F.col("nxt") == F.col("pred")).cast("long"))
+    return (
+        seq.join(F.broadcast(model), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            correct.cast("bigint").alias("n_correct"),
+            F.round(
+                F.lit(1_000_000.0) * correct.cast("double") / F.count("*").cast("double")
+            )
+            .cast("bigint")
+            .alias("acc_micros"),
+        )
+    )

@@ -102,6 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_eval", "streaming_cdc_latest_state",
     "graph_degree_assortativity", "stats_welch_ttest", "survival_kaplan_meier",
     "timeseries_seasonal_decompose", "eval_bleu_ngram_precision", "embedding_dim_stats",
+    "robust_trimmed_mean", "sampling_neyman_allocation", "markov_next_event_accuracy",
+    "text_rake_keywords",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",

@@ -118,6 +118,7 @@ _SCALAR_ATTACH = {
     "source_ablation_stats",        # x broadcast(1-row global totals)
     "similarity_matryoshka_eval",   # x broadcast(8-row anchor frame — constant contract)
     "eval_bleu_ngram_precision",    # x broadcast(1-row corpus length totals)
+    "sampling_neyman_allocation",   # x broadcast(1-row weight total + 1-row used-base total)
 }
 
 

@@ -167,3 +167,86 @@ def test_degree_assortativity_regular_graph_is_degenerate(spark):
     out = degree_assortativity(edges).head()
     assert out.n_edges == 2 * n
     assert out.assortativity_micros is None
+
+
+def test_trimmed_mean_drops_exact_rank_count(spark):
+    from cartography_spark.operators.profiling import trimmed_mean
+
+    # n=20, 5% trim -> k=1: drop the single min (0) and max (1000)
+    vals = [0] + list(range(1, 19)) + [1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x long")
+    out = trimmed_mean(df, "grp", "x", trim_ppm=50_000).head()
+    assert out.n_rows == 20 and out.n_trimmed_each_side == 1
+    kept = sorted(vals)[1:-1]
+    assert out.kept_sum == sum(kept) and out.n_kept == 18
+    assert out.trimmed_mean_milli == round(1000 * sum(kept) / 18)
+
+
+def test_trimmed_mean_small_group_trims_nothing(spark):
+    from cartography_spark.operators.profiling import trimmed_mean
+
+    # n=10 at 5% -> k=0: plain mean
+    df = spark.createDataFrame([("g", v) for v in range(10)], "grp string, x long")
+    out = trimmed_mean(df, "grp", "x", trim_ppm=50_000).head()
+    assert out.n_trimmed_each_side == 0 and out.n_kept == 10
+    assert out.kept_sum == 45
+
+
+def test_neyman_allocation_favors_high_variance_stratum(spark):
+    from cartography_spark.operators.sampling import neyman_allocation
+
+    # equal sizes; stratum b has ~10x the sd -> ~10x the allocation
+    rows = [("a", 100 + (i % 2)) for i in range(40)] + [
+        ("b", 100 + 10 * (i % 2)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "s string, x long")
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "x", n_total=100).collect()}
+    assert out["a"].alloc_n + out["b"].alloc_n == 100
+    assert out["b"].alloc_n > 85  # sd ratio 10:1
+    assert out["a"].n_rows == 40 and out["b"].n_rows == 40
+
+
+def test_neyman_allocation_sums_to_budget_with_remainders(spark):
+    from cartography_spark.operators.sampling import neyman_allocation
+
+    rows = [(f"s{k}", 10 * k + (i % 3)) for k in range(1, 6) for i in range(30)]
+    df = spark.createDataFrame(rows, "s string, x long")
+    out = neyman_allocation(df, "s", "x", n_total=97).collect()
+    assert sum(r.alloc_n for r in out) == 97
+
+
+def test_rake_scores_multiword_phrase_above_its_words(spark):
+    from cartography_spark.operators.textstats import rake_keywords
+
+    # "deep learning" always co-occurs; "data" appears alone and in a pair.
+    docs = spark.createDataFrame(
+        [
+            (0, "deep learning is the future of data"),
+            (1, "deep learning and big data"),
+            (2, "data matters"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keywords(docs, k=50).collect()}
+    # deg/freq: deep=2/1... deep appears twice, both in 2-word phrase ->
+    # deg 4, freq 2 -> ratio 2; learning same -> phrase score 4e6
+    assert out["deep learning"].score_micros == 4_000_000
+    assert out["deep learning"].n_occurrences == 2
+    # single word "data": occurrences in phrases of len 1 ("data"), len 2
+    # ("big data"), len 2 ("data matters")? "data matters" is one phrase
+    # (no stopword between) -> data: deg=1+2+2=5, freq=3
+    assert out["data"].score_micros == round(1e6 * 5 / 3)
+    # top phrase must be a multi-word candidate, the RAKE signature
+    top = max(out.values(), key=lambda r: (r.score_micros, r.phrase))
+    assert top.n_words >= 2
+
+
+def test_markov_accuracy_bounds_and_model_argmax(spark):
+    from cartography_spark.plans.inventory_scale import q_markov_next_event_accuracy
+    from tests.conftest import SF_CORRECT
+
+    out = {r.event_type: r for r in q_markov_next_event_accuracy(spark, SF_CORRECT).collect()}
+    assert set(out) == {"click", "error", "purchase", "signup", "view"}
+    for r in out.values():
+        assert 0 <= r.n_correct <= r.n_transitions
+        assert r.acc_micros == round(1e6 * r.n_correct / r.n_transitions)
