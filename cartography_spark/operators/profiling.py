@@ -632,3 +632,74 @@ def trimmed_mean(
         .cast("bigint")
         .alias("trimmed_mean_milli"),
     )
+
+
+def gini_concentration(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
+    """Gini coefficient of an integer-valued distribution:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending rank i
+    — the Lorenz-curve concentration summary (0 = perfectly equal,
+    ->1 = one holder has everything). Returns ONE row with the exact
+    BIGINT pieces (n, total, weighted_sum, gini_num, gini_den) and
+    gini_micros.
+
+    Exactness: everything except the final quantized ratio is BIGINT
+    arithmetic; rank ties carry equal values, so the weighted sum is
+    tie-order invariant. Scale: callers pre-aggregate to the entity
+    grain first so the global rank window runs on entity cardinality;
+    at 100 TB replace the exact rank with a binned Lorenz approximation
+    under the same num/den contract.
+    """
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    r = df.select(F.col(value_col).alias("__x"), F.row_number().over(w).alias("__i"))
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).cast("bigint").alias("weighted_sum"),
+    )
+    num = (2 * F.col("weighted_sum") - (F.col("n") + 1) * F.col("total")).cast("bigint")
+    den = (F.col("n") * F.col("total")).cast("bigint")
+    return s.select(
+        "n",
+        "total",
+        "weighted_sum",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        F.round(F.lit(1_000_000.0) * num.cast("double") / den.cast("double"))
+        .cast("bigint")
+        .alias("gini_micros"),
+    )
+
+
+def composition_entropy(df: DataFrame, group_col: str, class_col: str) -> DataFrame:
+    """Shannon entropy of the class composition within each group, via
+    H = ln(N) - sum(c * ln c)/N over exact class counts, plus exp(H) as
+    the 'effective number of classes' (Hill number of order 1). Each
+    c*ln(c) term is ONE correctly-rounded op on an exact integer count,
+    quantized to integer micros BEFORE summing, so per-group sums are
+    order-free BIGINTs and both engines derive H from identical
+    integers. Composition cells collapse map-side; everything after
+    runs on |groups| x |classes| rows."""
+    cells = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(class_col).alias("__c")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    cd = F.col("c").cast("double")
+    per = cells.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.lit(1_000_000.0) * cd * F.log(cd)).cast("bigint"))
+        .cast("bigint")
+        .alias("s_micros"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sm = F.col("s_micros").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        "n_rows",
+        "n_classes",
+        F.round(F.lit(1_000_000.0) * F.log(nd) - sm / nd)
+        .cast("bigint")
+        .alias("entropy_micronats"),
+        F.round(F.lit(1000.0) * F.exp(F.log(nd) - (sm / F.lit(1_000_000.0)) / nd))
+        .cast("bigint")
+        .alias("effective_classes_milli"),
+    )

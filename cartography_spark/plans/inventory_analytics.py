@@ -1060,3 +1060,71 @@ def q_sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", F.round(F.col("o_totalprice")).cast("bigint").alias("dollars")
     )
     return neyman_allocation(o, "o_orderpriority", "dollars", n_total=1000)
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders
+    ),
+    per AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    x AS (
+      SELECT digit, n_obs,
+             CAST(sum(n_obs) OVER () AS BIGINT) AS n_total,
+             CAST(round(1000000.0 * log10(1 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)
+               AS exp_micros
+      FROM per
+    ),
+    t AS (
+      SELECT digit, n_obs, n_total, exp_micros,
+             CAST(round(1000.0 *
+                   (CAST(n_obs AS DOUBLE)
+                    - CAST(n_total AS DOUBLE) * CAST(exp_micros AS DOUBLE) / 1000000.0)
+                   * (CAST(n_obs AS DOUBLE)
+                      - CAST(n_total AS DOUBLE) * CAST(exp_micros AS DOUBLE) / 1000000.0)
+                   / (CAST(n_total AS DOUBLE) * CAST(exp_micros AS DOUBLE) / 1000000.0))
+                AS BIGINT) AS term_milli
+      FROM x
+    )
+    SELECT digit, n_obs, n_total, exp_micros, term_milli,
+           CAST(sum(term_milli) OVER () AS BIGINT) AS chi2_milli
+    FROM t
+    """,
+    doc="Benford first-digit conformance test over order values — the "
+    "data-quality / fraud screen that flags fabricated or truncated "
+    "numeric columns (natural multi-scale amounts follow "
+    "P(d)=log10(1+1/d); uniform or hand-entered ones don't). One scan "
+    "collapses to 9 digit-count rows (the first digit is string "
+    "arithmetic on exact integer dollars, no float log); the expected "
+    "probability is quantized to micros per digit, each chi-square term "
+    "re-quantized to milli, and the chi2 total is an INTEGER window sum "
+    "of those terms over the 9-row frame — order-free, engine-exact.",
+    tags=("analytics", "dq", "stats"),
+)
+def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.substring(F.round(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    per = o.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    w_all = Window.partitionBy()
+    x = per.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(w_all).cast("bigint").alias("n_total"),
+        F.round(F.lit(1_000_000.0) * F.log10(1 + 1.0 / F.col("digit").cast("double")))
+        .cast("bigint")
+        .alias("exp_micros"),
+    )
+    expected = F.col("n_total").cast("double") * F.col("exp_micros").cast("double") / 1_000_000.0
+    dev = F.col("n_obs").cast("double") - expected
+    t = x.withColumn(
+        "term_milli", F.round(F.lit(1000.0) * dev * dev / expected).cast("bigint")
+    )
+    return t.withColumn(
+        "chi2_milli", F.sum("term_milli").over(w_all).cast("bigint")
+    )

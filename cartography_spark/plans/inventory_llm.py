@@ -3697,3 +3697,146 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.rake_keywords(_docs(spark, sf_dir), "text", "doc_id", k=20)
+
+
+# RBO tail weights: W[m] = sum_{d=m..10} (1-p) p^(d-1) / d at p=0.9,
+# quantized to micros. An item first entering BOTH prefixes at depth
+# m = max(rank_a, rank_b) contributes exactly W[m] to truncated RBO, so
+# the whole metric is an integer sum of these ten constants — the same
+# constants are inlined into the oracle, making the comparison exact.
+_RBO_W_MICROS = (235416, 135416, 90416, 63416, 45191, 32069, 22228, 14636, 8657, 3874)
+
+_RBO_CASES = "\n                ".join(
+    f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W_MICROS, start=1)
+)
+
+
+@query(
+    "retrieval_rbo_rankings",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({_COSINE_SQL}, 4) AS cos64,
+             ROUND({_COS16_SQL}, 4) AS cos16
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos64 DESC, vec_id) AS rn64,
+             row_number() OVER (PARTITION BY qid ORDER BY cos16 DESC, vec_id) AS rn16
+      FROM scored
+    ),
+    joint AS (
+      SELECT qid, greatest(rn64, rn16) AS m
+      FROM ranked WHERE rn64 <= 10 AND rn16 <= 10
+    )
+    SELECT r.qid,
+           CAST(coalesce(count(j.m), 0) AS BIGINT) AS n_joint,
+           CAST(coalesce(sum(CASE j.m
+                {_RBO_CASES}
+                END), 0) AS BIGINT) AS rbo_trunc_micros
+    FROM (SELECT DISTINCT qid FROM ranked) r
+    LEFT JOIN joint j ON r.qid = j.qid
+    GROUP BY r.qid
+    """,
+    doc="Rank-biased overlap (Webber et al. 2010), truncated at depth 10 "
+    "with p=0.9, between the full 64-dim and 16-dim-prefix cosine "
+    "rankings per constant anchor — the principled top-weighted upgrade "
+    "of similarity_matryoshka_eval's flat overlap@10 (a disagreement at "
+    "rank 1 costs ~60x one at rank 10). The key identity: an item "
+    "first inside BOTH prefixes at depth m = max(rank_a, rank_b) "
+    "contributes the constant tail weight W[m] = sum_{d>=m} (1-p)p^(d-1)/d, "
+    "so truncated RBO is an exact integer sum of ten pre-quantized "
+    "micro-constants shared verbatim with the oracle — no float "
+    "accumulation at all. Same single-scan two-window plan as the "
+    "matryoshka eval: both cosines from one fold, no self-join.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    e64 = F.col("embedding").cast("array<double>")
+    q64 = F.col("qv").cast("array<double>")
+    cos64 = F.round(sim.cosine_similarity(e64, q64), 4)
+    cos16 = F.round(
+        sim.cosine_similarity(F.slice(e64, 1, 16), F.slice(q64, 1, 16)), 4
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos64.alias("cos64"), cos16.alias("cos16"))
+    )
+    w64 = Window.partitionBy("qid").orderBy(F.col("cos64").desc(), "vec_id")
+    w16 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w64).alias("rn64"),
+        F.row_number().over(w16).alias("rn16"),
+    )
+    m = F.greatest("rn64", "rn16")
+    in_joint = (F.col("rn64") <= 10) & (F.col("rn16") <= 10)
+    weight = None
+    for depth, wm in enumerate(_RBO_W_MICROS, start=1):
+        weight = F.when(m == depth, wm) if weight is None else weight.when(m == depth, wm)
+    return ranked.groupBy("qid").agg(
+        F.sum(in_joint.cast("long")).cast("bigint").alias("n_joint"),
+        F.coalesce(F.sum(F.when(in_joint, weight)), F.lit(0))
+        .cast("bigint")
+        .alias("rbo_trunc_micros"),
+    )
+
+
+@query(
+    "source_lang_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(round(1000000.0 * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           AS BIGINT)) AS BIGINT) AS s_micros
+      FROM cells GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(round(1000000.0 * ln(CAST(n_docs AS DOUBLE))
+                      - CAST(s_micros AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)
+             AS entropy_micronats,
+           CAST(round(1000.0 * exp(ln(CAST(n_docs AS DOUBLE))
+                 - (CAST(s_micros AS DOUBLE) / 1000000.0) / CAST(n_docs AS DOUBLE)))
+                AS BIGINT) AS effective_langs_milli
+    FROM per
+    """,
+    doc="Shannon language diversity per source: H = ln(N) - sum(c*ln c)/N "
+    "over the (source, lang) composition, plus exp(H) as the 'effective "
+    "number of languages' — the mixing-health check beside "
+    "source_ablation_stats (a source whose effective-language count "
+    "collapses is a monoculture shard; one that spikes needs per-lang "
+    "temperature reweighting). Each c*ln(c) term is ONE correctly-"
+    "rounded op on an exact integer count, quantized to micros BEFORE "
+    "summing, so the per-source sums are order-free BIGINTs and both "
+    "engines derive H from identical integers; composition cells "
+    "collapse map-side (|sources| x |langs| rows total).",
+    tags=("llm", "analytics", "text"),
+)
+def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import composition_entropy
+
+    return composition_entropy(_docs(spark, sf_dir), "source", "lang").select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("n_classes").alias("n_langs"),
+        "entropy_micronats",
+        F.col("effective_classes_milli").alias("effective_langs_milli"),
+    )

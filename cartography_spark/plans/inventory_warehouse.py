@@ -854,3 +854,58 @@ def q_theil_sen_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").cast("long").alias("y"))
     )
     return theil_sen_trend(h, "event_type", "x", "y")
+
+
+@query(
+    "revenue_gini_concentration",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM x
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS total_rev,
+             CAST(sum(i * rev) AS BIGINT) AS weighted_sum
+      FROM r
+    )
+    SELECT n AS n_customers, total_rev, weighted_sum,
+           CAST(2 * weighted_sum - (n + 1) * total_rev AS BIGINT) AS gini_num,
+           CAST(n * total_rev AS BIGINT) AS gini_den,
+           CAST(round(1000000.0
+                 * CAST(2 * weighted_sum - (n + 1) * total_rev AS DOUBLE)
+                 / CAST(n * total_rev AS DOUBLE)) AS BIGINT) AS gini_micros
+    FROM s
+    """,
+    doc="Gini coefficient of customer revenue concentration: "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-"
+    "sorted per-customer revenue — the one-number Lorenz-curve summary "
+    "('do 20% of customers carry 80% of revenue?') every account-"
+    "planning dashboard wants. Revenue collapses to per-customer "
+    "integer dollars first (map-side combine), so the rank window runs "
+    "on customer cardinality, not order cardinality, and the entire "
+    "statistic is exact BIGINT arithmetic (rank ties carry equal "
+    "values, so the weighted sum is tie-order invariant); the single "
+    "float op is the final quantized ratio. At 100 TB replace the "
+    "exact global rank with a binned Lorenz approximation — same "
+    "num/den contract on the bin boundaries.",
+    tags=("warehouse", "analytics", "window"),
+)
+def q_revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import gini_concentration
+
+    o = T(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint")).cast("bigint").alias("rev")
+    )
+    return gini_concentration(x, "o_custkey", "rev").select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_rev"),
+        "weighted_sum",
+        "gini_num",
+        "gini_den",
+        "gini_micros",
+    )

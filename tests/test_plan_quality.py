@@ -119,6 +119,7 @@ _SCALAR_ATTACH = {
     "similarity_matryoshka_eval",   # x broadcast(8-row anchor frame — constant contract)
     "eval_bleu_ngram_precision",    # x broadcast(1-row corpus length totals)
     "sampling_neyman_allocation",   # x broadcast(1-row weight total + 1-row used-base total)
+    "retrieval_rbo_rankings",       # x broadcast(8-row anchor frame — same constant contract as matryoshka)
 }
 
 

@@ -250,3 +250,69 @@ def test_markov_accuracy_bounds_and_model_argmax(spark):
     for r in out.values():
         assert 0 <= r.n_correct <= r.n_transitions
         assert r.acc_micros == round(1e6 * r.n_correct / r.n_transitions)
+
+
+def test_gini_extremes(spark):
+    from cartography_spark.operators.profiling import gini_concentration
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(i, 10) for i in range(5)], "id long, x long")
+    assert gini_concentration(eq, "id", "x").head().gini_micros == 0
+    # one holder has everything: G = (n-1)/n = 0.75 for n=4
+    conc = spark.createDataFrame([(0, 0), (1, 0), (2, 0), (3, 10)], "id long, x long")
+    out = gini_concentration(conc, "id", "x").head()
+    assert out.gini_num == 30 and out.gini_den == 40
+    assert out.gini_micros == 750_000
+
+
+def test_composition_entropy_known_cases(spark):
+    from cartography_spark.operators.profiling import composition_entropy
+
+    rows = (
+        [("mono", "en")] * 8
+        + [("duo", "en")] * 4
+        + [("duo", "fr")] * 4
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    out = {r.src: r for r in composition_entropy(df, "src", "lang").collect()}
+    # single class: H = 0, effective classes = 1
+    assert out["mono"].entropy_micronats == 0
+    assert out["mono"].effective_classes_milli == 1000
+    # uniform over 2: H = ln 2, effective = 2
+    assert abs(out["duo"].entropy_micronats - round(1e6 * math.log(2))) <= 1
+    assert abs(out["duo"].effective_classes_milli - 2000) <= 1
+
+
+def test_rbo_weights_and_bounds(spark):
+    from cartography_spark.plans.inventory_llm import _RBO_W_MICROS, q_retrieval_rbo_rankings
+    from tests.conftest import SF_CORRECT
+
+    # the weight table IS the math: W[m] = sum_{d=m..10} 0.1*0.9^(d-1)/d
+    for m in range(1, 11):
+        expect = round(1e6 * sum(0.1 * 0.9 ** (d - 1) / d for d in range(m, 11)))
+        assert _RBO_W_MICROS[m - 1] == expect
+    assert list(_RBO_W_MICROS) == sorted(_RBO_W_MICROS, reverse=True)
+    perfect = sum(_RBO_W_MICROS)  # identical top-10 rankings
+    out = q_retrieval_rbo_rankings(spark, SF_CORRECT).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r.rbo_trunc_micros <= perfect
+        assert (r.rbo_trunc_micros > 0) == (r.n_joint > 0)
+        # each joint item contributes at most W[1] and at least W[10]
+        assert r.rbo_trunc_micros <= r.n_joint * _RBO_W_MICROS[0]
+        assert r.rbo_trunc_micros >= r.n_joint * _RBO_W_MICROS[-1]
+
+
+def test_benford_terms_sum_to_chi2(spark):
+    from cartography_spark.plans.inventory_analytics import q_dq_benford_first_digit
+    from tests.conftest import SF_CORRECT
+
+    rows = q_dq_benford_first_digit(spark, SF_CORRECT).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total = rows[0].n_total
+    assert sum(r.n_obs for r in rows) == total
+    chi2 = rows[0].chi2_milli
+    assert all(r.chi2_milli == chi2 for r in rows)
+    assert chi2 == sum(r.term_milli for r in rows)
+    for r in rows:
+        assert r.exp_micros == round(1e6 * math.log10(1 + 1 / r.digit))
