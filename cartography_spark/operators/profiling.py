@@ -703,3 +703,80 @@ def composition_entropy(df: DataFrame, group_col: str, class_col: str) -> DataFr
         .cast("bigint")
         .alias("effective_classes_milli"),
     )
+
+
+def mcc_binary(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier: ONE row
+    with the exact confusion counts (tp/tn/fp/fn as BIGINTs) and
+    mcc_micros = (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+    The balanced single-number classifier summary that stays honest
+    under class imbalance, completing the eval suite beside kappa, AUC,
+    and calibration bins. One conditional-aggregation scan (map-side
+    combine, no join); the numerator is exact BIGINT arithmetic and the
+    denominator is one sqrt over products computed in doubles (counts
+    cast exactly below 2^53); try_divide returns NULL when any marginal
+    is zero (MCC undefined), not an error."""
+    a, p = F.col(actual_col), F.col(pred_col)
+    s = df.agg(
+        F.sum((a & p).cast("long")).cast("bigint").alias("tp"),
+        F.sum((~a & ~p).cast("long")).cast("bigint").alias("tn"),
+        F.sum((~a & p).cast("long")).cast("bigint").alias("fp"),
+        F.sum((a & ~p).cast("long")).cast("bigint").alias("fn"),
+    )
+    tp, tn = F.col("tp").cast("double"), F.col("tn").cast("double")
+    fp, fn = F.col("fp").cast("double"), F.col("fn").cast("double")
+    num = tp * tn - fp * fn
+    den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return s.select(
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(F.try_divide(F.lit(1_000_000.0) * num, den)).cast("bigint").alias("mcc_micros"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM changepoint detector over an integer-valued,
+    bucketed series: S_t = max(0, S_{t-1} + (x_t - ref - slack)) with
+    ref = the series' own quantized mean, alarming where S_t exceeds
+    threshold — the classic upward-shift monitor for load/error-rate
+    series.
+
+    The sequential recurrence is rewritten as pure window algebra:
+    S_t = P_t - min(0, min_{j<=t} P_j) where P is the running prefix sum
+    of the centered values — two cumulative windows instead of an
+    unparallelizable loop, all in exact BIGINT arithmetic (the only
+    float op is the one quantized mean). Windows run on the collapsed
+    bucket axis (time cardinality, not data cardinality). Returns every
+    bucket with (value, cusum, alarm).
+    """
+    w_all = Window.partitionBy()
+    # order by the RENAMED bucket column — the windows run over `centered`
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ref = F.round(F.avg(F.col(value_col).cast("double")).over(w_all)).cast("bigint")
+    centered = series.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(value_col).cast("bigint").alias("x"),
+        (F.col(value_col).cast("bigint") - ref - F.lit(slack)).alias("y"),
+    )
+    p = centered.withColumn("pfx", F.sum("y").over(w_cum))
+    s = p.withColumn(
+        "cusum", F.col("pfx") - F.least(F.lit(0).cast("bigint"), F.min("pfx").over(w_cum))
+    )
+    return s.select(
+        "bucket",
+        "x",
+        F.col("cusum").cast("bigint").alias("cusum"),
+        (F.col("cusum") > threshold).alias("alarm"),
+    )

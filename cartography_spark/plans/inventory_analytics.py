@@ -1128,3 +1128,66 @@ def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn(
         "chi2_milli", F.sum("term_milli").over(w_all).cast("bigint")
     )
+
+
+@query(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(round(1000.0 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_mc
+      FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    centered AS (
+      SELECT bucket, mean_mc AS x,
+             mean_mc
+               - CAST(round(avg(CAST(mean_mc AS DOUBLE)) OVER ()) AS BIGINT)
+               - 500 AS y
+      FROM hourly
+    ),
+    pfx AS (
+      SELECT bucket, x,
+             CAST(sum(y) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx
+      FROM centered
+    )
+    SELECT bucket, x,
+           CAST(pfx - least(CAST(0 AS BIGINT),
+                 CAST(min(pfx) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+                AS BIGINT) AS cusum,
+           (pfx - least(CAST(0 AS BIGINT),
+                 CAST(min(pfx) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+            > 50000) AS alarm
+    FROM pfx
+    """,
+    doc="One-sided CUSUM changepoint monitor over the hourly event-value "
+    "series (operators/profiling.py:cusum_changepoint): the classic "
+    "upward-shift detector, with the sequential recurrence "
+    "S_t = max(0, S_{t-1} + (x_t - ref - k)) rewritten as pure window "
+    "algebra — S_t = P_t - min(0, running-min of P) over the prefix sum "
+    "P of centered values — so an 'inherently sequential' monitor runs "
+    "as two cumulative windows in exact BIGINT arithmetic (the only "
+    "float op is the quantized series mean). Windows run on the "
+    "collapsed hourly axis; completes the anomaly family beside "
+    "z-score/MAD (pointwise) and EWMA/Theil-Sen (trend): CUSUM "
+    "accumulates evidence of a SUSTAINED small shift that pointwise "
+    "thresholds never see.",
+    tags=("analytics", "timeseries", "window"),
+)
+def q_timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import cusum_changepoint
+
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.round(
+            F.lit(1000.0)
+            * F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_mc")
+    )
+    return cusum_changepoint(hourly, "bucket", "mean_mc", slack=500, threshold=50_000)

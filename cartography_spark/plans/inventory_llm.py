@@ -3840,3 +3840,48 @@ def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy_micronats",
         F.col("effective_classes_milli").alias("effective_langs_milli"),
     )
+
+
+@query(
+    "classifier_mcc",
+    oracle="""
+    WITH lbl AS (
+      SELECT (n_chars >= 300) AS actual,
+             (n_chars + 7 * (doc_id % 13) >= 300) AS pred
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN actual AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT actual AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN NOT actual AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN actual AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM lbl
+    )
+    SELECT tp, tn, fp, fn,
+           CAST(round(1000000.0 * (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                                   - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))) AS BIGINT) AS mcc_micros
+    FROM s
+    """,
+    doc="Matthews correlation coefficient of the noisy length classifier "
+    "(operators/profiling.py:mcc_binary) — the class-imbalance-honest "
+    "single-number summary completing the eval suite beside Cohen's "
+    "kappa (same labeling scheme, chance-corrected agreement), ranking "
+    "AUC, and calibration bins. One conditional-aggregation scan "
+    "produces the four confusion counts as exact BIGINTs; MCC is one "
+    "closed-form float over them, try_divide-guarded against zero "
+    "marginals.",
+    tags=("llm", "eval"),
+)
+def q_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import mcc_binary
+
+    d = _docs(spark, sf_dir)
+    lbl = d.select(
+        (F.col("n_chars") >= 300).alias("actual"),
+        (F.col("n_chars") + 7 * (F.col("doc_id") % 13) >= 300).alias("pred"),
+    )
+    return mcc_binary(lbl, "actual", "pred")

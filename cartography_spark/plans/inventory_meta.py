@@ -1315,3 +1315,84 @@ def q_job_property_remove_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={})
     return job.run(cat, params={})[-1]  # second run is the identity
+
+
+# ---------------------------------------------------------------------------
+# Provider-label node migration sweep (aws/gcp_ip_node_label_migration shape)
+# ---------------------------------------------------------------------------
+
+_IP_LABEL_MIGRATION_JOB_JSON = """
+{
+  "name": "Shared-node provider-label migration sweep",
+  "short_name": "ip_label_migration",
+  "statements": [
+    {"query": "SELECT e.* FROM e_Region__RESOURCE__Customer e JOIN n_Customer n ON n.id = e.dst_id WHERE NOT (CAST(n.id AS BIGINT) % 3 <> 0 AND n.mktsegment IN ('BUILDING', 'AUTOMOBILE'))",
+     "writes": "Region,RESOURCE,Customer"},
+    {"query": "SELECT e.* FROM e_Region__RESOURCE__Supplier e JOIN n_Supplier n ON n.id = e.dst_id WHERE NOT (CAST(n.id AS BIGINT) % 4 <> 0 AND n.s_nationkey IN (0, 1, 2, 3))",
+     "writes": "Region,RESOURCE,Supplier"},
+    {"query": "SELECT * FROM n_Customer WHERE NOT (CAST(id AS BIGINT) % 3 <> 0 AND mktsegment IN ('BUILDING', 'AUTOMOBILE') AND acctbal > 0)",
+     "writes": "Customer"},
+    {"query": "SELECT e.* FROM e_Customer__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Customer n WHERE n.id = e.src_id)",
+     "writes": "Customer,LOCATED_IN,Nation"},
+    {"query": "SELECT * FROM n_Supplier WHERE NOT (CAST(id AS BIGINT) % 4 <> 0 AND s_nationkey IN (0, 1, 2, 3) AND acctbal > 0)",
+     "writes": "Supplier"},
+    {"query": "SELECT e.* FROM e_Supplier__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Supplier n WHERE n.id = e.src_id)",
+     "writes": "Supplier,LOCATED_IN,Nation"},
+    {"query": "SELECT 'Customer' AS label, n.id, e.dst_id IS NOT NULL AS has_resource_edge FROM n_Customer n LEFT JOIN e_Region__RESOURCE__Customer e ON e.dst_id = n.id UNION ALL SELECT 'Supplier' AS label, n.id, e.dst_id IS NOT NULL AS has_resource_edge FROM n_Supplier n LEFT JOIN e_Region__RESOURCE__Supplier e ON e.dst_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_ip_label_migration_sweep",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS id,
+             (c_custkey % 3 <> 0 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS dropped_edge,
+             (c_custkey % 3 <> 0 AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+              AND c_acctbal > 0) AS deleted
+      FROM customer
+    ),
+    s AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS id,
+             (s_suppkey % 4 <> 0 AND s_nationkey IN (0, 1, 2, 3)) AS dropped_edge,
+             (s_suppkey % 4 <> 0 AND s_nationkey IN (0, 1, 2, 3)
+              AND s_acctbal > 0) AS deleted
+      FROM supplier
+    )
+    SELECT 'Customer' AS label, id, NOT dropped_edge AS has_resource_edge
+    FROM c WHERE NOT deleted
+    UNION ALL
+    SELECT 'Supplier' AS label, id, NOT dropped_edge AS has_resource_edge
+    FROM s WHERE NOT deleted
+    """,
+    doc="Multi-statement provider-label migration sweep — the reference's "
+    "aws_ip_node_label_migration.json / gcp_ip_node_label_migration.json "
+    "shape: SIX statements in one job, first dropping tenant RESOURCE "
+    "edges to legacy shared nodes that were never re-created under the "
+    "provider-scoped label (Cypher's NOT n:AWSIpRange compiles to the "
+    "not-migrated id predicate, n._module_name IN [...] to the property "
+    "IN list), then DETACH DELETEing the legacy nodes themselves under "
+    "a STRICTER guard (the json's n.ruleid IS NOT NULL analog: "
+    "acctbal > 0), across TWO node kinds (the json sweeps "
+    "IpRange/IpRule/IpPermissionInbound). The guard asymmetry matters "
+    "and is asserted: a legacy node failing the delete guard survives "
+    "EDGE-LESS — exactly what the reference json produces — so the read "
+    "reports has_resource_edge = false for those rows. DETACH compiles "
+    "to the edge-table rewrites keeping only surviving-src rows. The "
+    "job round-trips through JSON and runs TWICE (the sweep is "
+    "idempotent); the final read hashes every survivor's "
+    "(label, id, has_resource_edge).",
+    tags=("engine", "job"),
+)
+def q_job_ip_label_migration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    job = GraphJob.from_json(_IP_LABEL_MIGRATION_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # second run proves idempotency

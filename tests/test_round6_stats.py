@@ -316,3 +316,39 @@ def test_benford_terms_sum_to_chi2(spark):
     assert chi2 == sum(r.term_milli for r in rows)
     for r in rows:
         assert r.exp_micros == round(1e6 * math.log10(1 + 1 / r.digit))
+
+
+def test_cusum_matches_sequential_simulation(spark):
+    from cartography_spark.operators.profiling import cusum_changepoint
+
+    # flat at 100 for 12 buckets, then a sustained +30 shift
+    xs = [100] * 12 + [130] * 8
+    df = spark.createDataFrame(list(enumerate(xs)), "b long, x long")
+    slack, h = 5, 40
+    out = {r.bucket: r for r in cusum_changepoint(df, "b", "x", slack, h).collect()}
+    ref = round(sum(xs) / len(xs))
+    s, expect = 0, {}
+    for i, x in enumerate(xs):
+        s = max(0, s + (x - ref - slack))
+        expect[i] = s
+    for i in range(len(xs)):
+        assert out[i].cusum == expect[i], (i, out[i].cusum, expect[i])
+        assert bool(out[i].alarm) is (expect[i] > h)
+    # the sustained shift must eventually alarm; the flat prefix must not
+    assert not out[0].alarm and out[len(xs) - 1].alarm
+
+
+def test_mcc_extremes(spark):
+    from cartography_spark.operators.profiling import mcc_binary
+
+    rows = [(i % 2 == 0, i % 2 == 0) for i in range(10)]
+    perfect = spark.createDataFrame(rows, "actual boolean, pred boolean")
+    assert mcc_binary(perfect, "actual", "pred").head().mcc_micros == 1_000_000
+    inverted = spark.createDataFrame(
+        [(a, not p) for a, p in rows], "actual boolean, pred boolean"
+    )
+    assert mcc_binary(inverted, "actual", "pred").head().mcc_micros == -1_000_000
+    degenerate = spark.createDataFrame(
+        [(True, i % 2 == 0) for i in range(10)], "actual boolean, pred boolean"
+    )
+    assert mcc_binary(degenerate, "actual", "pred").head().mcc_micros is None
