@@ -451,7 +451,9 @@ def welch_ttest(
     aggregation pass (no join, map-side combine, single-row output).
     The t/df floats are closed-form expressions over those six integers
     — a fixed handful of IEEE ops, identical in any engine, quantized
-    at 1e-6/1e-3 with ~1e9 headroom.
+    at 1e-6/1e-3 with ~1e9 headroom. Contract: both arms must have
+    n >= 2 (sample variances); two constant arms yield NULL t/df via
+    try_divide rather than an error.
     """
     a, b = (F.col(group_col) == group_a), (F.col(group_col) == group_b)
     v = F.col(value_col)
@@ -468,8 +470,12 @@ def welch_ttest(
     va = (F.col("sumsq_a").cast("double") - sa * sa / na) / (na - 1)
     vb = (F.col("sumsq_b").cast("double") - sb * sb / nb) / (nb - 1)
     se2 = va / na + vb / nb
-    t = (sa / na - sb / nb) / F.sqrt(se2)
-    dfree = se2 * se2 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    # try_divide: two constant arms (zero variance in both) make t/df
+    # undefined — return NULL rather than an ANSI divide-by-zero error
+    t = F.try_divide(sa / na - sb / nb, F.sqrt(se2))
+    dfree = F.try_divide(
+        se2 * se2, (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
     return s.select(
         "n_a", "n_b", "sum_a", "sum_b", "sumsq_a", "sumsq_b",
         F.round(F.lit(1_000_000.0) * t).cast("bigint").alias("t_micros"),

@@ -274,9 +274,14 @@ def neyman_allocation(
     planning).
 
     Returns one row per stratum: n_rows, sum/sumsq moment BIGINTs, the
-    quantized weight w_micros = round(1e6 * N_h * sd_h), and the exact
+    quantized weight w_milli = round(1e3 * N_h * sd_h), and the exact
     integer allocation alloc_n (largest-remainder rounding, so the
-    allocations sum to exactly n_total).
+    allocations sum to exactly n_total). Milli (not micro) quantization
+    is deliberate headroom: the apportionment multiplies the weight by
+    n_total, and n_total * w must stay inside int64 — at 1e3 scaling a
+    1e10-row stratum with 1e5 spread still fits with n_total up to ~90.
+    (Only RELATIVE weight precision matters for the allocation, so the
+    coarser quantization costs nothing until N*sd drops near 1.)
 
     Exactness: moments are order-free BIGINT sums from ONE grouped scan
     (map-side combine); sd is one closed-form sqrt over those integers,
@@ -284,7 +289,9 @@ def neyman_allocation(
     (floor-div, mod, remainder ranking) is pure integer and
     engine-identical. Scale: everything after the first aggregate runs
     on |strata| rows; the two 1-row total attaches are broadcast
-    scalars.
+    scalars. Contract: every stratum needs n >= 2, and at least one
+    stratum must have nonzero spread (all-constant strata make the
+    weight total zero and the apportionment undefined).
     """
     v = F.col(value_col)
     per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
@@ -295,12 +302,12 @@ def neyman_allocation(
     n = F.col("n_rows").cast("double")
     s = F.col("sum_v").cast("double")
     sd = F.sqrt((F.col("sumsq_v").cast("double") - s * s / n) / (n - 1))
-    w = per.withColumn("w_micros", F.round(F.lit(1_000_000.0) * n * sd).cast("bigint"))
-    tot = w.agg(F.sum("w_micros").alias("w_total"))
+    w = per.withColumn("w_milli", F.round(F.lit(1_000.0) * n * sd).cast("bigint"))
+    tot = w.agg(F.sum("w_milli").alias("w_total"))
     base = (
         w.crossJoin(F.broadcast(tot))
-        .withColumn("base_n", F.expr(f"({n_total} * w_micros) div w_total"))
-        .withColumn("rem", (F.lit(n_total) * F.col("w_micros")) % F.col("w_total"))
+        .withColumn("base_n", F.expr(f"({n_total} * w_milli) div w_total"))
+        .withColumn("rem", (F.lit(n_total) * F.col("w_milli")) % F.col("w_total"))
     )
     used = base.agg(F.sum("base_n").alias("used"))
     ranked = base.crossJoin(F.broadcast(used)).withColumn(
@@ -312,7 +319,7 @@ def neyman_allocation(
         "n_rows",
         "sum_v",
         "sumsq_v",
-        "w_micros",
+        "w_milli",
         (
             F.col("base_n")
             + F.when(F.col("rnk") <= F.lit(n_total) - F.col("used"), 1).otherwise(0)

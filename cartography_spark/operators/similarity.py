@@ -859,7 +859,8 @@ def dimension_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFr
     aggregate map-side combines down to |dims| rows, and the variance
     rank window sorts only that |dims|-row frame. sumsq headroom:
     unit-normalized micros^2 terms are <=1e12, so BIGINT holds ~9e6
-    row-dims per partial — at larger scale, pre-divide the quantization
+    row-dims per partial (contract: >= 2 vectors for the sample
+    variance) — at larger scale, pre-divide the quantization
     to 1e4 or aggregate per shard and merge.
     """
     from pyspark.sql import Window
@@ -888,3 +889,63 @@ def dimension_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFr
     )
     w = Window.orderBy(F.col("var_micros2").desc(), F.col("dim").asc())
     return stats.withColumn("var_rank", F.row_number().over(w).cast("bigint"))
+
+
+def int8_distortion(embeddings: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Reconstruction-error audit of the int8 scalar quantizer: dequantize
+    each code at its cell midpoint (mn + (q + 0.5) * step) and report the
+    per-label squared-error profile — the QA number that tells you
+    whether the 4x-compressed scan path (similarity_int8_scan) is safe
+    for a given corpus slice before you deploy it. Returns one row per
+    label: n_vectors, total_err_pico, mean_err_pico (squared error
+    quantized at 1e12 per component, so all sums are order-free
+    BIGINTs).
+
+    One scan: the (mins, maxs) broadcast row is the same fold
+    int8_quantize uses; quantization, midpoint reconstruction, and the
+    per-component error quantization all happen in a single JVM-side
+    transform + aggregate over the vector column (flat-map, no extra
+    shuffle); the per-label rollup is map-side combinable. Error is
+    computed as e*e (not pow) so the oracle's identical expression
+    chain reproduces it bit-exactly.
+    """
+    pos = embeddings.select(F.posexplode(F.col(vec_col)).alias("pos", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    stats = pos.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    row = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__mxs"),
+    )
+
+    def err_pico(v, i):
+        mn, mx = F.get("__mns", i), F.get("__mxs", i)
+        x = v.cast("double")
+        q = F.least(
+            F.floor((x - mn) * F.lit(254.0) / (mx - mn)), F.lit(254).cast("long")
+        ).cast("double")
+        recon = mn + (q + F.lit(0.5)) * (mx - mn) / F.lit(254.0)
+        e = x - recon
+        return F.when(mx > mn, F.round(F.lit(1e12) * e * e).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    per_vec = embeddings.crossJoin(F.broadcast(row)).select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.aggregate(
+            F.transform(F.col(vec_col), err_pico),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("err_pico"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("err_pico").cast("bigint").alias("total_err_pico"),
+        F.round(F.sum("err_pico").cast("double") / F.count("*").cast("double"))
+        .cast("bigint")
+        .alias("mean_err_pico"),
+    )

@@ -1017,16 +1017,16 @@ def q_robust_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT *,
-             CAST(round(1000000.0 * CAST(n_rows AS DOUBLE)
+             CAST(round(1000.0 * CAST(n_rows AS DOUBLE)
                    * sqrt((CAST(sumsq_v AS DOUBLE)
                            - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE) / CAST(n_rows AS DOUBLE))
-                          / (CAST(n_rows AS DOUBLE) - 1))) AS BIGINT) AS w_micros
+                          / (CAST(n_rows AS DOUBLE) - 1))) AS BIGINT) AS w_milli
       FROM per
     ),
-    t AS (SELECT CAST(sum(w_micros) AS BIGINT) AS w_total FROM w),
+    t AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_total FROM w),
     b AS (
-      SELECT w.*, (1000 * w_micros) // w_total AS base_n,
-             (1000 * w_micros) % w_total AS rem
+      SELECT w.*, (1000 * w_milli) // w_total AS base_n,
+             (1000 * w_milli) % w_total AS rem
       FROM w, t
     ),
     u AS (SELECT CAST(sum(base_n) AS BIGINT) AS used FROM b),
@@ -1035,7 +1035,7 @@ def q_robust_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
       FROM b, u
     )
-    SELECT stratum, n_rows, sum_v, sumsq_v, w_micros,
+    SELECT stratum, n_rows, sum_v, sumsq_v, w_milli,
            CAST(base_n + CASE WHEN rnk <= 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
     FROM r
     """,
@@ -1047,7 +1047,7 @@ def q_robust_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Moments are order-free BIGINTs over integer dollars from ONE "
     "grouped scan (dollars, not cents: sum(d*d) must stay inside int64 "
     "at rehearsal scale; shift the quantization with data volume); sd "
-    "is one closed-form sqrt immediately re-quantized to micros, so the "
+    "is one closed-form sqrt immediately re-quantized to milli (int64 headroom for n_total*w), so the "
     "largest-remainder apportionment (floor-div/mod/rank) is pure "
     "integer and sums to exactly the budget. Everything after the scan "
     "runs on |strata| rows; both totals are 1-row broadcast attaches.",
@@ -1191,3 +1191,40 @@ def q_timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("mean_mc")
     )
     return cusum_changepoint(hourly, "bucket", "mean_mc", slack=500, threshold=50_000)
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH x AS (
+      SELECT date_trunc('hour', ts) - to_hours(k) AS window_start, user_id
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM x GROUP BY window_start
+    """,
+    doc="EXACT distinct users per 6-hour sliding window stepping 1 hour "
+    "— the sliding-window COUNT DISTINCT the tumbling/sliding-sum "
+    "queries beside it do not cover (distinct is not subtractable, so "
+    "no frame trick applies; the sketch path is sketch_hll_rollup_merge "
+    "over the same windows). Spark's window(slide) replicates each "
+    "event into its 6 containing windows (bounded x6 flat-map, no "
+    "shuffle) and the distinct aggregate expands to (window, user) "
+    "partial dedup with map-side combine; the oracle derives the same "
+    "epoch-aligned window starts arithmetically. Output cardinality is "
+    "the window axis, not the event count.",
+    tags=("analytics", "window", "temporal"),
+)
+def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.select(F.window("ts", "6 hours", "1 hour").alias("w"), "user_id")
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

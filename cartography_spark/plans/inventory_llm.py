@@ -3885,3 +3885,153 @@ def q_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") + 7 * (F.col("doc_id") % 13) >= 300).alias("pred"),
     )
     return mcc_binary(lbl, "actual", "pred")
+
+
+@query(
+    "eval_chrf_char_ngram",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.doc_id // 2 AS pid, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    sides AS (
+      SELECT pid, 'c' AS side, regexp_replace(lower(cand), '\\s+', '', 'g') AS s FROM pairs
+      UNION ALL
+      SELECT pid, 'r' AS side, regexp_replace(lower(ref), '\\s+', '', 'g') AS s FROM pairs
+    ),
+    grams AS (
+      SELECT pid, side, n, substr(s, i, n) AS gram
+      FROM sides
+      CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS n)
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, greatest(length(s) - n + 1, 0))) AS i)
+    ),
+    counts AS (
+      SELECT pid, side, n, gram, count(*) AS cnt
+      FROM grams GROUP BY pid, side, n, gram
+    ),
+    joined AS (
+      SELECT coalesce(c.pid, r.pid) AS pid, coalesce(c.n, r.n) AS n,
+             coalesce(c.cnt, 0) AS c_cnt, coalesce(r.cnt, 0) AS r_cnt
+      FROM (SELECT * FROM counts WHERE side = 'c') c
+      FULL JOIN (SELECT * FROM counts WHERE side = 'r') r
+        ON c.pid = r.pid AND c.n = r.n AND c.gram = r.gram
+    ),
+    agg AS (
+      SELECT n,
+             CAST(sum(least(c_cnt, r_cnt)) AS BIGINT) AS clip,
+             CAST(sum(c_cnt) AS BIGINT) AS cand_total,
+             CAST(sum(r_cnt) AS BIGINT) AS ref_total
+      FROM joined GROUP BY n
+    ),
+    scored AS (
+      SELECT n, clip, cand_total, ref_total,
+             CASE WHEN clip = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1000000.0 *
+                        (5.0 * (CAST(clip AS DOUBLE) / CAST(cand_total AS DOUBLE))
+                             * (CAST(clip AS DOUBLE) / CAST(ref_total AS DOUBLE)))
+                        / (4.0 * (CAST(clip AS DOUBLE) / CAST(cand_total AS DOUBLE))
+                           + (CAST(clip AS DOUBLE) / CAST(ref_total AS DOUBLE))))
+                       AS BIGINT) END AS f_micros
+      FROM agg
+    ),
+    wide AS (
+      SELECT max(CASE WHEN n = 1 THEN clip END) AS clip_1,
+             max(CASE WHEN n = 1 THEN cand_total END) AS cand_total_1,
+             max(CASE WHEN n = 1 THEN ref_total END) AS ref_total_1,
+             max(CASE WHEN n = 1 THEN f_micros END) AS f_micros_1,
+             max(CASE WHEN n = 2 THEN clip END) AS clip_2,
+             max(CASE WHEN n = 2 THEN cand_total END) AS cand_total_2,
+             max(CASE WHEN n = 2 THEN ref_total END) AS ref_total_2,
+             max(CASE WHEN n = 2 THEN f_micros END) AS f_micros_2,
+             max(CASE WHEN n = 3 THEN clip END) AS clip_3,
+             max(CASE WHEN n = 3 THEN cand_total END) AS cand_total_3,
+             max(CASE WHEN n = 3 THEN ref_total END) AS ref_total_3,
+             max(CASE WHEN n = 3 THEN f_micros END) AS f_micros_3
+      FROM scored
+    )
+    SELECT CAST(clip_1 AS BIGINT) AS clip_1, CAST(cand_total_1 AS BIGINT) AS cand_total_1,
+           CAST(ref_total_1 AS BIGINT) AS ref_total_1, CAST(f_micros_1 AS BIGINT) AS f_micros_1,
+           CAST(clip_2 AS BIGINT) AS clip_2, CAST(cand_total_2 AS BIGINT) AS cand_total_2,
+           CAST(ref_total_2 AS BIGINT) AS ref_total_2, CAST(f_micros_2 AS BIGINT) AS f_micros_2,
+           CAST(clip_3 AS BIGINT) AS clip_3, CAST(cand_total_3 AS BIGINT) AS cand_total_3,
+           CAST(ref_total_3 AS BIGINT) AS ref_total_3, CAST(f_micros_3 AS BIGINT) AS f_micros_3,
+           CAST(round((CAST(f_micros_1 AS DOUBLE) + CAST(f_micros_2 AS DOUBLE)
+                       + CAST(f_micros_3 AS DOUBLE)) / 3.0) AS BIGINT) AS chrf_micros
+    FROM wide
+    """,
+    doc="Corpus chrF-2 (character 1/2/3-gram F-beta, Popovic 2015) over "
+    "the same deterministic doc pairing as eval_bleu_ngram_precision "
+    "(operators/textstats.py:chrf_score) — the generation-eval metric "
+    "that credits partial word matches (morphology, typos) BLEU scores "
+    "as total misses; together they are the standard MT eval pair. "
+    "Whitespace stripped per the chrF convention; per-order counts are "
+    "exact integers, per-order F quantized to micros, and the final "
+    "chrF is integer arithmetic over those quantized scores. One scan "
+    "explodes both sides (substring transform = flat-map, no shuffle); "
+    "the clip join runs on pre-collapsed per-pair n-gram counts.",
+    tags=("llm", "eval", "text"),
+)
+def q_eval_chrf_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
+    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    return ts.chrf_score(pairs, "pair_id", "cand_text", "ref_text", max_n=3, beta=2)
+
+
+@query(
+    "similarity_int8_distortion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM e
+      ) GROUP BY pos
+    ),
+    mm AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+    per_vec AS (
+      SELECT label,
+             CAST(list_sum([
+               CASE WHEN mxs[i] > mns[i]
+                    THEN CAST(round(1e12
+                          * (v[i] - (mns[i]
+                             + (CAST(least(CAST(floor((v[i] - mns[i]) * 254.0 / (mxs[i] - mns[i])) AS BIGINT), 254) AS DOUBLE) + 0.5)
+                               * (mxs[i] - mns[i]) / 254.0))
+                          * (v[i] - (mns[i]
+                             + (CAST(least(CAST(floor((v[i] - mns[i]) * 254.0 / (mxs[i] - mns[i])) AS BIGINT), 254) AS DOUBLE) + 0.5)
+                               * (mxs[i] - mns[i]) / 254.0))) AS BIGINT)
+                    ELSE 0 END
+               FOR i IN generate_series(1, len(v))]) AS BIGINT) AS err_pico
+      FROM e CROSS JOIN mm
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err_pico) AS BIGINT) AS total_err_pico,
+           CAST(round(CAST(sum(err_pico) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             AS mean_err_pico
+    FROM per_vec GROUP BY label
+    """,
+    doc="Reconstruction-error audit of the int8 scalar quantizer "
+    "(operators/similarity.py:int8_distortion): midpoint-dequantize "
+    "every code and report per-label squared error quantized at 1e12 "
+    "per component — the compression-QA gate before trusting the 4x "
+    "int8 scan path (similarity_int8_scan) on a corpus slice, closing "
+    "the quantization ladder (int8 / PQ / binary) with a measured "
+    "distortion number. ONE scan: the (mins, maxs) fold is the same "
+    "broadcast row the quantizer uses; quantize + reconstruct + "
+    "per-component error all run in a single JVM transform/aggregate, "
+    "and the error is written e*e (not pow) so the oracle's identical "
+    "expression chain is bit-exact.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_similarity_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.int8_distortion(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )

@@ -105,7 +105,8 @@ PRIORITY: tuple[str, ...] = (
     "robust_trimmed_mean", "sampling_neyman_allocation", "markov_next_event_accuracy",
     "text_rake_keywords", "retrieval_rbo_rankings", "dq_benford_first_digit",
     "revenue_gini_concentration", "source_lang_diversity", "job_ip_label_migration_sweep",
-    "timeseries_cusum_changepoint", "classifier_mcc",
+    "timeseries_cusum_changepoint", "classifier_mcc", "eval_chrf_char_ngram",
+    "events_sliding_distinct_users", "similarity_int8_distortion",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",

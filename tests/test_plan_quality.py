@@ -120,6 +120,7 @@ _SCALAR_ATTACH = {
     "eval_bleu_ngram_precision",    # x broadcast(1-row corpus length totals)
     "sampling_neyman_allocation",   # x broadcast(1-row weight total + 1-row used-base total)
     "retrieval_rbo_rankings",       # x broadcast(8-row anchor frame — same constant contract as matryoshka)
+    "similarity_int8_distortion",   # x broadcast(1-row min/max arrays — same attach as int8_scan)
 }
 
 
@@ -305,3 +306,22 @@ def test_novelty_single_shingle_pass(spark):
     df.collect()  # finalize AQE + materialize the lazy checkpoint
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 0, "shingle branch re-scan crept back in"
+
+
+def test_chrf_streaming_explodes_not_fused_array(spark):
+    """chrF deliberately uses one streaming explode per n-gram order
+    (unioned) rather than fusing all orders into a flattened struct
+    array: the fused form halves the corpus scans but materializes
+    3x|chars| structs per row before exploding — measured 2.6x SLOWER
+    at sf1/sf5 (the scan is the cheap part; the explode dominates).
+    Pin the shape: no flatten-of-struct-arrays in the plan, and the
+    per-order scans stay bounded by the order count."""
+    from cartography_spark.plans.inventory_llm import q_eval_chrf_char_ngram
+
+    df = q_eval_chrf_char_ngram(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "flatten(array(transform" not in plan.replace(" ", ""), (
+        "the measured-slower fused-array form crept back in"
+    )
+    assert plan.count("Scan parquet") <= 12  # bounded: orders x side lanes

@@ -352,3 +352,74 @@ def test_mcc_extremes(spark):
         [(True, i % 2 == 0) for i in range(10)], "actual boolean, pred boolean"
     )
     assert mcc_binary(degenerate, "actual", "pred").head().mcc_micros is None
+
+
+def test_chrf_identical_after_whitespace_strip(spark):
+    from cartography_spark.operators.textstats import chrf_score
+
+    pairs = spark.createDataFrame(
+        [(0, "a b c d e f", "abcdef")],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    out = chrf_score(pairs).head()
+    # whitespace stripped -> identical strings -> perfect F at every order
+    assert out.clip_1 == 6 and out.cand_total_1 == 6 and out.ref_total_1 == 6
+    assert out.f_micros_1 == 1_000_000
+    assert out.f_micros_2 == 1_000_000 and out.f_micros_3 == 1_000_000
+    assert out.chrf_micros == 1_000_000
+
+
+def test_chrf_hand_computed_partial_overlap(spark):
+    from cartography_spark.operators.textstats import chrf_score
+
+    # cand "abcd", ref "abzd": unigrams both {a,b,d,+1 distinct} ->
+    # clip1 = 3 (a,b,d); bigrams cand {ab,bc,cd}, ref {ab,bz,zd} -> clip2=1
+    # trigrams cand {abc,bcd}, ref {abz,bzd} -> clip3=0
+    pairs = spark.createDataFrame(
+        [(0, "abcd", "abzd")], "pair_id long, cand_text string, ref_text string"
+    )
+    out = chrf_score(pairs).head()
+    assert (out.clip_1, out.clip_2, out.clip_3) == (3, 1, 0)
+    p1 = r1 = 3 / 4
+    f1 = 5 * p1 * r1 / (4 * p1 + r1)
+    p2 = r2 = 1 / 3
+    f2 = 5 * p2 * r2 / (4 * p2 + r2)
+    assert out.f_micros_1 == round(1e6 * f1)
+    assert out.f_micros_2 == round(1e6 * f2)
+    assert out.f_micros_3 == 0
+    assert out.chrf_micros == round((round(1e6 * f1) + round(1e6 * f2) + 0) / 3)
+
+
+def test_sliding_distinct_users_window_membership(spark):
+    from cartography_spark.plans.inventory_analytics import q_events_sliding_distinct_users
+    from tests.conftest import SF_CORRECT
+
+    rows = q_events_sliding_distinct_users(spark, SF_CORRECT).collect()
+    # every event lands in exactly 6 windows
+    ev_total = spark.read.parquet(f"{SF_CORRECT}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == 6 * ev_total
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_events
+
+
+def test_int8_distortion_hand_computed(spark):
+    from cartography_spark.operators.similarity import int8_distortion
+
+    # two vectors per dim at the range endpoints: q=0 and q=254, both
+    # reconstruct half a cell away -> e = 0.5/254 per component
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 1), (1, [1.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = int8_distortion(df).head()
+    e = 0.5 / 254.0
+    per_comp = round(1e12 * e * e)
+    assert out.label == 1 and out.n_vectors == 2
+    assert out.total_err_pico == 4 * per_comp
+    assert out.mean_err_pico == round(4 * per_comp / 2)
+    # constant dims reconstruct exactly
+    const = spark.createDataFrame(
+        [(0, [3.0, 3.0], 7), (1, [3.0, 3.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert int8_distortion(const).head().total_err_pico == 0
