@@ -976,3 +976,65 @@ def chrf_score(
         + f") / {max_n}.0) AS BIGINT)"
     )
     return wide.select("*", mean_f.alias("chrf_micros"))
+
+
+def token_f1_pairs(
+    pairs: DataFrame,
+    pair_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Per-pair token-level F1 — the SQuAD-style answer-overlap metric:
+    bag-of-token clipped overlap between candidate and reference, with
+    per-pair precision/recall/F1. One row per pair: (pair_id, n_overlap,
+    cand_len, ref_len, f1_micros). The per-example granularity that
+    corpus-level BLEU/chrF hide — join it back onto example metadata to
+    find failure slices.
+
+    Exactness: counts are exact integers from grouped aggregation
+    (shared regex tokenization with bleu_ngram_precision); F1 is one
+    guarded float per pair (zero overlap -> exact 0, no 0/0), quantized
+    to micros. Scale: one scan explodes both sides; the clip join is a
+    full-outer on pre-collapsed (pair, token) counts — full-outer so
+    reference-only tokens still count toward recall's denominator.
+    """
+    sides = pairs.select(
+        F.col(pair_col).alias("pid"),
+        F.explode(
+            F.create_map(F.lit("c"), F.col(cand_col), F.lit("r"), F.col(ref_col))
+        ).alias("side", "txt"),
+    )
+    toks = sides.select(
+        "pid", "side", F.explode(F.split(F.lower("txt"), "[^a-z0-9]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("pid", "side", "tok").agg(F.count("*").alias("cnt"))
+    cand = counts.filter(F.col("side") == "c").drop("side").withColumnRenamed("cnt", "c_cnt")
+    ref = counts.filter(F.col("side") == "r").drop("side").withColumnRenamed("cnt", "r_cnt")
+    per_pair = (
+        # list-key full-outer join: Spark already coalesces pid/tok into
+        # single output columns
+        cand.join(ref, ["pid", "tok"], "full")
+        .groupBy(F.col("pid").alias("pair_id"))
+        .agg(
+            F.sum(
+                F.least(F.coalesce("c_cnt", F.lit(0)), F.coalesce("r_cnt", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.sum(F.coalesce("c_cnt", F.lit(0))).cast("bigint").alias("cand_len"),
+            F.sum(F.coalesce("r_cnt", F.lit(0))).cast("bigint").alias("ref_len"),
+        )
+    )
+    p = F.col("n_overlap").cast("double") / F.col("cand_len").cast("double")
+    r = F.col("n_overlap").cast("double") / F.col("ref_len").cast("double")
+    f1 = F.when(
+        F.col("n_overlap") > 0,
+        F.round(F.lit(1_000_000.0) * (2.0 * p * r) / (p + r)),
+    ).otherwise(F.lit(0))
+    return per_pair.select(
+        F.col("pair_id").cast("bigint").alias("pair_id"),
+        "n_overlap",
+        "cand_len",
+        "ref_len",
+        f1.cast("bigint").alias("f1_micros"),
+    )

@@ -4035,3 +4035,166 @@ def q_similarity_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.int8_distortion(
         load_table(spark, sf_dir, "embeddings"), "embedding", "label"
     )
+
+
+@query(
+    "eval_token_f1_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.doc_id // 2 AS pid, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    sides AS (
+      SELECT pid, 'c' AS side, cand AS txt FROM pairs
+      UNION ALL
+      SELECT pid, 'r' AS side, ref AS txt FROM pairs
+    ),
+    toks AS (
+      SELECT pid, side, tok FROM (
+        SELECT pid, side, unnest(regexp_split_to_array(lower(txt), '[^a-z0-9]+')) AS tok
+        FROM sides
+      ) WHERE tok <> ''
+    ),
+    counts AS (
+      SELECT pid, side, tok, count(*) AS cnt FROM toks GROUP BY pid, side, tok
+    ),
+    clipped AS (
+      SELECT coalesce(c.pid, r.pid) AS pid,
+             sum(least(coalesce(c.cnt, 0), coalesce(r.cnt, 0))) AS clip,
+             sum(coalesce(c.cnt, 0)) AS cand_len,
+             sum(coalesce(r.cnt, 0)) AS ref_len
+      FROM (SELECT * FROM counts WHERE side = 'c') c
+      FULL JOIN (SELECT * FROM counts WHERE side = 'r') r
+        ON c.pid = r.pid AND c.tok = r.tok
+      GROUP BY coalesce(c.pid, r.pid)
+    )
+    SELECT CAST(pid AS BIGINT) AS pair_id,
+           CAST(clip AS BIGINT) AS n_overlap,
+           CAST(cand_len AS BIGINT) AS cand_len,
+           CAST(ref_len AS BIGINT) AS ref_len,
+           CAST(CASE WHEN clip = 0 THEN 0
+                     ELSE round(1000000.0 * (2.0
+                           * (CAST(clip AS DOUBLE) / CAST(cand_len AS DOUBLE))
+                           * (CAST(clip AS DOUBLE) / CAST(ref_len AS DOUBLE)))
+                          / ((CAST(clip AS DOUBLE) / CAST(cand_len AS DOUBLE))
+                             + (CAST(clip AS DOUBLE) / CAST(ref_len AS DOUBLE))))
+                END AS BIGINT) AS f1_micros
+    FROM clipped
+    """,
+    doc="Per-pair token-level F1 (the SQuAD/QA-eval answer-overlap "
+    "metric) over the same deterministic doc pairing as BLEU/chrF "
+    "(operators/textstats.py:token_f1_pairs): bag-of-token clipped "
+    "overlap per PAIR with per-pair precision/recall/F1 — the "
+    "granularity BLEU's corpus-level aggregation hides, which is what "
+    "an eval pipeline joins back onto example metadata to find "
+    "failure slices. Counts are exact integers; F1 is one guarded "
+    "float per pair quantized to micros; the clip join runs on "
+    "pre-collapsed per-pair token counts (full-outer so ref-only "
+    "tokens count toward recall's denominator).",
+    tags=("llm", "eval", "text"),
+)
+def q_eval_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
+    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    return ts.token_f1_pairs(pairs, "pair_id", "cand_text", "ref_text")
+
+
+@query(
+    "dedup_cluster_provenance",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct([substring(lower(text), i, 3)
+                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    r AS (
+      SELECT doc_id AS v, doc_id AS lbl, 0 AS hops FROM documents
+      UNION
+      SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
+    ),
+    assign AS (SELECT v AS doc_id, min(lbl) AS cluster FROM r GROUP BY v),
+    cells AS (
+      SELECT a.cluster, d.source, count(*) AS n
+      FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+      GROUP BY a.cluster, d.source
+    ),
+    per_cluster AS (
+      SELECT cluster, sum(n) AS sz, count(*) AS n_sources, max(n) AS maj
+      FROM cells GROUP BY cluster
+    ),
+    multi AS (SELECT * FROM per_cluster WHERE sz >= 2)
+    SELECT CAST((SELECT count(*) FROM per_cluster) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_multi_clusters,
+           CAST(sum(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_multi_docs,
+           CAST(sum(maj) AS BIGINT) AS n_majority_source_docs,
+           CAST((sum(maj) * 1000000) // sum(sz) AS BIGINT) AS source_purity_ppm
+    FROM multi
+    """,
+    doc="Provenance audit of the near-dup collapse: the Jaccard>=0.5 "
+    "min-label clusters of dedup_clusters, scored for how well "
+    "duplication respects SOURCE boundaries — over multi-document "
+    "clusters only (singletons are trivially pure), report how many "
+    "families span 2+ sources and the majority-source fraction of "
+    "their docs (exact integer ppm). The number a pipeline acts on "
+    "when deciding intra- vs cross-source dedup policy: cross-source "
+    "near-dup families are syndicated/boilerplate content whose "
+    "provenance-weighted sampling would otherwise double-count. "
+    "Reuses the exact pair+cluster machinery (no new pair space); the "
+    "rollup is two map-side-combinable aggregates over "
+    "|clusters| x |sources| cells plus a 1-row cluster-count attach.",
+    tags=("llm", "dedup", "eval"),
+)
+def q_dedup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=("lang",))
+    assign = dd.cluster_min_label(pairs, docs, max_iter=6).select("doc_id", "cluster")
+    cells = (
+        assign.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    per_cluster = cells.groupBy("cluster").agg(
+        F.sum("n").alias("sz"), F.count("*").alias("n_sources"), F.max("n").alias("maj")
+    )
+    n_clusters = per_cluster.agg(F.count("*").cast("bigint").alias("n_clusters"))
+    multi = per_cluster.filter(F.col("sz") >= 2)
+    return (
+        multi.agg(
+            F.count("*").cast("bigint").alias("n_multi_clusters"),
+            F.sum((F.col("n_sources") >= 2).cast("long")).cast("bigint").alias("n_cross_source_clusters"),
+            F.sum("sz").cast("bigint").alias("n_multi_docs"),
+            F.sum("maj").cast("bigint").alias("n_majority_source_docs"),
+        )
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            "n_clusters",
+            "n_multi_clusters",
+            "n_cross_source_clusters",
+            "n_multi_docs",
+            "n_majority_source_docs",
+            F.expr(
+                "CAST((n_majority_source_docs * 1000000) DIV n_multi_docs AS BIGINT)"
+            ).alias("source_purity_ppm"),
+        )
+    )

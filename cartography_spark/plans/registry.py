@@ -107,6 +107,7 @@ PRIORITY: tuple[str, ...] = (
     "revenue_gini_concentration", "source_lang_diversity", "job_ip_label_migration_sweep",
     "timeseries_cusum_changepoint", "classifier_mcc", "eval_chrf_char_ngram",
     "events_sliding_distinct_users", "similarity_int8_distortion",
+    "eval_token_f1_pairs", "dedup_cluster_provenance",
     # --- below: 200 queries already driver-green in r01-r04 ---
     "analysis_azure_lb_exposure", "analysis_intune_policy_union", "analysis_identity_projection",
     "analysis_semgrep_risk_matrix", "multimodal_gif_decode", "privacy_l_diversity",

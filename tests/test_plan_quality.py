@@ -121,6 +121,7 @@ _SCALAR_ATTACH = {
     "sampling_neyman_allocation",   # x broadcast(1-row weight total + 1-row used-base total)
     "retrieval_rbo_rankings",       # x broadcast(8-row anchor frame — same constant contract as matryoshka)
     "similarity_int8_distortion",   # x broadcast(1-row min/max arrays — same attach as int8_scan)
+    "dedup_cluster_provenance",     # x broadcast(1-row cluster-count total)
 }
 
 

@@ -423,3 +423,34 @@ def test_int8_distortion_hand_computed(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert int8_distortion(const).head().total_err_pico == 0
+
+
+def test_token_f1_hand_computed(spark):
+    from cartography_spark.operators.textstats import token_f1_pairs
+
+    pairs = spark.createDataFrame(
+        [(0, "the cat sat", "the cat is on the mat"), (1, "alpha beta", "gamma delta")],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    out = {r.pair_id: r for r in token_f1_pairs(pairs).collect()}
+    # pair 0: overlap {the:1, cat:1} = 2; p = 2/3, r = 2/6
+    assert out[0].n_overlap == 2 and out[0].cand_len == 3 and out[0].ref_len == 6
+    p, r = 2 / 3, 2 / 6
+    assert out[0].f1_micros == round(1e6 * 2 * p * r / (p + r))
+    # pair 1: zero overlap -> exact 0, no 0/0
+    assert out[1].n_overlap == 0 and out[1].f1_micros == 0
+
+
+def test_cluster_provenance_invariants(spark):
+    from cartography_spark.plans.inventory_llm import q_dedup_cluster_provenance
+    from tests.conftest import SF_CORRECT
+
+    out = q_dedup_cluster_provenance(spark, SF_CORRECT).head()
+    assert out.n_multi_clusters <= out.n_clusters
+    assert out.n_cross_source_clusters <= out.n_multi_clusters
+    # majority-source docs: at least one per cluster, at most all of them
+    assert out.n_multi_clusters <= out.n_majority_source_docs <= out.n_multi_docs
+    assert out.source_purity_ppm == (out.n_majority_source_docs * 1_000_000) // out.n_multi_docs
+    # a single-source multi-doc cluster is by definition majority-pure
+    if out.n_cross_source_clusters == 0:
+        assert out.source_purity_ppm == 1_000_000
