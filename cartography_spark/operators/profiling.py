@@ -403,6 +403,10 @@ def fellegi_sunter_scores(
     Plan: one aggregate over the pairs for all u_f rates (map-side
     combinable), one 1-row broadcast attach, one per-row projection.
     """
+    # checkpoint: the blocked pair join is the dominant cost and feeds
+    # BOTH the u-rate aggregate and the scoring projection — without this
+    # it executes twice (the blockmax single-materialization discipline)
+    pairs = pairs.localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     u_aggs = [
         (F.sum(F.col(c).cast("long")) / n).alias(f"__u_{c}") for c in agree_cols
@@ -456,7 +460,9 @@ def welch_ttest(
     try_divide rather than an error.
     """
     a, b = (F.col(group_col) == group_a), (F.col(group_col) == group_b)
-    v = F.col(value_col)
+    # widen BEFORE squaring: an IntegerType cents column overflows v*v at
+    # |v| > 46340 (ANSI crash; silent wrap otherwise)
+    v = F.col(value_col).cast("long")
     s = df.filter(a | b).agg(
         F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(b, 1).otherwise(0)).cast("bigint").alias("n_b"),
@@ -656,7 +662,11 @@ def gini_concentration(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
     under the same num/den contract.
     """
     w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
-    r = df.select(F.col(value_col).alias("__x"), F.row_number().over(w).alias("__i"))
+    # widen BEFORE the rank product: int rank x int value overflows 2^31
+    r = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
     s = r.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("__x").cast("bigint").alias("total"),

@@ -293,7 +293,8 @@ def neyman_allocation(
     stratum must have nonzero spread (all-constant strata make the
     weight total zero and the apportionment undefined).
     """
-    v = F.col(value_col)
+    # widen BEFORE squaring (IntegerType v*v overflows at |v| > 46340)
+    v = F.col(value_col).cast("long")
     per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(v).cast("bigint").alias("sum_v"),

@@ -614,8 +614,14 @@ def pmi_collocations(
         toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     w = W.partitionBy(id_col).orderBy("pos")
-    pairs = toks.withColumn("prev", F.lag("tok").over(w)).filter(
-        F.col("prev").isNotNull()
+    # checkpoint: four branches (total, c_x, c_y, c_xy) consume this
+    # relation — without it the explode + per-doc lag window execute once
+    # per branch (the scan itself is deduped by ReusedExchange, the
+    # window work is not)
+    pairs = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .localCheckpoint(eager=False)
     )
     n_total = pairs.agg(F.count("*").cast("long").alias("__n"))
     cx = pairs.groupBy("prev").agg(F.count("*").cast("long").alias("c_x"))
@@ -784,16 +790,24 @@ def bleu_ngram_precision(
         )
     )
     wide = per_n.groupBy().agg(
-        F.max(F.when(F.col("n") == 1, F.col("clip"))).alias("clip1"),
-        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
-        F.max(F.when(F.col("n") == 2, F.col("clip"))).alias("clip2"),
-        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+        F.coalesce(F.max(F.when(F.col("n") == 1, F.col("clip"))), F.lit(0)).alias("clip1"),
+        F.coalesce(F.max(F.when(F.col("n") == 1, F.col("tot"))), F.lit(0)).alias("tot1"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("clip"))), F.lit(0)).alias("clip2"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("tot"))), F.lit(0)).alias("tot2"),
     )
-    p1 = F.col("clip1").cast("double") / F.col("tot1").cast("double")
-    p2 = F.col("clip2").cast("double") / F.col("tot2").cast("double")
+    # try_divide everywhere a degenerate corpus can zero a denominator
+    # (empty candidates -> tot1 = cand_len = 0): NaN would poison the
+    # bigint cast under ANSI; the documented degenerate value is 0
+    p1 = F.try_divide(F.col("clip1").cast("double"), F.col("tot1").cast("double"))
+    p2 = F.try_divide(F.col("clip2").cast("double"), F.col("tot2").cast("double"))
     bp = F.when(
         F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
-    ).otherwise(F.exp(F.lit(1.0) - F.col("ref_len").cast("double") / F.col("cand_len").cast("double")))
+    ).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.try_divide(F.col("ref_len").cast("double"), F.col("cand_len").cast("double"))
+        )
+    )
     # guard the logs: a zero clipped count means BLEU-2 is 0 by definition,
     # and engines disagree on log(0) (null vs error)
     bleu2 = F.when(
@@ -802,9 +816,9 @@ def bleu_ngram_precision(
     ).otherwise(F.lit(0))
     return wide.crossJoin(lens).select(
         "clip1", "tot1", "clip2", "tot2", "cand_len", "ref_len",
-        F.round(F.lit(1_000_000.0) * p1).cast("bigint").alias("p1_micros"),
-        F.round(F.lit(1_000_000.0) * p2).cast("bigint").alias("p2_micros"),
-        F.round(F.lit(1_000_000.0) * bp).cast("bigint").alias("bp_micros"),
+        F.coalesce(F.round(F.lit(1_000_000.0) * p1), F.lit(0)).cast("bigint").alias("p1_micros"),
+        F.coalesce(F.round(F.lit(1_000_000.0) * p2), F.lit(0)).cast("bigint").alias("p2_micros"),
+        F.coalesce(F.round(F.lit(1_000_000.0) * bp), F.lit(0)).cast("bigint").alias("bp_micros"),
         bleu2.cast("bigint").alias("bleu2_micros"),
     )
 
@@ -935,8 +949,15 @@ def chrf_score(
             "pid",
             "side",
             F.lit(n).alias("n"),
+            # guard texts shorter than n: Spark's sequence(1, 0) is
+            # DESCENDING ([1, 0]), which would emit two phantom n-grams —
+            # the same pitfall doc_shingles documents
             F.explode(
-                F.expr(f"transform(sequence(1, greatest(length(s) - {n - 1}, 0)), i -> substring(s, i, {n}))")
+                F.expr(
+                    f"CASE WHEN length(s) >= {n}"
+                    f" THEN transform(sequence(1, length(s) - {n - 1}), i -> substring(s, i, {n}))"
+                    f" ELSE array() END"
+                )
             ).alias("gram"),
         )
         per_n = grams_n if per_n is None else per_n.unionByName(grams_n)
@@ -966,8 +987,12 @@ def chrf_score(
     wide_cols = []
     for n in range(1, max_n + 1):
         for c in ("clip", "cand_total", "ref_total", "f_micros"):
+            # coalesce: an order with no n-grams anywhere (every text
+            # shorter than n) has no group row — report exact 0, not NULL
             wide_cols.append(
-                F.max(F.when(F.col("n") == n, F.col(c))).cast("bigint").alias(f"{c}_{n}")
+                F.coalesce(F.max(F.when(F.col("n") == n, F.col(c))), F.lit(0))
+                .cast("bigint")
+                .alias(f"{c}_{n}")
             )
     wide = scored.groupBy().agg(*wide_cols)
     mean_f = F.expr(

@@ -3413,6 +3413,51 @@ def q_source_ablation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _doc_pairs(docs: DataFrame) -> DataFrame:
+    """Deterministic generation-eval pairing shared by BLEU / chrF /
+    token-F1: even doc_id is the candidate, its successor the reference;
+    pair_id = doc_id div 2. One place to change the pairing contract."""
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
+    return cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+
+
+def _dual_cosine_ranks(emb: DataFrame) -> DataFrame:
+    """Per-anchor (vec_id < 8, the constant frame) dual ranking shared by
+    the matryoshka eval and RBO: rank every candidate by full 64-dim
+    cosine AND by the 16-dim-prefix cosine, both cosines from ONE scan
+    (the prefix dot product is a slice of the same fold), both rounded
+    to 4dp so ranks are engine-identical. Returns (qid, rn64, rn16)."""
+    from pyspark.sql import Window
+
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    e64 = F.col("embedding").cast("array<double>")
+    q64 = F.col("qv").cast("array<double>")
+    cos64 = F.round(sim.cosine_similarity(e64, q64), 4)
+    cos16 = F.round(
+        sim.cosine_similarity(F.slice(e64, 1, 16), F.slice(q64, 1, 16)), 4
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos64.alias("cos64"), cos16.alias("cos16"))
+    )
+    w64 = Window.partitionBy("qid").orderBy(F.col("cos64").desc(), "vec_id")
+    w16 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
+    return scored.select(
+        "qid",
+        F.row_number().over(w64).alias("rn64"),
+        F.row_number().over(w16).alias("rn16"),
+    )
+
+
 _COS16_SQL = """
       list_aggregate(list_transform(generate_series(1, 16),
                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
@@ -3464,30 +3509,7 @@ _COS16_SQL = """
     tags=("llm", "similarity", "eval"),
 )
 def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    e64 = F.col("embedding").cast("array<double>")
-    q64 = F.col("qv").cast("array<double>")
-    cos64 = F.round(sim.cosine_similarity(e64, q64), 4)
-    cos16 = F.round(
-        sim.cosine_similarity(F.slice(e64, 1, 16), F.slice(q64, 1, 16)), 4
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos64.alias("cos64"), cos16.alias("cos16"))
-    )
-    w64 = Window.partitionBy("qid").orderBy(F.col("cos64").desc(), "vec_id")
-    w16 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
-    ranked = scored.select(
-        "qid",
-        F.row_number().over(w64).alias("rn64"),
-        F.row_number().over(w16).alias("rn16"),
-    )
+    ranked = _dual_cosine_ranks(load_table(spark, sf_dir, "embeddings"))
     ov = F.sum(((F.col("rn64") <= 10) & (F.col("rn16") <= 10)).cast("long"))
     return ranked.groupBy("qid").agg(
         ov.cast("long").alias("overlap_at_10"),
@@ -3550,10 +3572,10 @@ def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     wide AS (
-      SELECT max(CASE WHEN n = 1 THEN clip END) AS clip1,
-             max(CASE WHEN n = 1 THEN tot END) AS tot1,
-             max(CASE WHEN n = 2 THEN clip END) AS clip2,
-             max(CASE WHEN n = 2 THEN tot END) AS tot2
+      SELECT coalesce(max(CASE WHEN n = 1 THEN clip END), 0) AS clip1,
+             coalesce(max(CASE WHEN n = 1 THEN tot END), 0) AS tot1,
+             coalesce(max(CASE WHEN n = 2 THEN clip END), 0) AS clip2,
+             coalesce(max(CASE WHEN n = 2 THEN tot END), 0) AS tot2
       FROM per_n
     ),
     x AS (
@@ -3587,13 +3609,7 @@ def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.expr("doc_id div 2").alias("pair_id"),
-        (F.col("doc_id") + 1).alias("ref_id"),
-        F.col("text").alias("cand_text"),
-    )
-    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
-    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    pairs = _doc_pairs(docs)
     return ts.bleu_ngram_precision(pairs, "pair_id", "cand_text", "ref_text")
 
 
@@ -3757,30 +3773,7 @@ _RBO_CASES = "\n                ".join(
     tags=("llm", "similarity", "eval"),
 )
 def q_retrieval_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    e64 = F.col("embedding").cast("array<double>")
-    q64 = F.col("qv").cast("array<double>")
-    cos64 = F.round(sim.cosine_similarity(e64, q64), 4)
-    cos16 = F.round(
-        sim.cosine_similarity(F.slice(e64, 1, 16), F.slice(q64, 1, 16)), 4
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos64.alias("cos64"), cos16.alias("cos16"))
-    )
-    w64 = Window.partitionBy("qid").orderBy(F.col("cos64").desc(), "vec_id")
-    w16 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(), "vec_id")
-    ranked = scored.select(
-        "qid",
-        F.row_number().over(w64).alias("rn64"),
-        F.row_number().over(w16).alias("rn16"),
-    )
+    ranked = _dual_cosine_ranks(load_table(spark, sf_dir, "embeddings"))
     m = F.greatest("rn64", "rn16")
     in_joint = (F.col("rn64") <= 10) & (F.col("rn16") <= 10)
     weight = None
@@ -3936,18 +3929,18 @@ def q_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg
     ),
     wide AS (
-      SELECT max(CASE WHEN n = 1 THEN clip END) AS clip_1,
-             max(CASE WHEN n = 1 THEN cand_total END) AS cand_total_1,
-             max(CASE WHEN n = 1 THEN ref_total END) AS ref_total_1,
-             max(CASE WHEN n = 1 THEN f_micros END) AS f_micros_1,
-             max(CASE WHEN n = 2 THEN clip END) AS clip_2,
-             max(CASE WHEN n = 2 THEN cand_total END) AS cand_total_2,
-             max(CASE WHEN n = 2 THEN ref_total END) AS ref_total_2,
-             max(CASE WHEN n = 2 THEN f_micros END) AS f_micros_2,
-             max(CASE WHEN n = 3 THEN clip END) AS clip_3,
-             max(CASE WHEN n = 3 THEN cand_total END) AS cand_total_3,
-             max(CASE WHEN n = 3 THEN ref_total END) AS ref_total_3,
-             max(CASE WHEN n = 3 THEN f_micros END) AS f_micros_3
+      SELECT coalesce(max(CASE WHEN n = 1 THEN clip END), 0) AS clip_1,
+             coalesce(max(CASE WHEN n = 1 THEN cand_total END), 0) AS cand_total_1,
+             coalesce(max(CASE WHEN n = 1 THEN ref_total END), 0) AS ref_total_1,
+             coalesce(max(CASE WHEN n = 1 THEN f_micros END), 0) AS f_micros_1,
+             coalesce(max(CASE WHEN n = 2 THEN clip END), 0) AS clip_2,
+             coalesce(max(CASE WHEN n = 2 THEN cand_total END), 0) AS cand_total_2,
+             coalesce(max(CASE WHEN n = 2 THEN ref_total END), 0) AS ref_total_2,
+             coalesce(max(CASE WHEN n = 2 THEN f_micros END), 0) AS f_micros_2,
+             coalesce(max(CASE WHEN n = 3 THEN clip END), 0) AS clip_3,
+             coalesce(max(CASE WHEN n = 3 THEN cand_total END), 0) AS cand_total_3,
+             coalesce(max(CASE WHEN n = 3 THEN ref_total END), 0) AS ref_total_3,
+             coalesce(max(CASE WHEN n = 3 THEN f_micros END), 0) AS f_micros_3
       FROM scored
     )
     SELECT CAST(clip_1 AS BIGINT) AS clip_1, CAST(cand_total_1 AS BIGINT) AS cand_total_1,
@@ -3974,13 +3967,7 @@ def q_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_eval_chrf_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.expr("doc_id div 2").alias("pair_id"),
-        (F.col("doc_id") + 1).alias("ref_id"),
-        F.col("text").alias("cand_text"),
-    )
-    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
-    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    pairs = _doc_pairs(docs)
     return ts.chrf_score(pairs, "pair_id", "cand_text", "ref_text", max_n=3, beta=2)
 
 
@@ -4096,13 +4083,7 @@ def q_similarity_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_eval_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.expr("doc_id div 2").alias("pair_id"),
-        (F.col("doc_id") + 1).alias("ref_id"),
-        F.col("text").alias("cand_text"),
-    )
-    ref = docs.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("ref_text"))
-    pairs = cand.join(ref, "ref_id").select("pair_id", "cand_text", "ref_text")
+    pairs = _doc_pairs(docs)
     return ts.token_f1_pairs(pairs, "pair_id", "cand_text", "ref_text")
 
 
@@ -4162,7 +4143,12 @@ def q_eval_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "provenance-weighted sampling would otherwise double-count. "
     "Reuses the exact pair+cluster machinery (no new pair space); the "
     "rollup is two map-side-combinable aggregates over "
-    "|clusters| x |sources| cells plus a 1-row cluster-count attach.",
+    "|clusters| x |sources| cells plus a 1-row cluster-count attach. "
+    "Scale contract: inherits the RAW pair-list cost (quadratic under "
+    "exact-dup replication BY CONTRACT, like the SECONDARY bench "
+    "queries); at 100 TB feed it the collapsed cluster relation "
+    "(dedup_minhash_collapsed) instead — the source rollup is linear "
+    "either way.",
     tags=("llm", "dedup", "eval"),
 )
 def q_dedup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:

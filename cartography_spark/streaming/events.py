@@ -337,12 +337,17 @@ def cdc_latest_state(
     later re-insert still revives it). The aggregate is map-side
     combinable and the state store holds one row per live key — state
     size tracks the KEY population, not the changelog length, which is
-    the property that lets the same query run over an unbounded log."""
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols], F.col(op_col).alias("__op")),
-        F.col(seq_col),
-    )
-    agg = changelog.groupBy(key_col).agg(winner.alias("w"))
-    return agg.filter(F.col("w.__op") != "D").select(
-        key_col, *[F.col(f"w.{c}").alias(c) for c in payload_cols]
+    the property that lets the same query run over an unbounded log.
+
+    Delegates to the batch :func:`cdc_apply` — the groupBy/max_by plan
+    is streaming-compatible as-is, so both paths share ONE tombstone
+    semantics by construction (no drift between the batch backfill and
+    the streaming tail)."""
+    from cartography_spark.operators.incremental import cdc_apply
+
+    return cdc_apply(
+        changelog.select(key_col, seq_col, op_col, *payload_cols),
+        [key_col],
+        seq_col,
+        op_col,
     )

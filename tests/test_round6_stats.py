@@ -454,3 +454,52 @@ def test_cluster_provenance_invariants(spark):
     # a single-source multi-doc cluster is by definition majority-pure
     if out.n_cross_source_clusters == 0:
         assert out.source_purity_ppm == 1_000_000
+
+
+def test_chrf_short_text_has_no_phantom_ngrams(spark):
+    from cartography_spark.operators.textstats import chrf_score
+
+    # 2-char strings have NO trigrams: Spark's sequence(1, 0) is
+    # descending ([1, 0]) and once emitted two phantom grams here
+    pairs = spark.createDataFrame(
+        [(0, "ab", "ab")], "pair_id long, cand_text string, ref_text string"
+    )
+    out = chrf_score(pairs).head()
+    assert out.cand_total_3 == 0 and out.ref_total_3 == 0 and out.clip_3 == 0
+    assert out.f_micros_3 == 0
+    assert out.cand_total_2 == 1 and out.f_micros_2 == 1_000_000
+
+
+def test_welch_and_neyman_accept_int_columns(spark):
+    from cartography_spark.operators.profiling import welch_ttest
+    from cartography_spark.operators.sampling import neyman_allocation
+
+    # IntegerType values > 46340 used to overflow v*v under ANSI
+    rows = [("a", 100_000 + i) for i in range(5)] + [("b", 90_000 + 2 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, x int")
+    out = welch_ttest(df, "grp", "x", "a", "b").head()
+    assert out.sumsq_a > 0 and out.t_micros is not None
+    alloc = neyman_allocation(df, "grp", "x", n_total=10).collect()
+    assert sum(r.alloc_n for r in alloc) == 10
+
+
+def test_gini_accepts_int_rank_product(spark):
+    from cartography_spark.operators.profiling import gini_concentration
+
+    df = spark.createDataFrame(
+        [(i, 2_000_000_000) for i in range(4)], "id long, x int"
+    )
+    out = gini_concentration(df, "id", "x").head()
+    assert out.gini_micros == 0  # equal values
+
+
+def test_bleu_empty_candidate_is_guarded(spark):
+    from cartography_spark.operators.textstats import bleu_ngram_precision
+
+    pairs = spark.createDataFrame(
+        [(0, "...", "the reference text")],
+        "pair_id long, cand_text string, ref_text string",
+    )
+    out = bleu_ngram_precision(pairs).head()
+    assert out.cand_len == 0 and out.tot1 == 0
+    assert out.p1_micros == 0 and out.bleu2_micros == 0 and out.bp_micros == 0
