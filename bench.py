@@ -162,6 +162,14 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # measurement protocol + the A/B-validated noise model, so
+                # round-over-round diffs separate plan regressions from host
+                # variance without re-investigation (SCALE.md round-6 A/B:
+                # interleaved runs of UNTOUCHED control queries drift the
+                # same ±30% between host epochs as the queries under test)
+                "method": "best-of-5 per query (early exit after 2 stale runs"
+                ", min 4), noop sink, jvm+py gc between queries",
+                "host_noise_band_pct": 30,
             }
         )
     )

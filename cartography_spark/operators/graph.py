@@ -634,6 +634,15 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     math is the closed-form Pearson ratio computed once from those six
     numbers, identical in any engine up to 1 ulp — far inside the 1e-6
     quantization.
+
+    Overflow headroom: sum_dx2/sum_dy2 = sum over directed edges of
+    deg(endpoint)^2, which is bounded by 2E * max_deg^2 — exactness
+    holds while that stays under 2^63 (e.g. 1e9 edges with hubs up to
+    deg ~2e6; beyond that, hub-heavy graphs overflow int64 and ANSI
+    mode errors rather than wrapping). Past the bound, shard the edge
+    list and merge per-shard moment rows (all six sums are mergeable by
+    addition — the dimension_stats escape hatch), or compute on
+    log-bucketed degrees.
     """
     e = symmetrize(edges, "src", "dst")
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "node")

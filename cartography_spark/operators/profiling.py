@@ -245,6 +245,117 @@ def psi_drift(
     )
 
 
+def ks_two_sample_by(
+    df: DataFrame, group: Column, value: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Stratified two-sample KS: ks_two_sample computed independently per
+    group — ONE row per group — so a fleet-wide drift gate can localize
+    which stratum (source, tenant, language) moved instead of reporting
+    one washed-out global statistic. Same integer-exact contract as the
+    global form (d_num = max |n_b*cum_a - n_a*cum_b| per group).
+
+    Scale shape: one map-side-combined groupBy collapses the data to one
+    row per (group, DISTINCT value); the ECDF cumsum window PARTITIONS by
+    group, so strata never serialize through a single task the way the
+    global form's single-partition window does — stratification makes
+    this MORE parallel, not less. The per-group totals frame is
+    |groups| rows and broadcast back.
+    """
+    per_v = df.groupBy(group.alias("g"), value.alias("v")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        "g",
+        "v",
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+    )
+    tot = ecdf.groupBy("g").agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    d = (
+        ecdf.join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            "n_a",
+            "n_b",
+            "v",
+            F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")).alias(
+                "dn"
+            ),
+        )
+        .groupBy("g", "n_a", "n_b")
+        .agg(
+            F.max("dn").alias("d_num"),
+            F.expr("min_by(v, struct(-dn, v))").alias("ks_at_value"),
+        )
+    )
+    ks = F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return d.select(
+        F.col("g").alias("group_key"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        ks.alias("ks_stat"),
+        "ks_at_value",
+        (ks > crit).alias("reject_95"),
+    )
+
+
+def psi_drift_by(
+    df: DataFrame, group: Column, bin_col: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Stratified PSI: psi_drift computed independently per group — one
+    row per group — the per-stratum companion to ks_two_sample_by for
+    binned scores. Same exactness contract as the global form (add-1
+    smoothing over each group's OWN observed bin set, millinat-quantized
+    log-ratios, cross-multiplied gaps summing as exact BIGINTs).
+
+    Scale shape: one map-side-combined groupBy to (group, bin) counts;
+    the per-group totals frame is |groups| rows, broadcast back; every
+    aggregate is partial-combinable, nothing serializes globally.
+    """
+    per_bin = df.groupBy(group.alias("g"), bin_col.alias("bin")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    tot = per_bin.groupBy("g").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("nbins")
+    )
+    j = per_bin.join(F.broadcast(tot), "g")
+    na_s = F.col("na") + F.col("nbins")
+    nb_s = F.col("nb") + F.col("nbins")
+    num_a = (F.col("ca") + 1) * nb_s
+    num_b = (F.col("cb") + 1) * na_s
+    q = F.round(F.log(num_a.cast("double") / num_b) * 1000).cast("bigint")
+    terms = j.select(
+        "g",
+        "na",
+        "nb",
+        "nbins",
+        na_s.alias("na_s"),
+        nb_s.alias("nb_s"),
+        ((num_a - num_b) * q).alias("term"),
+    )
+    out = terms.groupBy("g", "na", "nb", "nbins", "na_s", "nb_s").agg(
+        F.sum("term").alias("s")
+    )
+    psi = F.col("s") / (F.col("na_s").cast("double") * F.col("nb_s")) / 1000.0
+    return out.select(
+        F.col("g").alias("group_key"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("nbins").cast("long").alias("n_bins"),
+        psi.alias("psi"),
+        (psi > 0.2).alias("major_shift"),
+    )
+
+
 def conformal_interval_calibrate(
     scores: DataFrame, n_col: str = "s", alpha: float = 0.1
 ) -> DataFrame:
@@ -455,9 +566,10 @@ def welch_ttest(
     aggregation pass (no join, map-side combine, single-row output).
     The t/df floats are closed-form expressions over those six integers
     — a fixed handful of IEEE ops, identical in any engine, quantized
-    at 1e-6/1e-3 with ~1e9 headroom. Contract: both arms must have
-    n >= 2 (sample variances); two constant arms yield NULL t/df via
-    try_divide rather than an error.
+    at 1e-6/1e-3 with ~1e9 headroom. Degenerate inputs yield NULL t/df
+    rather than an error: two constant arms via try_divide, and an arm
+    with n < 2 (no sample variance exists) via an explicit n>=2 gate on
+    both statistics.
     """
     a, b = (F.col(group_col) == group_a), (F.col(group_col) == group_b)
     # widen BEFORE squaring: an IntegerType cents column overflows v*v at
@@ -476,11 +588,19 @@ def welch_ttest(
     va = (F.col("sumsq_a").cast("double") - sa * sa / na) / (na - 1)
     vb = (F.col("sumsq_b").cast("double") - sb * sb / nb) / (nb - 1)
     se2 = va / na + vb / nb
-    # try_divide: two constant arms (zero variance in both) make t/df
-    # undefined — return NULL rather than an ANSI divide-by-zero error
-    t = F.try_divide(sa / na - sb / nb, F.sqrt(se2))
-    dfree = F.try_divide(
-        se2 * se2, (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    # Degenerate guards: two constant arms (zero variance) make t/df
+    # undefined -> NULL via try_divide; an arm with n < 2 has no sample
+    # variance at all (the (n-1) divisor is 0, making va/vb Inf or NaN,
+    # which round().cast('bigint') would turn into an ANSI error), so the
+    # whole statistic is gated NULL unless both arms have n >= 2.
+    both_arms = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    t = F.when(both_arms, F.try_divide(sa / na - sb / nb, F.sqrt(se2)))
+    dfree = F.when(
+        both_arms,
+        F.try_divide(
+            se2 * se2,
+            (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1),
+        ),
     )
     return s.select(
         "n_a", "n_b", "sum_a", "sum_b", "sumsq_a", "sumsq_b",
@@ -680,7 +800,12 @@ def gini_concentration(df: DataFrame, id_col: str, value_col: str) -> DataFrame:
         "weighted_sum",
         num.alias("gini_num"),
         den.alias("gini_den"),
-        F.round(F.lit(1_000_000.0) * num.cast("double") / den.cast("double"))
+        # try_divide: an all-zero value column gives num=den=0; 0/0 must
+        # yield NULL gini_micros (not NaN -> ANSI cast error), matching the
+        # guards on mcc_binary / welch_ttest / degree_assortativity
+        F.round(
+            F.try_divide(F.lit(1_000_000.0) * num.cast("double"), den.cast("double"))
+        )
         .cast("bigint")
         .alias("gini_micros"),
     )
@@ -795,4 +920,268 @@ def cusum_changepoint(
         "x",
         F.col("cusum").cast("bigint").alias("cusum"),
         (F.col("cusum") > threshold).alias("alarm"),
+    )
+
+
+def spearman_rank_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two integer-valued columns —
+    Pearson over midranks, the tie-safe general form (the popular
+    1 - 6*sum(d^2)/... shortcut is only valid with no ties). Returns ONE
+    row: (n, sum_rx, sum_ry, sum_rxy, sum_rx2, sum_ry2 over DOUBLED
+    midranks as exact integers, plus spearman_micros).
+
+    The monotone-association screen of every feature-audit pass: unlike
+    Pearson on raw values it is invariant to monotone transforms and
+    insensitive to outliers, which is why profiling suites report it
+    next to linear_trend/theil_sen.
+
+    Exactness: midranks with ties are half-integers, so everything runs
+    on DOUBLED midranks (rank2 = 2*cum_before + cnt + 1, an exact
+    BIGINT per distinct value; correlation is scale-invariant so the
+    doubling cancels). The five moment sums use DECIMAL(38,0): doubled
+    ranks reach 2n, so sum(rank2^2) ~ 4n^3 exceeds int64 past n ~ 1.3e6
+    — decimal keeps the sums exact to n ~ 1e11 rows (DuckDB's HUGEINT
+    sums match). The final Pearson ratio is one closed-form float over
+    those exact integers, quantized to micros.
+
+    Scale shape: each column collapses to its DISTINCT-value frame for
+    the rank2 cumsum (bounded window), then joins back by value — two
+    shuffles on value domains, one six-sum aggregate; no global row
+    sort ever happens.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("__x"), F.col(y_col).cast("long").alias("__y")
+    )
+
+    def rank2_map(col: str) -> DataFrame:
+        per_v = base.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+        cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            "v",
+            (2 * F.coalesce(F.sum("c").over(cum), F.lit(0)) + F.col("c") + 1).alias(
+                "r2"
+            ),
+        )
+
+    rx = rank2_map("__x").withColumnsRenamed({"v": "__x", "r2": "__rx"})
+    ry = rank2_map("__y").withColumnsRenamed({"v": "__y", "r2": "__ry"})
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec(F.col("__rx"))).alias("sum_rx"),
+        F.sum(dec(F.col("__ry"))).alias("sum_ry"),
+        F.sum(dec(F.col("__rx") * F.col("__ry"))).alias("sum_rxy"),
+        F.sum(dec(F.col("__rx") * F.col("__rx"))).alias("sum_rx2"),
+        F.sum(dec(F.col("__ry") * F.col("__ry"))).alias("sum_ry2"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sum_rx").cast("double"), F.col("sum_ry").cast("double")
+    num = n * F.col("sum_rxy").cast("double") - sx * sy
+    den = F.sqrt(n * F.col("sum_rx2").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("sum_ry2").cast("double") - sy * sy
+    )
+    return s.select(
+        "n",
+        "sum_rx",
+        "sum_ry",
+        "sum_rxy",
+        "sum_rx2",
+        "sum_ry2",
+        # try_divide: a constant column has zero rank variance -> NULL
+        F.round(F.try_divide(F.lit(1_000_000.0) * num, den))
+        .cast("bigint")
+        .alias("spearman_micros"),
+    )
+
+
+def js_divergence(
+    df: DataFrame, bin_col: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Jensen-Shannon divergence between two populations of a binned
+    column — the bounded, symmetric drift measure (0 <= JSD <= ln 2)
+    that stays defined at zero cells WITHOUT smoothing, unlike PSI/KL:
+    JSD = (KL(p||m) + KL(q||m))/2 with m = (p+q)/2, and a cell empty on
+    one side contributes 0*ln0 = 0 on that side while m > 0 keeps the
+    other side's log finite. The cross-corpus-mixture divergence a data
+    pipeline reports when comparing source compositions.
+
+    Exactness: each per-bin log ratio p/m = 2*ca*nb / (ca*nb + cb*na)
+    is a ratio of exact BIGINTs, quantized once to micronat BIGINTs;
+    per-bin contributions sum as exact integers weighted by the integer
+    counts (reduction-order-immune), and the final JSD is two identical
+    divisions. Same shape as psi_drift: one map-side-combined collapse
+    to bin counts, then the bounded bin frame.
+    """
+    per_bin = df.groupBy(bin_col.alias("bin")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    tot = per_bin.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("nbins")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    # integer cross-products: p/m = 2*ca*nb / (ca*nb + cb*na), q/m likewise
+    mix = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    qa = F.round(F.log(2 * F.col("ca") * F.col("nb") / mix.cast("double")) * 1e6).cast(
+        "bigint"
+    )
+    qb = F.round(F.log(2 * F.col("cb") * F.col("na") / mix.cast("double")) * 1e6).cast(
+        "bigint"
+    )
+    terms = j.select(
+        "na",
+        "nb",
+        "nbins",
+        F.when(F.col("ca") > 0, F.col("ca") * qa).otherwise(F.lit(0)).alias("ta"),
+        F.when(F.col("cb") > 0, F.col("cb") * qb).otherwise(F.lit(0)).alias("tb"),
+    )
+    out = terms.groupBy("na", "nb", "nbins").agg(
+        F.sum("ta").alias("sa"), F.sum("tb").alias("sb")
+    )
+    jsd = (
+        F.col("sa") / F.col("na").cast("double")
+        + F.col("sb") / F.col("nb").cast("double")
+    ) / 2.0 / 1e6
+    return out.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("nbins").cast("long").alias("n_bins"),
+        F.col("sa").cast("long").alias("sum_term_a"),
+        F.col("sb").cast("long").alias("sum_term_b"),
+        jsd.alias("jsd_nats"),
+        (jsd > F.lit(0.1)).alias("major_shift"),
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    normalized chi-squared (0 = independent, 1 = perfectly associated)
+    that, unlike raw chi2, is comparable across tables of different
+    size and shape: V = sqrt(chi2 / (n * (min(r,c) - 1))). The
+    categorical companion to spearman_rank_corr in a feature audit.
+
+    Exactness: cell/row/column counts are exact integers from ONE
+    map-side-combinable collapse to the contingency cells; chi2 is
+    evaluated in cross-multiplied form, chi2 = sum_cells
+    (n*n_ij - r_i*c_j)^2 / (n * r_i * c_j), where every numerator is an
+    exact BIGINT and each cell contributes ONE correctly-rounded float
+    division — summed over the bounded |r|x|c| frame, then quantized.
+    Absent cells (n_ij = 0) still contribute r_i*c_j/n, accounted
+    exactly via the closed form chi2 = n * (sum_observed - 1) ... no:
+    absent cells are handled by summing n*n_ij^2/(r_i*c_j) over PRESENT
+    cells and using the identity chi2 = n * (that sum - 1), which needs
+    no dense cell enumeration.
+
+    Scale: |categories_a| x |categories_b| bounded frames end-to-end
+    after the first collapse; the row/col marginals broadcast back.
+    """
+    cells = df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b")).agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    rows = cells.groupBy("a").agg(F.sum("nij").alias("ri"))
+    cols = cells.groupBy("b").agg(F.sum("nij").alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "a")
+        .join(F.broadcast(cols), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # chi2 = n * (sum over present cells of nij^2/(ri*cj) - 1): the absent
+    # cells' expected mass is folded into the -1, so no dense enumeration
+    term = (F.col("nij") * F.col("nij")).cast("double") / (
+        F.col("ri") * F.col("cj")
+    ).cast("double")
+    out = j.groupBy("n", "r", "c").agg(F.sum(term).alias("s"))
+    chi2 = F.col("n").cast("double") * (F.col("s") - 1.0)
+    denom = (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1)).cast("double")
+    # explicit min(r,c)>1 gate: greatest() would swallow try_divide's NULL
+    # on a 1xK table (greatest ignores NULLs), turning "undefined" into 0
+    v = F.when(
+        F.least(F.col("r"), F.col("c")) > 1,
+        F.sqrt(F.greatest(chi2 / denom, F.lit(0.0))),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_rows_cat"),
+        F.col("c").cast("long").alias("n_cols_cat"),
+        F.round(chi2 * 1000).cast("bigint").alias("chi2_milli"),
+        # try_divide + clamp: a 1xK table has min(r,c)-1 = 0 -> NULL V
+        F.round(v * 1_000_000).cast("bigint").alias("cramers_v_micros"),
+    )
+
+
+def acf_hourly(
+    events: DataFrame,
+    ts_col: str,
+    value_cents_col: Column,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of an hourly-aggregated series at lags
+    1..max_lag — one row per lag with the standard biased estimator
+    r_k = sum_{t}((x_t - xbar)(x_{t+k} - xbar)) / sum((x_t - xbar)^2),
+    xbar the GLOBAL mean (the definition statsmodels/R use, which keeps
+    r_k <= 1 and the sequence positive-semidefinite). The
+    periodicity/burstiness probe run before picking seasonal windows or
+    anomaly thresholds.
+
+    Exactness: the raw table collapses to hourly integer sums first
+    (same contract as seasonal_decompose_hourly); lag pairs come from a
+    self-join on bucket+k over that bounded axis. The centered products
+    are computed in doubles from exact integer hourly sums and the
+    global integer (n, sum): a few-thousand-term float sum carries
+    ~1e-13 relative error, quantized at 1e-6. Gaps in the hour axis are
+    treated as missing buckets (pairs spanning a gap are simply absent
+    — consistent in both engines).
+
+    Scale: everything after the first map-side-combinable collapse runs
+    on the hourly axis (time cardinality); the lag self-join is a
+    broadcast of a bounded frame against itself.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.sum(value_cents_col).cast("bigint").alias("x"))
+    tot = hourly.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    lags = hourly.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = hourly.select(F.col("bucket").alias("t"), F.col("x").alias("xa"))
+    b = hourly.select(F.col("bucket").alias("t2"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("t2")
+            == F.col("t") + F.make_dt_interval(hours=F.col("lag").cast("double")),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    num = pairs.groupBy("lag", "n", "sx").agg(
+        F.sum((F.col("xa") - xbar) * (F.col("xb") - xbar)).alias("num"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    den = (
+        hourly.crossJoin(F.broadcast(tot))
+        .groupBy("n", "sx")
+        .agg(F.sum((F.col("x") - xbar) * (F.col("x") - xbar)).alias("den"))
+        .select("n", "den")
+    )
+    return (
+        num.join(F.broadcast(den), "n")
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_buckets"),
+            "n_pairs",
+            F.round(F.try_divide(F.lit(1_000_000.0) * F.col("num"), F.col("den")))
+            .cast("bigint")
+            .alias("acf_micros"),
+        )
+        .orderBy("lag")
     )

@@ -1022,6 +1022,11 @@ def token_f1_pairs(
     to micros. Scale: one scan explodes both sides; the clip join is a
     full-outer on pre-collapsed (pair, token) counts — full-outer so
     reference-only tokens still count toward recall's denominator.
+    "One row per pair" holds even when BOTH sides tokenize to zero
+    tokens: such pairs produce no (pid, tok) rows at all, so the result
+    is left-joined back onto the distinct pair-id set and they surface
+    as exact (0, 0, 0, 0) rows instead of silently disappearing from
+    downstream metadata joins.
     """
     sides = pairs.select(
         F.col(pair_col).alias("pid"),
@@ -1056,10 +1061,69 @@ def token_f1_pairs(
         F.col("n_overlap") > 0,
         F.round(F.lit(1_000_000.0) * (2.0 * p * r) / (p + r)),
     ).otherwise(F.lit(0))
-    return per_pair.select(
+    scored = per_pair.select(
         F.col("pair_id").cast("bigint").alias("pair_id"),
         "n_overlap",
         "cand_len",
         "ref_len",
         f1.cast("bigint").alias("f1_micros"),
+    )
+    # fully-empty pairs (no tokens on either side) vanish from the token
+    # relation — restore them as exact-zero rows so output is 1 row/pair
+    ids = pairs.select(F.col(pair_col).cast("bigint").alias("pair_id")).distinct()
+    return ids.join(scored, "pair_id", "left").select(
+        "pair_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("n_overlap", "cand_len", "ref_len", "f1_micros")
+        ],
+    )
+
+
+def hapax_ratio_by(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group hapax share: of each group's distinct token types, how
+    many are corpus-global hapax legomena (frequency exactly 1)? One row
+    per group: (group_key, n_tokens, n_types, n_hapax_types,
+    hapax_ppm = 1e6 * n_hapax_types / n_types). The vocabulary-novelty
+    probe that separates sources contributing fresh long-tail vocabulary
+    from sources re-treading the common head — read next to
+    corpus_zipf_fit and source_lang_diversity when weighing mixture
+    shares. (A corpus-global hapax necessarily lives in exactly one
+    group, so sum(n_hapax_types) over groups = global hapax count — a
+    cheap cross-check.)
+
+    Exactness: all counts are exact integers from grouped aggregation
+    on the whitespace-lowercase tokenization shared with text_top_terms.
+    Scale: ONE corpus scan explodes tokens into (group, token) cells
+    that collapse map-side; the global-frequency relation derives from
+    those same cells (no second scan) and joins back on the token
+    dictionary — the same corpus-read-once discipline as the PMI/BM25
+    stack.
+    """
+    cells = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    global_freq = cells.groupBy("tok").agg(F.sum("c").alias("cf"))
+    j = cells.join(global_freq, "tok")
+    out = j.groupBy(F.col("g").alias("group_key")).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((F.col("cf") == 1).cast("long")).cast("bigint").alias("n_hapax_types"),
+    )
+    return out.select(
+        "group_key",
+        "n_tokens",
+        "n_types",
+        "n_hapax_types",
+        F.expr("(n_hapax_types * 1000000) div n_types").alias("hapax_ppm"),
     )

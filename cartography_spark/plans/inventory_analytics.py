@@ -1228,3 +1228,375 @@ def q_events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "ks_drift_by_source",
+    oracle="""
+    WITH pv AS (
+      SELECT source AS g, n_chars AS v,
+             sum(CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN (doc_id // 20) % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM documents GROUP BY source, n_chars
+    ),
+    e AS (
+      SELECT g, v,
+             sum(ca) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM pv
+    ),
+    t AS (SELECT g, max(cum_a) AS n_a, max(cum_b) AS n_b FROM e GROUP BY g),
+    d AS (SELECT e.g, n_a, n_b, v, abs(n_b * cum_a - n_a * cum_b) AS dn
+          FROM e JOIN t ON t.g = e.g),
+    m AS (SELECT g, n_a, n_b, dn AS d_num, v AS ks_at_value,
+                 row_number() OVER (PARTITION BY g ORDER BY dn DESC, v ASC) AS rn
+          FROM d)
+    SELECT g AS group_key,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           d_num / (CAST(n_a AS DOUBLE) * n_b) AS ks_stat,
+           ks_at_value,
+           (d_num / (CAST(n_a AS DOUBLE) * n_b) >
+            1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))) AS reject_95
+    FROM m WHERE rn = 1
+    """,
+    doc="Stratified KS drift (operators/profiling.py:ks_two_sample_by): "
+    "the two-sample KS statistic computed PER SOURCE — document-length "
+    "distributions of the even- vs odd-doc_id snapshot halves — so a "
+    "drift gate localizes WHICH corpus source moved instead of one "
+    "washed-out global number (a shift confined to one source dilutes "
+    "below the global critical value; per-stratum tests catch it); the "
+    "snapshot halves split on (doc_id div 20) % 2 because plain parity "
+    "is degenerate per-source in this corpus. Same "
+    "integer-exact contract as ks_drift_two_sample; the ECDF window "
+    "partitions by source, so strata run in parallel rather than "
+    "serializing through the global form's single-partition window — at "
+    "100 TB this is the shape you want anyway.",
+    tags=("analytics", "drift", "scale"),
+)
+def q_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import ks_two_sample_by
+
+    d = T(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    # snapshot split on (doc_id div 20) % 2: plain parity is perfectly
+    # correlated with source in the synthetic corpus (source cycles with
+    # doc_id), which would leave one half empty in every stratum
+    half = F.expr("(doc_id div 20) % 2")
+    return ks_two_sample_by(
+        d, F.col("source"), F.col("n_chars"), half == 0, half == 1
+    )
+
+
+@query(
+    "psi_drift_by_lang",
+    oracle="""
+    WITH pb AS (
+      SELECT lang AS g, CAST(trunc(n_chars / 100) AS INTEGER) AS bin,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM documents GROUP BY lang, bin
+    ),
+    t AS (SELECT g, sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins
+          FROM pb GROUP BY g),
+    j AS (SELECT pb.*, t.na, t.nb, t.nbins,
+                 t.na + t.nbins AS na_s, t.nb + t.nbins AS nb_s
+          FROM pb JOIN t ON t.g = pb.g),
+    terms AS (
+      SELECT g, na, nb, nbins, na_s, nb_s,
+             ((ca + 1) * nb_s - (cb + 1) * na_s)
+               * CAST(round(ln(CAST((ca + 1) * nb_s AS DOUBLE)
+                                / ((cb + 1) * na_s)) * 1000) AS BIGINT) AS term
+      FROM j
+    )
+    SELECT g AS group_key,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(nbins AS BIGINT) AS n_bins,
+           sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 AS psi,
+           (sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 > 0.2) AS major_shift
+    FROM terms GROUP BY g, na, nb, nbins, na_s, nb_s
+    """,
+    doc="Stratified PSI (operators/profiling.py:psi_drift_by): the "
+    "Population Stability Index computed PER LANGUAGE over 100-char "
+    "length bins of the even- vs odd-doc_id snapshot halves — the "
+    "per-stratum companion to ks_drift_by_source for binned scores, and "
+    "the standard per-segment drift report an ML platform emits before "
+    "retraining (PSI > 0.2 per segment = that segment shifted). Add-1 "
+    "smoothing runs over each language's OWN observed bin set; per-bin "
+    "terms are exact cross-multiplied BIGINTs; everything collapses "
+    "map-side to |langs| x |bins| cells.",
+    tags=("analytics", "drift", "scale"),
+)
+def q_psi_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import psi_drift_by
+
+    d = T(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    return psi_drift_by(
+        d,
+        F.col("lang"),
+        F.floor(F.col("n_chars") / 100).cast("int"),
+        F.col("doc_id") % 2 == 0,
+        F.col("doc_id") % 2 == 1,
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    pvx AS (SELECT x AS v, count(*) AS c FROM base GROUP BY x),
+    rx AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+           FROM pvx),
+    pvy AS (SELECT y AS v, count(*) AS c FROM base GROUP BY y),
+    ry AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+           FROM pvy),
+    ranked AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM base JOIN rx ON rx.v = base.x JOIN ry ON ry.v = base.y
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(a::HUGEINT) AS srx, sum(b::HUGEINT) AS sry,
+             sum(a::HUGEINT * b) AS srxy,
+             sum(a::HUGEINT * a) AS srx2, sum(b::HUGEINT * b) AS sry2
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(srx AS VARCHAR) AS sum_rx, CAST(sry AS VARCHAR) AS sum_ry,
+           CAST(srxy AS VARCHAR) AS sum_rxy,
+           CAST(srx2 AS VARCHAR) AS sum_rx2, CAST(sry2 AS VARCHAR) AS sum_ry2,
+           CAST(round(1000000.0
+                * (CAST(n AS DOUBLE) * CAST(srxy AS DOUBLE)
+                   - CAST(srx AS DOUBLE) * CAST(sry AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(srx2 AS DOUBLE)
+                        - CAST(srx AS DOUBLE) * CAST(srx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(sry2 AS DOUBLE)
+                          - CAST(sry AS DOUBLE) * CAST(sry AS DOUBLE))))
+                AS BIGINT) AS spearman_micros
+    FROM s
+    """,
+    doc="Spearman rank correlation between order quantity and extended "
+    "price cents (operators/profiling.py:spearman_rank_corr) — Pearson "
+    "over tie-safe DOUBLED midranks (exact integers; the 1-6*sum(d^2) "
+    "shortcut is wrong under ties), the monotone-association screen a "
+    "feature audit reports beside linear_trend/theil_sen. Moment sums "
+    "are DECIMAL(38,0) in Spark / HUGEINT in DuckDB because "
+    "sum(rank2^2) ~ 4n^3 exceeds int64 past n ~ 1.3e6 rows; they cross "
+    "the compare boundary as exact digit STRINGS (both engines render "
+    "38-digit integers as floats in pandas). Each column collapses to "
+    "its distinct-value frame for the rank cumsum, then joins back — "
+    "no global row sort.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import spearman_rank_corr
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    out = spearman_rank_corr(li, "x", "y")
+    return out.select(
+        "n",
+        *[
+            F.col(c).cast("string").alias(c)
+            for c in ("sum_rx", "sum_ry", "sum_rxy", "sum_rx2", "sum_ry2")
+        ],
+        "spearman_micros",
+    )
+
+
+@query(
+    "drift_js_divergence",
+    oracle="""
+    WITH pb AS (
+      SELECT CAST(trunc(o_totalprice / 20000) AS INTEGER) AS bin,
+             sum(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END) AS cb
+      FROM orders GROUP BY bin
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM pb),
+    j AS (SELECT pb.*, t.na, t.nb, t.nbins FROM pb CROSS JOIN t),
+    terms AS (
+      SELECT na, nb, nbins,
+             CASE WHEN ca > 0 THEN ca * CAST(round(ln(2.0 * ca * nb
+                    / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS ta,
+             CASE WHEN cb > 0 THEN cb * CAST(round(ln(2.0 * cb * na
+                    / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS tb
+      FROM j
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(nbins AS BIGINT) AS n_bins,
+           CAST(sum(ta) AS BIGINT) AS sum_term_a,
+           CAST(sum(tb) AS BIGINT) AS sum_term_b,
+           (sum(ta) / CAST(na AS DOUBLE) + sum(tb) / CAST(nb AS DOUBLE))
+             / 2.0 / 1000000.0 AS jsd_nats,
+           ((sum(ta) / CAST(na AS DOUBLE) + sum(tb) / CAST(nb AS DOUBLE))
+             / 2.0 / 1000000.0 > 0.1) AS major_shift
+    FROM terms GROUP BY na, nb, nbins
+    """,
+    doc="Jensen-Shannon divergence between early (<=1997) and late "
+    "(>=1998) order-price distributions in 20k bins "
+    "(operators/profiling.py:js_divergence) — the bounded symmetric "
+    "companion to psi_drift_binned that needs NO smoothing: a cell "
+    "empty on one side contributes 0*ln0 = 0 while the mixture keeps "
+    "the other side finite, so sparse long-tail bins don't need the "
+    "add-1 distortion PSI accepts. Per-bin log ratios are ratios of "
+    "exact integer cross-products quantized to micronats; count-"
+    "weighted terms sum as exact BIGINTs; two identical final "
+    "divisions.",
+    tags=("analytics", "drift", "scale"),
+)
+def q_drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import js_divergence
+
+    o = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    return js_divergence(
+        o,
+        F.floor(F.col("o_totalprice") / 20000).cast("int"),
+        F.year("o_orderdate") <= 1997,
+        F.year("o_orderdate") >= 1998,
+    )
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS nij
+      FROM orders GROUP BY a, b
+    ),
+    rows_m AS (SELECT a, sum(nij) AS ri FROM cells GROUP BY a),
+    cols_m AS (SELECT b, sum(nij) AS cj FROM cells GROUP BY b),
+    t AS (SELECT sum(nij) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+          FROM cells),
+    s AS (
+      SELECT t.n, t.r, t.c,
+             sum(CAST(cells.nij * cells.nij AS DOUBLE)
+                 / CAST(rows_m.ri * cols_m.cj AS DOUBLE)) AS sm
+      FROM cells JOIN rows_m USING (a) JOIN cols_m USING (b) CROSS JOIN t
+      GROUP BY t.n, t.r, t.c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS n_rows_cat,
+           CAST(c AS BIGINT) AS n_cols_cat,
+           CAST(round(CAST(n AS DOUBLE) * (sm - 1.0) * 1000) AS BIGINT) AS chi2_milli,
+           CAST(round(sqrt(greatest(CAST(n AS DOUBLE) * (sm - 1.0)
+                / (CAST(n AS DOUBLE) * (least(r, c) - 1)), 0.0)) * 1000000)
+                AS BIGINT) AS cramers_v_micros
+    FROM s
+    """,
+    doc="Cramér's V association between order priority and order status "
+    "(operators/profiling.py:cramers_v) — normalized chi-squared on the "
+    "contingency table, the categorical companion to "
+    "stats_spearman_corr in a feature audit (comparable across tables "
+    "of any shape, unlike raw chi2). Uses the sparse identity chi2 = "
+    "n*(sum over PRESENT cells of nij^2/(ri*cj) - 1), so absent cells "
+    "never enumerate; all counts are exact integers from one map-side "
+    "collapse and each present cell contributes one correctly-rounded "
+    "float division over the bounded |r|x|c| frame.",
+    tags=("analytics", "stats"),
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import cramers_v
+
+    o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "timeseries_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY bucket
+    ),
+    t AS (SELECT count(*) AS n, sum(x) AS sx FROM hourly),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    pairs AS (
+      SELECT l.lag, t.n, t.sx, a.x AS xa, b.x AS xb
+      FROM hourly a CROSS JOIN lags l
+      JOIN hourly b ON b.bucket = a.bucket + to_hours(l.lag)
+      CROSS JOIN t
+    ),
+    num AS (
+      SELECT lag, n, sx,
+             sum((xa - CAST(sx AS DOUBLE) / n) * (xb - CAST(sx AS DOUBLE) / n)) AS num,
+             count(*) AS n_pairs
+      FROM pairs GROUP BY lag, n, sx
+    ),
+    den AS (
+      SELECT t.n,
+             sum((x - CAST(t.sx AS DOUBLE) / t.n)
+                 * (x - CAST(t.sx AS DOUBLE) / t.n)) AS den
+      FROM hourly CROSS JOIN t GROUP BY t.n
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(num.n AS BIGINT) AS n_buckets,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(round(1000000.0 * num / den) AS BIGINT) AS acf_micros
+    FROM num JOIN den ON den.n = num.n
+    """,
+    doc="Autocorrelation of the hourly event-value series at lags 1..6 "
+    "(operators/profiling.py:acf_hourly) — the standard biased "
+    "estimator with the GLOBAL mean (statsmodels/R convention; keeps "
+    "r_k <= 1), the periodicity probe run before choosing seasonal "
+    "windows or anomaly thresholds. The raw table collapses once to "
+    "hourly integer sums (time cardinality); lag pairs come from a "
+    "self-join on bucket+k over that bounded axis; centered products "
+    "are few-thousand-term float sums (~1e-13 relative) quantized at "
+    "1e-6.",
+    tags=("analytics", "timeseries", "scale"),
+)
+def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import acf_hourly
+
+    ev = T(spark, sf_dir, "events")
+    return acf_hourly(ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=6)
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH cells AS (
+      SELECT source AS g, tok, count(*) AS c FROM (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY source, tok
+    ),
+    gf AS (SELECT tok, sum(c) AS cf FROM cells GROUP BY tok)
+    SELECT g AS group_key,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax_types,
+           CAST((sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM cells JOIN gf USING (tok)
+    GROUP BY g
+    """,
+    doc="Per-source hapax share (operators/textstats.py:hapax_ratio_by): "
+    "of each source's distinct token types, the fraction that are "
+    "corpus-GLOBAL hapax legomena — the vocabulary-novelty probe that "
+    "separates sources contributing fresh long-tail vocabulary from "
+    "sources re-treading the common head, read beside corpus_zipf_fit "
+    "and source_lang_diversity when weighing mixture shares. One "
+    "corpus scan to (source, token) cells; the global-frequency "
+    "dictionary derives from those cells (no second scan) and joins "
+    "back on the token dictionary.",
+    tags=("analytics", "text", "llm"),
+)
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.textstats import hapax_ratio_by
+
+    return hapax_ratio_by(T(spark, sf_dir, "documents"), "source", "text")

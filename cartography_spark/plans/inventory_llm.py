@@ -4056,18 +4056,18 @@ def q_similarity_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON c.pid = r.pid AND c.tok = r.tok
       GROUP BY coalesce(c.pid, r.pid)
     )
-    SELECT CAST(pid AS BIGINT) AS pair_id,
-           CAST(clip AS BIGINT) AS n_overlap,
-           CAST(cand_len AS BIGINT) AS cand_len,
-           CAST(ref_len AS BIGINT) AS ref_len,
-           CAST(CASE WHEN clip = 0 THEN 0
+    SELECT CAST(p.pid AS BIGINT) AS pair_id,
+           CAST(coalesce(clip, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(cand_len, 0) AS BIGINT) AS cand_len,
+           CAST(coalesce(ref_len, 0) AS BIGINT) AS ref_len,
+           CAST(CASE WHEN coalesce(clip, 0) = 0 THEN 0
                      ELSE round(1000000.0 * (2.0
                            * (CAST(clip AS DOUBLE) / CAST(cand_len AS DOUBLE))
                            * (CAST(clip AS DOUBLE) / CAST(ref_len AS DOUBLE)))
                           / ((CAST(clip AS DOUBLE) / CAST(cand_len AS DOUBLE))
                              + (CAST(clip AS DOUBLE) / CAST(ref_len AS DOUBLE))))
                 END AS BIGINT) AS f1_micros
-    FROM clipped
+    FROM (SELECT DISTINCT pid FROM pairs) p LEFT JOIN clipped USING (pid)
     """,
     doc="Per-pair token-level F1 (the SQuAD/QA-eval answer-overlap "
     "metric) over the same deterministic doc pairing as BLEU/chrF "
@@ -4089,35 +4089,16 @@ def q_eval_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_provenance",
-    oracle="""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id, lang,
-             unnest(list_distinct([substring(lower(text), i, 3)
-                    FOR i IN generate_series(1, greatest(length(text)-2, 0))])) AS shingle
-      FROM documents
+    oracle=f"""
+    {_MINHASH_COLLAPSED_CTES},
+    assign AS (SELECT grp.doc_id, cl.cluster FROM grp JOIN cl ON grp.rep = cl.v),
+    src AS (
+      SELECT a.cluster, d.source
+      FROM assign a JOIN documents d
+        ON d.doc_id = CASE WHEN a.doc_id >= 1000000 THEN a.doc_id - 1000000
+                           ELSE a.doc_id END
     ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    p AS (
-      SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
-    ),
-    und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-    r AS (
-      SELECT doc_id AS v, doc_id AS lbl, 0 AS hops FROM documents
-      UNION
-      SELECT r.v, und.dst, r.hops + 1 FROM r JOIN und ON r.lbl = und.src WHERE r.hops < 6
-    ),
-    assign AS (SELECT v AS doc_id, min(lbl) AS cluster FROM r GROUP BY v),
-    cells AS (
-      SELECT a.cluster, d.source, count(*) AS n
-      FROM assign a JOIN documents d ON a.doc_id = d.doc_id
-      GROUP BY a.cluster, d.source
-    ),
+    cells AS (SELECT cluster, source, count(*) AS n FROM src GROUP BY cluster, source),
     per_cluster AS (
       SELECT cluster, sum(n) AS sz, count(*) AS n_sources, max(n) AS maj
       FROM cells GROUP BY cluster
@@ -4132,34 +4113,38 @@ def q_eval_token_f1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((sum(maj) * 1000000) // sum(sz) AS BIGINT) AS source_purity_ppm
     FROM multi
     """,
-    doc="Provenance audit of the near-dup collapse: the Jaccard>=0.5 "
-    "min-label clusters of dedup_clusters, scored for how well "
-    "duplication respects SOURCE boundaries — over multi-document "
+    doc="Provenance audit of the near-dup collapse, wired to the 100 TB "
+    "path (round-6 verdict item 2): cluster assignments come from "
+    "minhash_cluster_collapsed — exact-collapse on md5(text) BEFORE any "
+    "pair generation, LSH among unique texts only, bucket-bipartite "
+    "min-label clustering, O(N) (doc, cluster) output — never the raw "
+    "quadratic pair list the previous wiring used (a measured sf1 run "
+    "of that contract was killed after 45+ min; this one is linear in "
+    "the duplication factor). The audit itself: over multi-document "
     "clusters only (singletons are trivially pure), report how many "
-    "families span 2+ sources and the majority-source fraction of "
-    "their docs (exact integer ppm). The number a pipeline acts on "
-    "when deciding intra- vs cross-source dedup policy: cross-source "
-    "near-dup families are syndicated/boilerplate content whose "
-    "provenance-weighted sampling would otherwise double-count. "
-    "Reuses the exact pair+cluster machinery (no new pair space); the "
-    "rollup is two map-side-combinable aggregates over "
-    "|clusters| x |sources| cells plus a 1-row cluster-count attach. "
-    "Scale contract: inherits the RAW pair-list cost (quadratic under "
-    "exact-dup replication BY CONTRACT, like the SECONDARY bench "
-    "queries); at 100 TB feed it the collapsed cluster relation "
-    "(dedup_minhash_collapsed) instead — the source rollup is linear "
-    "either way.",
-    tags=("llm", "dedup", "eval"),
+    "near-dup families span 2+ sources and the majority-source "
+    "fraction of their docs (exact integer ppm) — the number a "
+    "pipeline acts on when deciding intra- vs cross-source dedup "
+    "policy, since cross-source families are syndicated/boilerplate "
+    "content that provenance-weighted sampling would double-count. "
+    "Injected exact copies (doc_id+1000000) inherit their original's "
+    "source through the id-mapping join, exercising the collapse path "
+    "end-to-end. The rollup is two map-side-combinable aggregates over "
+    "|clusters| x |sources| cells plus a 1-row cluster-count attach.",
+    tags=("llm", "dedup", "eval", "scale"),
 )
 def q_dedup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=("lang",))
-    assign = dd.cluster_min_label(pairs, docs, max_iter=6).select("doc_id", "cluster")
-    cells = (
-        assign.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("cluster", "source")
-        .agg(F.count("*").alias("n"))
+    docs = _docs_with_dupes(spark, sf_dir)
+    assign = dd.minhash_cluster_collapsed(
+        docs, num_perm=32, n=3, bands=4, max_iter=6
+    ).select("doc_id", "cluster")
+    base_id = F.when(
+        F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000
+    ).otherwise(F.col("doc_id"))
+    src = assign.withColumn("doc_id", base_id).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
     )
+    cells = src.groupBy("cluster", "source").agg(F.count("*").alias("n"))
     per_cluster = cells.groupBy("cluster").agg(
         F.sum("n").alias("sz"), F.count("*").alias("n_sources"), F.max("n").alias("maj")
     )
@@ -4168,7 +4153,9 @@ def q_dedup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         multi.agg(
             F.count("*").cast("bigint").alias("n_multi_clusters"),
-            F.sum((F.col("n_sources") >= 2).cast("long")).cast("bigint").alias("n_cross_source_clusters"),
+            F.sum((F.col("n_sources") >= 2).cast("long"))
+            .cast("bigint")
+            .alias("n_cross_source_clusters"),
             F.sum("sz").cast("bigint").alias("n_multi_docs"),
             F.sum("maj").cast("bigint").alias("n_majority_source_docs"),
         )

@@ -1396,3 +1396,209 @@ def q_job_ip_label_migration_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={})
     return job.run(cat, params={})[-1]  # second run proves idempotency
+
+
+# ---------------------------------------------------------------------------
+# Deprecated-feed retirement (cve_deprecated_feed_cleanup corpus shape)
+# ---------------------------------------------------------------------------
+
+_FEED_RETIREMENT_JOB_JSON = """
+{
+  "name": "CVE deprecated feed cleanup",
+  "short_name": "cve_feed_retirement",
+  "statements": [
+    {"query": "SELECT n.id, n.firstseen, n.lastupdated FROM n_CVE n WHERE n.module_name = 'cartography:cve' AND NOT EXISTS (SELECT 1 FROM n_CVEEnriched x WHERE x.id = n.id) AND NOT EXISTS (SELECT 1 FROM e_CVE__AFFECTS__Supplier e WHERE e.src_id = n.id)",
+     "writes": "CVERetire"},
+    {"query": "SELECT e.* FROM e_CVE__RESOURCE__Region e LEFT ANTI JOIN n_CVERetire r ON r.id = e.src_id",
+     "writes": "CVE,RESOURCE,Region"},
+    {"query": "SELECT e.* FROM e_CVE__ENRICHES__Nation e LEFT ANTI JOIN n_CVERetire r ON r.id = e.src_id",
+     "writes": "CVE,ENRICHES,Nation"},
+    {"query": "SELECT n.* FROM n_CVE n LEFT ANTI JOIN n_CVERetire r ON r.id = n.id",
+     "writes": "CVE"},
+    {"query": "SELECT n.id, n.module_name, x.id IS NOT NULL AS has_extra_label, a.src_id IS NOT NULL AS has_affects, re.src_id IS NOT NULL AS has_resource, en.src_id IS NOT NULL AS has_enriches FROM n_CVE n LEFT JOIN n_CVEEnriched x ON x.id = n.id LEFT JOIN (SELECT DISTINCT src_id FROM e_CVE__AFFECTS__Supplier) a ON a.src_id = n.id LEFT JOIN (SELECT DISTINCT src_id FROM e_CVE__RESOURCE__Region) re ON re.src_id = n.id LEFT JOIN (SELECT DISTINCT src_id FROM e_CVE__ENRICHES__Nation) en ON en.src_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_feed_retirement_cleanup",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS k, CAST(c_custkey AS VARCHAR) AS id,
+             CASE WHEN c_custkey % 3 = 1 THEN 'cartography:cve_v2'
+                  ELSE 'cartography:cve' END AS module_name,
+             (c_custkey % 5 = 0) AS has_extra_label,
+             (c_custkey % 7 = 0) AS has_affects,
+             (c_custkey % 4 = 0) AS has_enriches
+      FROM customer
+    )
+    SELECT id, module_name, has_extra_label, has_affects,
+           TRUE AS has_resource, has_enriches
+    FROM p
+    WHERE NOT (module_name = 'cartography:cve'
+               AND NOT has_extra_label AND NOT has_affects)
+    """,
+    doc="Deprecated-feed retirement job (data/jobs/analysis/"
+    "cve_deprecated_feed_cleanup.json): delete plain :CVE nodes written "
+    "by the retired cartography:cve module, but ONLY those that (a) "
+    "carry no additional label — Cypher's labels(c) = ['CVE'] exact-"
+    "label-set guard compiles to NOT EXISTS against the extra-label "
+    "table — (b) match the module provenance property, and (c) have no "
+    "edges of any type outside the RESOURCE/ENRICHES housekeeping "
+    "allowlist (the OPTIONAL MATCH ... DELETE r then cascades exactly "
+    "those allowed edges before the node dies). The retire set is "
+    "materialized ONCE as a temp label table and every delete anti-"
+    "joins it, so the three-way guard is evaluated once — the set-based "
+    "analogue of the reference's LIMIT-chunked WITH c pipeline. "
+    "Pre-state (customer-keyed): module v2 on k%3=1, extra label on "
+    "k%5=0, AFFECTS edges (non-housekeeping, must protect) on k%7=0, "
+    "ENRICHES on k%4=0, RESOURCE everywhere. End-state: only triple-"
+    "guard nodes die and take their housekeeping edges with them; "
+    "every survivor keeps all its edges — the read hashes (module, "
+    "extra-label, affects, resource, enriches) flags per survivor so "
+    "deleting the wrong slice or dropping a survivor's edges breaks "
+    "the oracle. Runs TWICE: the second retire set is empty, proving "
+    "idempotency.",
+    tags=("engine", "job"),
+)
+def q_job_feed_retirement_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    cust = cat.node("Customer")
+    k = F.col("id").cast("long")
+    cve = cust.select(
+        "id",
+        F.when(k % 3 == 1, F.lit("cartography:cve_v2"))
+        .otherwise(F.lit("cartography:cve"))
+        .alias("module_name"),
+        "firstseen",
+        "lastupdated",
+    )
+    cat.set_node("CVE", cve)
+    cat.set_node(
+        "CVEEnriched", cve.filter(k % 5 == 0).select("id", "firstseen", "lastupdated")
+    )
+    cat.set_edge(
+        ("CVE", "RESOURCE", "Region"),
+        cve.select(
+            F.col("id").alias("src_id"),
+            (k % 5).cast("string").alias("dst_id"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    cat.set_edge(
+        ("CVE", "ENRICHES", "Nation"),
+        cve.filter(k % 4 == 0).select(
+            F.col("id").alias("src_id"),
+            (k % 25).cast("string").alias("dst_id"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    cat.set_edge(
+        ("CVE", "AFFECTS", "Supplier"),
+        cve.filter(k % 7 == 0).select(
+            F.col("id").alias("src_id"),
+            (k % 100).cast("string").alias("dst_id"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    job = GraphJob.from_json(_FEED_RETIREMENT_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # second retire set is empty
+
+
+# ---------------------------------------------------------------------------
+# Shared-ontology-label scoped strip (gcp_cloudrun/vercel label migration shape)
+# ---------------------------------------------------------------------------
+
+_LABEL_STRIP_JOB_JSON = """
+{
+  "name": "GCP Cloud Run ontology label migration",
+  "short_name": "cloudrun_label_strip",
+  "statements": [
+    {"query": "SELECT c.* FROM n_Container c LEFT ANTI JOIN n_CloudRunRevision r ON r.id = c.id",
+     "writes": "Container"},
+    {"query": "SELECT c.* FROM n_Container c LEFT ANTI JOIN n_CloudRunJob j ON j.id = c.id",
+     "writes": "Container"},
+    {"query": "SELECT f.* FROM n_Function f LEFT ANTI JOIN n_CloudRunJob j ON j.id = f.id",
+     "writes": "Function"},
+    {"query": "SELECT f.* FROM n_Function f LEFT ANTI JOIN n_CloudRunService s ON s.id = f.id",
+     "writes": "Function"},
+    {"query": "SELECT i.id, i.kind, c.id IS NOT NULL AS has_container, f.id IS NOT NULL AS has_function FROM (SELECT id, 'revision' AS kind FROM n_CloudRunRevision UNION ALL SELECT id, 'job' AS kind FROM n_CloudRunJob UNION ALL SELECT id, 'service' AS kind FROM n_CloudRunService UNION ALL SELECT id, 'other' AS kind FROM n_OtherOntology) i LEFT JOIN n_Container c ON c.id = i.id LEFT JOIN n_Function f ON f.id = i.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_ontology_label_strip",
+    oracle="""
+    WITH s AS (SELECT s_suppkey AS k FROM supplier)
+    SELECT CAST(k AS VARCHAR) AS id,
+           CASE k % 3 WHEN 0 THEN 'revision' WHEN 1 THEN 'job'
+                      ELSE 'service' END AS kind,
+           FALSE AS has_container, FALSE AS has_function
+    FROM s
+    UNION ALL
+    SELECT 'cc' || CAST(k AS VARCHAR), 'other', TRUE, FALSE FROM s WHERE k % 10 = 0
+    UNION ALL
+    SELECT 'fn' || CAST(k AS VARCHAR), 'other', FALSE, TRUE FROM s WHERE k % 9 = 0
+    """,
+    doc="Shared-ontology-label scoped strip (data/jobs/analysis/"
+    "gcp_cloudrun_label_migration.json; same REMOVE-label shape as "
+    "vercel_label_migration.json): ontology labels like :Container and "
+    ":Function are SHARED tables spanning many node kinds, and the "
+    "migration strips them from three specific kinds in place — "
+    "Cypher's 'MATCH (n:GCPCloudRunRevision:Container) REMOVE "
+    "n:Container' compiles to one anti-join rewrite of the shared "
+    "label table per (label, kind) pair; the reference's two-label "
+    "statement (REMOVE n:Container, n:Function) becomes one write per "
+    "table, and nodes stay in their PRIMARY kind table throughout (a "
+    "strip is not a delete — distinct from both job_label_swap_"
+    "migration, which exchanges two labels, and job_guarded_relabel_"
+    "migration, which moves rows one-way). Pre-state (supplier-keyed, "
+    "kinds by k%3): :Container on every revision+job plus unrelated "
+    "container children cc* (k%10=0); :Function on every job+service "
+    "plus unrelated functions fn* (k%9=0). End-state: all three kinds "
+    "carry NEITHER ontology label while the unrelated cc*/fn* holders "
+    "keep theirs — the read hashes (id, kind, has_container, "
+    "has_function) across every node, so over-stripping the shared "
+    "table is as fatal as under-stripping. Runs TWICE (REMOVE on a "
+    "missing label is a no-op, exactly the json's stated idempotency).",
+    tags=("engine", "job"),
+)
+def q_job_ontology_label_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    sup = cat.node("Supplier").select("id", "firstseen", "lastupdated")
+    k = F.col("id").cast("long")
+    rev = sup.filter(k % 3 == 0)
+    jobs = sup.filter(k % 3 == 1)
+    svc = sup.filter(k % 3 == 2)
+    cc = sup.filter(k % 10 == 0).select(
+        F.concat(F.lit("cc"), F.col("id")).alias("id"), "firstseen", "lastupdated"
+    )
+    fn = sup.filter(k % 9 == 0).select(
+        F.concat(F.lit("fn"), F.col("id")).alias("id"), "firstseen", "lastupdated"
+    )
+    cat.set_node("CloudRunRevision", rev)
+    cat.set_node("CloudRunJob", jobs)
+    cat.set_node("CloudRunService", svc)
+    cat.set_node("OtherOntology", cc.unionByName(fn))
+    cat.set_node("Container", rev.unionByName(jobs).unionByName(cc))
+    cat.set_node("Function", jobs.unionByName(svc).unionByName(fn))
+    job = GraphJob.from_json(_LABEL_STRIP_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={})
+    return job.run(cat, params={})[-1]  # REMOVE on a missing label is a no-op

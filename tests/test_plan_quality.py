@@ -122,6 +122,9 @@ _SCALAR_ATTACH = {
     "retrieval_rbo_rankings",       # x broadcast(8-row anchor frame — same constant contract as matryoshka)
     "similarity_int8_distortion",   # x broadcast(1-row min/max arrays — same attach as int8_scan)
     "dedup_cluster_provenance",     # x broadcast(1-row cluster-count total)
+    "drift_js_divergence",          # x broadcast(1-row population totals)
+    "stats_cramers_v",              # x broadcast(1-row n/r/c totals)
+    "timeseries_acf",               # x broadcast(6-row lag frame + 1-row n/sum totals)
 }
 
 

@@ -1,0 +1,171 @@
+"""Round-7 stats/eval operators verified against hand-computed expected
+values on small frames, independent of the DuckDB oracle gate: stratified
+KS/PSI, Spearman (tie-safe midranks), Jensen-Shannon divergence, Cramér's V,
+hourly ACF, and the per-source hapax share.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_ks_by_group_localizes_shift(spark):
+    from cartography_spark.operators.profiling import ks_two_sample_by
+
+    # g1: identical halves -> D = 0; g2: disjoint supports -> D = 1
+    rows = (
+        [("g1", v, s) for s in ("a", "b") for v in (1, 2, 3, 4)]
+        + [("g2", v, "a") for v in (1, 2)]
+        + [("g2", v, "b") for v in (10, 20)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long, side string")
+    out = {
+        r.group_key: r
+        for r in ks_two_sample_by(
+            df, F.col("g"), F.col("v"), F.col("side") == "a", F.col("side") == "b"
+        ).collect()
+    }
+    assert out["g1"].d_num == 0 and out["g1"].ks_stat == 0.0
+    assert out["g2"].ks_stat == 1.0 and out["g2"].ks_at_value == 2
+
+
+def test_psi_by_group_matches_global_on_single_group(spark):
+    from cartography_spark.operators.profiling import psi_drift, psi_drift_by
+
+    rows = [("only", v % 3, v % 2) for v in range(40)]
+    df = spark.createDataFrame(rows, "g string, bin int, half int")
+    glob = psi_drift(
+        df, F.col("bin"), F.col("half") == 0, F.col("half") == 1
+    ).head()
+    strat = psi_drift_by(
+        df, F.col("g"), F.col("bin"), F.col("half") == 0, F.col("half") == 1
+    ).head()
+    assert strat.group_key == "only"
+    assert (strat.n_a, strat.n_b, strat.n_bins) == (glob.n_a, glob.n_b, glob.n_bins)
+    assert strat.psi == glob.psi
+
+
+def test_spearman_hand_computed(spark):
+    from cartography_spark.operators.profiling import spearman_rank_corr
+
+    # ranks x = (1,2,3), y = (3,1,2) -> Pearson = -0.5
+    df = spark.createDataFrame([(1, 3), (2, 1), (3, 2)], "x long, y long")
+    out = spearman_rank_corr(df, "x", "y").head()
+    assert out.spearman_micros == -500_000
+    # perfect monotone with ties on both sides -> exactly 1
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], "x long, y long"
+    )
+    assert spearman_rank_corr(df2, "x", "y").head().spearman_micros == 1_000_000
+    # doubled midranks: value 2 has cum_before=1, cnt=2 -> rank2 = 2*1+2+1 = 5
+    assert out.n == 3
+
+
+def test_spearman_constant_column_yields_null(spark):
+    from cartography_spark.operators.profiling import spearman_rank_corr
+
+    df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
+    assert spearman_rank_corr(df, "x", "y").head().spearman_micros is None
+
+
+def test_jsd_identical_and_disjoint(spark):
+    from cartography_spark.operators.profiling import js_divergence
+
+    same = spark.createDataFrame(
+        [(b, s) for b in (0, 1) for s in ("a", "b") for _ in range(5)],
+        "bin int, side string",
+    )
+    out = js_divergence(
+        same, F.col("bin"), F.col("side") == "a", F.col("side") == "b"
+    ).head()
+    assert out.jsd_nats == 0.0 and bool(out.major_shift) is False
+    disjoint = spark.createDataFrame(
+        [(0, "a")] * 4 + [(1, "b")] * 4, "bin int, side string"
+    )
+    out2 = js_divergence(
+        disjoint, F.col("bin"), F.col("side") == "a", F.col("side") == "b"
+    ).head()
+    assert abs(out2.jsd_nats - math.log(2)) < 1e-6
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from cartography_spark.operators.profiling import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a1", "b1")] * 10 + [("a2", "b2")] * 10, "a string, b string"
+    )
+    out = cramers_v(perfect, "a", "b").head()
+    assert out.cramers_v_micros == 1_000_000
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("a1", "a2") for b in ("b1", "b2") for _ in range(5)],
+        "a string, b string",
+    )
+    out2 = cramers_v(indep, "a", "b").head()
+    assert out2.chi2_milli == 0 and out2.cramers_v_micros == 0
+
+
+def test_cramers_v_degenerate_single_row_category(spark):
+    from cartography_spark.operators.profiling import cramers_v
+
+    # 1xK table: min(r,c)-1 = 0 -> NULL V, not a divide-by-zero error
+    df = spark.createDataFrame(
+        [("only", b) for b in ("b1", "b2", "b3")], "a string, b string"
+    )
+    assert cramers_v(df, "a", "b").head().cramers_v_micros is None
+
+
+def test_acf_alternating_series(spark):
+    from cartography_spark.operators.profiling import acf_hourly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (t0 + datetime.timedelta(hours=h), 1.0 if h % 2 == 0 else -1.0)
+        for h in range(8)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {
+        r.lag: r
+        for r in acf_hourly(
+            ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=2
+        ).collect()
+    }
+    # x = (+100,-100)*4, mean 0: r1 = -7/8, r2 = +6/8; pair counts 7 and 6
+    assert out[1].n_pairs == 7 and out[1].acf_micros == -875_000
+    assert out[2].n_pairs == 6 and out[2].acf_micros == 750_000
+
+
+def test_acf_constant_series_yields_null(spark):
+    from cartography_spark.operators.profiling import acf_hourly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(t0 + datetime.timedelta(hours=h), 5.0) for h in range(4)],
+        "ts timestamp, value double",
+    )
+    out = acf_hourly(
+        ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=1
+    ).head()
+    assert out.acf_micros is None  # zero variance -> undefined, not an error
+
+
+def test_hapax_ratio_hand_computed(spark):
+    from cartography_spark.operators.textstats import hapax_ratio_by
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple", "s1"),
+            (1, "banana cherry", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.group_key: r for r in hapax_ratio_by(docs).collect()}
+    # global freqs: apple 2, banana 2, cherry 1
+    assert (out["s1"].n_tokens, out["s1"].n_types, out["s1"].n_hapax_types) == (3, 2, 0)
+    assert out["s1"].hapax_ppm == 0
+    assert (out["s2"].n_tokens, out["s2"].n_types, out["s2"].n_hapax_types) == (2, 2, 1)
+    assert out["s2"].hapax_ppm == 500_000
+    # cross-check: global hapax count distributes exactly across groups
+    assert sum(r.n_hapax_types for r in out.values()) == 1
