@@ -4171,3 +4171,94 @@ def q_dedup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source_purity_ppm"),
         )
     )
+
+
+@query(
+    "text_query_likelihood_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    c AS (SELECT count(*) AS ctot FROM toks),
+    cf AS (SELECT tok, count(*) AS cfreq FROM toks
+           WHERE tok IN ('spark', 'vector', 'window') GROUP BY tok),
+    qt AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'vector', 'window') GROUP BY doc_id, tok),
+    t1 AS (
+      SELECT qt.doc_id,
+             sum(CAST(round(ln((2000.0 * cf.cfreq + CAST(qt.tf AS DOUBLE) * c.ctot)
+                              / (2000.0 * cf.cfreq)) * 1000000) AS BIGINT)) AS s1
+      FROM qt JOIN cf USING (tok) CROSS JOIN c GROUP BY qt.doc_id
+    ),
+    base AS (
+      SELECT dl.doc_id,
+             3 * CAST(round(ln(2000.0 / (dl.dlen + 2000.0)) * 1000000) AS BIGINT) AS s0
+      FROM dl
+    )
+    SELECT b.doc_id, CAST(b.s0 + coalesce(t1.s1, 0) AS BIGINT) AS ql_micro
+    FROM base b LEFT JOIN t1 ON t1.doc_id = b.doc_id
+    ORDER BY ql_micro DESC, b.doc_id ASC LIMIT 20
+    """,
+    doc="Dirichlet-smoothed query-likelihood retrieval (mu=2000) for the "
+    "same 3-term query as text_bm25_topk — the language-modeling "
+    "ranking baseline (Zhai/Lafferty) beside BM25's probabilistic one; "
+    "having both lets a retrieval pipeline A/B its sparse leg. Uses the "
+    "rank-equivalent decomposition score = sum_t ln(1 + tf*C/(mu*cf)) + "
+    "|q|*ln(mu/(dl+mu)), so EVERY document scores (the length "
+    "normalizer applies even at zero matches) without enumerating "
+    "zero-tf pairs: the matched-term sum lives on the sparse (doc, "
+    "qterm) relation and the normalizer on the doc-length frame. Each "
+    "log is one correctly-rounded op on a ratio of exact integers "
+    "(mu*cf + tf*C over mu*cf), quantized to micronats BEFORE the "
+    "per-doc sum — no float accumulation order. Plan: tokenize once "
+    "(compact-row repartition before the explode, as bm25), corpus "
+    "total and per-term corpus frequencies are bounded broadcasts, "
+    "top-20 under a (score, doc_id) total order.",
+    tags=("llm", "text", "similarity"),
+)
+def q_text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ("spark", "vector", "window")
+    mu = 2000.0
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    c = toks.agg(F.count("*").alias("ctot"))
+    qtoks = toks.filter(F.col("tok").isin(*terms))
+    cf = qtoks.groupBy("tok").agg(F.count("*").alias("cfreq"))
+    qt = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    t1_term = F.round(
+        F.log(
+            (F.lit(mu) * F.col("cfreq") + F.col("tf").cast("double") * F.col("ctot"))
+            / (F.lit(mu) * F.col("cfreq"))
+        )
+        * 1e6
+    ).cast("bigint")
+    t1 = (
+        qt.join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(F.sum(t1_term).alias("s1"))
+    )
+    s0 = (
+        F.lit(3)
+        * F.round(F.log(F.lit(mu) / (F.col("dlen") + F.lit(mu))) * 1e6).cast("bigint")
+    )
+    return (
+        dl.select("doc_id", s0.alias("s0"))
+        .join(t1, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("s0") + F.coalesce(F.col("s1"), F.lit(0)))
+            .cast("bigint")
+            .alias("ql_micro"),
+        )
+        .orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

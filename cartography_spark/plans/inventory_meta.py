@@ -1602,3 +1602,154 @@ def q_job_ontology_label_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={})
     return job.run(cat, params={})[-1]  # REMOVE on a missing label is a no-op
+
+
+# ---------------------------------------------------------------------------
+# Tenant-node materialization from property values (crowdstrike corpus shape)
+# ---------------------------------------------------------------------------
+
+_TENANT_MATERIALIZE_JOB_JSON = """
+{
+  "name": "Crowdstrike tenant resource edge migration",
+  "short_name": "tenant_node_materialization",
+  "statements": [
+    {"query": "SELECT * FROM n_CrowdstrikeTenant UNION ALL SELECT c.cid AS id, CAST($UPDATE_TAG AS BIGINT) AS firstseen, CAST($UPDATE_TAG AS BIGINT) AS lastupdated FROM (SELECT DISTINCT cid FROM n_CrowdstrikeHost WHERE cid IS NOT NULL) c LEFT ANTI JOIN n_CrowdstrikeTenant t ON t.id = c.cid",
+     "writes": "CrowdstrikeTenant"},
+    {"query": "SELECT * FROM n_CrowdstrikeTenant UNION ALL SELECT c.cid AS id, CAST($UPDATE_TAG AS BIGINT) AS firstseen, CAST($UPDATE_TAG AS BIGINT) AS lastupdated FROM (SELECT DISTINCT cid FROM n_SpotlightVulnerability WHERE cid IS NOT NULL) c LEFT ANTI JOIN n_CrowdstrikeTenant t ON t.id = c.cid",
+     "writes": "CrowdstrikeTenant"},
+    {"query": "SELECT * FROM e_CrowdstrikeTenant__RESOURCE__CrowdstrikeHost UNION ALL SELECT h.cid AS src_id, h.id AS dst_id, h.lastupdated AS firstseen, h.lastupdated AS lastupdated FROM n_CrowdstrikeHost h LEFT ANTI JOIN e_CrowdstrikeTenant__RESOURCE__CrowdstrikeHost e ON e.dst_id = h.id WHERE h.cid IS NOT NULL",
+     "writes": "CrowdstrikeTenant,RESOURCE,CrowdstrikeHost"},
+    {"query": "SELECT * FROM e_CrowdstrikeTenant__RESOURCE__SpotlightVulnerability UNION ALL SELECT v.cid AS src_id, v.id AS dst_id, v.lastupdated AS firstseen, v.lastupdated AS lastupdated FROM n_SpotlightVulnerability v LEFT ANTI JOIN e_CrowdstrikeTenant__RESOURCE__SpotlightVulnerability e ON e.dst_id = v.id WHERE v.cid IS NOT NULL",
+     "writes": "CrowdstrikeTenant,RESOURCE,SpotlightVulnerability"},
+    {"query": "SELECT t.id AS tenant_id, t.firstseen, coalesce(h.n, 0) AS n_hosts, coalesce(h.s, 0) AS host_tag_sum, coalesce(v.n, 0) AS n_vulns, coalesce(v.s, 0) AS vuln_tag_sum FROM n_CrowdstrikeTenant t LEFT JOIN (SELECT src_id, count(*) AS n, sum(lastupdated) AS s FROM e_CrowdstrikeTenant__RESOURCE__CrowdstrikeHost GROUP BY src_id) h ON h.src_id = t.id LEFT JOIN (SELECT src_id, count(*) AS n, sum(lastupdated) AS s FROM e_CrowdstrikeTenant__RESOURCE__SpotlightVulnerability GROUP BY src_id) v ON v.src_id = t.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_tenant_node_materialization",
+    oracle="""
+    WITH host AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS cid,
+             CASE WHEN c_custkey % 2 = 1 THEN 60 ELSE 100 END AS lu
+      FROM customer
+    ),
+    vuln AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderpriority END AS cid,
+             CASE WHEN o_orderkey % 2 = 1 THEN 90 ELSE 100 END AS lu
+      FROM orders
+    ),
+    tenants AS (
+      SELECT DISTINCT cid FROM host WHERE cid IS NOT NULL
+      UNION SELECT DISTINCT cid FROM vuln WHERE cid IS NOT NULL
+      UNION SELECT unnest(['BUILDING', 'AUTOMOBILE'])
+    ),
+    hstats AS (
+      SELECT cid, count(*) AS n,
+             sum(CASE WHEN k % 3 = 0 THEN 77 ELSE lu END) AS s
+      FROM host WHERE cid IS NOT NULL GROUP BY cid
+    ),
+    vstats AS (
+      SELECT cid, count(*) AS n, sum(lu) AS s
+      FROM vuln WHERE cid IS NOT NULL GROUP BY cid
+    )
+    SELECT t.cid AS tenant_id,
+           CAST(CASE WHEN t.cid IN ('BUILDING', 'AUTOMOBILE') THEN 50
+                     ELSE 200 END AS BIGINT) AS firstseen,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hosts,
+           CAST(coalesce(h.s, 0) AS BIGINT) AS host_tag_sum,
+           CAST(coalesce(v.n, 0) AS BIGINT) AS n_vulns,
+           CAST(coalesce(v.s, 0) AS BIGINT) AS vuln_tag_sum
+    FROM tenants t
+    LEFT JOIN hstats h ON h.cid = t.cid
+    LEFT JOIN vstats v ON v.cid = t.cid
+    """,
+    doc="Tenant-node materialization migration (data/jobs/analysis/"
+    "crowdstrike_tenant_resource_edge_migration.json) — the 10th "
+    "analysis-job port and the one shape the other nine lack: NEW nodes "
+    "are derived from DISTINCT property values of existing nodes "
+    "(Cypher's 'WITH DISTINCT h.cid AS cid MERGE (t:Tenant {id: cid})' "
+    "compiles to a distinct-projection + anti-join append against the "
+    "tenant table), then RESOURCE edges attach each host/vulnerability "
+    "to its property-derived tenant with ON CREATE copying the NODE's "
+    "lastupdated onto the new edge. Pre-state (customer/order-keyed): "
+    "cid NULL on k%11=0 hosts and k%13=0 vulns (the IS NOT NULL guard), "
+    "two tenants pre-exist at tag 50 (ON CREATE must not reset their "
+    "firstseen), host edges pre-exist for k%3=0 at tag 77 (ON MATCH "
+    "must keep 77 — copying would stamp 60/100). The read aggregates "
+    "per-tenant edge counts and tag SUMS, so wrong-guard creation, "
+    "firstseen resets, or tag mis-copies all break the hash. Runs "
+    "TWICE: every anti-join is empty on the second pass.",
+    tags=("engine", "job"),
+)
+def q_job_tenant_node_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    cust = cat.node("Customer")
+    k = F.col("id").cast("long")
+    cat.set_node(
+        "CrowdstrikeHost",
+        cust.select(
+            "id",
+            F.when(k % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("mktsegment"))
+            .alias("cid"),
+            "firstseen",
+            F.when(k % 2 == 1, F.lit(60)).otherwise(F.lit(100)).cast("bigint").alias(
+                "lastupdated"
+            ),
+        ),
+    )
+    orders = cat.node("Order")
+    ok = F.col("id").cast("long")
+    cat.set_node(
+        "SpotlightVulnerability",
+        orders.select(
+            "id",
+            F.when(ok % 13 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("priority"))
+            .alias("cid"),
+            "firstseen",
+            F.when(ok % 2 == 1, F.lit(90)).otherwise(F.lit(100)).cast("bigint").alias(
+                "lastupdated"
+            ),
+        ),
+    )
+    # two tenants pre-exist at tag 50; ON CREATE must not touch them
+    cat.set_node(
+        "CrowdstrikeTenant",
+        spark.createDataFrame(
+            [("BUILDING", 50, 50), ("AUTOMOBILE", 50, 50)],
+            "id string, firstseen bigint, lastupdated bigint",
+        ),
+    )
+    # host edges pre-exist for custkey%3=0 at tag 77 (ON MATCH keeps 77)
+    host = cat.node("CrowdstrikeHost")
+    cat.set_edge(
+        ("CrowdstrikeTenant", "RESOURCE", "CrowdstrikeHost"),
+        host.filter((k % 3 == 0) & F.col("cid").isNotNull()).select(
+            F.col("cid").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            F.lit(77).cast("bigint").alias("firstseen"),
+            F.lit(77).cast("bigint").alias("lastupdated"),
+        ),
+    )
+    cat.set_edge(
+        ("CrowdstrikeTenant", "RESOURCE", "SpotlightVulnerability"),
+        cat.node("SpotlightVulnerability").filter(F.lit(False)).select(
+            F.col("cid").alias("src_id"),
+            F.col("id").alias("dst_id"),
+            "firstseen",
+            "lastupdated",
+        ),
+    )
+    job = GraphJob.from_json(_TENANT_MATERIALIZE_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={"UPDATE_TAG": 200})
+    return job.run(cat, params={"UPDATE_TAG": 200})[-1]  # anti-joins empty on rerun

