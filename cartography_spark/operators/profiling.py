@@ -1185,3 +1185,45 @@ def acf_hourly(
         )
         .orderBy("lag")
     )
+
+
+def conformal_mondrian_calibrate(
+    scores: DataFrame, group_col: str = "g", s_col: str = "s", alpha: float = 0.1
+) -> DataFrame:
+    """Mondrian (group-conditional) split-conformal calibration: an
+    independent q_hat = ceil((n_g+1)(1-alpha))-th smallest nonconformity
+    score PER GROUP — one row (group_key, n_cal, k, q_hat) per group.
+    Marginal conformal (conformal_interval_calibrate) guarantees coverage
+    on average over the whole population; Mondrian conformal guarantees
+    it within every declared stratum, which is what a per-segment SLA
+    (per tenant, per priority class) actually requires — the conformal
+    counterpart of ks_two_sample_by/psi_drift_by.
+
+    Same sort-free exact-order-statistic shape as the global form, with
+    every window PARTITIONED by group: scores collapse to one row per
+    (group, DISTINCT value), the rank cumsum runs per group on that
+    bounded frame, and q_hat is each group's first value whose cumulative
+    count reaches k. Strata parallelize instead of serializing.
+    """
+    per_v = scores.groupBy(
+        F.col(group_col).alias("g"), F.col(s_col).alias("v")
+    ).agg(F.count("*").alias("c"))
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ecdf = per_v.select("g", "v", F.sum("c").over(cum).alias("cum"))
+    tot = ecdf.groupBy("g").agg(F.max("cum").alias("n_cal"))
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long")
+    return (
+        ecdf.join(F.broadcast(tot), "g")
+        .withColumn("k", k)
+        .filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
+        .groupBy("g", "n_cal", "k")
+        .agg(F.min("v").alias("q_hat"))
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k"),
+            F.col("q_hat").cast("long").alias("q_hat"),
+        )
+    )

@@ -1127,3 +1127,74 @@ def hapax_ratio_by(
         "n_hapax_types",
         F.expr("(n_hapax_types * 1000000) div n_types").alias("hapax_ppm"),
     )
+
+
+def kn_bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score, integer-exact — the
+    standard smoothed n-gram model (the one real LM-quality filters use)
+    on top of bigram_surprisal's raw conditional: with discount d = 3/4,
+
+        P_KN(w|p) = (max(c(p,w) - d, 0) + d * T(p) * Pcont(w)) / c(p)
+        Pcont(w)  = N1plus(.w) / N_bigram_types
+
+    where T(p) = distinct continuation types after p and N1plus(.w) =
+    distinct predecessors of w. KN's continuation probability scores a
+    word by how many CONTEXTS it follows, not how often it occurs — the
+    canonical fix for raw-count overconfidence on frequent-but-rigid
+    tokens. Scoring observed pairs (c2 >= 1), the probability is the
+    exact rational
+        ((4*c2 - 3) * Nt + 3 * T(p) * N1w) / (4 * Nt * c1),
+    so the charged bits are floor(log2(den DIV num)) via the same
+    bin()-length integer arithmetic as the raw bigram model — no float
+    log anywhere, both engines reproduce bit-exactly.
+
+    Plan adds two vocabulary-bounded dictionaries to bigram_surprisal's
+    (continuation-type counts per prev, predecessor-type counts per tok)
+    plus a 1-row bigram-type total broadcast.
+
+    Overflow headroom: den = 4 * N_bigram_types * c(p) must stay under
+    2^63 (~1e9 types x 1e9 max unigram count) — shard the vocabulary
+    past that.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    uni = pairs.groupBy("prev").agg(F.count("*").alias("c1"))
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    cont = bi.groupBy("prev").agg(F.count("*").alias("tp"))  # T(p)
+    pred = bi.groupBy("tok").agg(F.count("*").alias("n1w"))  # N1plus(.w)
+    ntypes = bi.agg(F.count("*").alias("nt"))
+    num = (4 * F.col("c2") - 3) * F.col("nt") + 3 * F.col("tp") * F.col("n1w")
+    den = 4 * F.col("nt") * F.col("c1")
+    scored = (
+        pairs.join(bi, ["prev", "tok"])
+        .join(uni, "prev")
+        .join(cont, "prev")
+        .join(pred, "tok")
+        .crossJoin(F.broadcast(ntypes))
+        .withColumn("__num", num.cast("long"))
+        .withColumn("__den", den.cast("long"))
+        .withColumn(
+            "bits",
+            F.length(F.bin(F.expr("__den DIV __num"))).cast("long") - 1,
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias(
+            "mean_millibits"
+        ),
+    )

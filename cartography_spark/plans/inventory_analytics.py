@@ -1600,3 +1600,94 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.textstats import hapax_ratio_by
 
     return hapax_ratio_by(T(spark, sf_dir, "documents"), "source", "text")
+
+
+@query(
+    "conformal_mondrian_coverage",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             ('0x' || substring(md5('conformal:' || CAST(o_orderkey AS VARCHAR)),
+                                1, 8))::BIGINT % 2 AS b
+      FROM orders
+    ),
+    mu AS (SELECT g, CAST(floor(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM o WHERE b = 0 GROUP BY g),
+    cal AS (SELECT o.g, abs(y - m) AS s FROM o JOIN mu USING (g) WHERE b = 0),
+    pv AS (SELECT g, s AS v, count(*) AS c FROM cal GROUP BY g, s),
+    e AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pv),
+    t AS (SELECT g, max(cum) AS n_cal FROM e GROUP BY g),
+    kq AS (SELECT g, n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k FROM t),
+    qh AS (SELECT kq.g, kq.n_cal, kq.k, min(v) AS q_hat
+           FROM e JOIN kq ON kq.g = e.g
+           WHERE cum >= least(kq.k, kq.n_cal)
+           GROUP BY kq.g, kq.n_cal, kq.k),
+    tst AS (SELECT o.g, abs(y - m) AS s FROM o JOIN mu USING (g) WHERE b = 1)
+    SELECT qh.g AS group_key,
+           CAST(qh.n_cal AS BIGINT) AS n_cal,
+           CAST(qh.k AS BIGINT) AS k,
+           CAST(qh.q_hat AS BIGINT) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           sum(CASE WHEN s <= q_hat THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS coverage,
+           0.9 AS target
+    FROM tst JOIN qh ON qh.g = tst.g
+    GROUP BY qh.g, qh.n_cal, qh.k, qh.q_hat
+    """,
+    doc="Mondrian (group-conditional) conformal coverage "
+    "(operators/profiling.py:conformal_mondrian_calibrate): an "
+    "independent q_hat per order-priority stratum, then held-out "
+    "coverage PER GROUP — marginal conformal "
+    "(conformal_interval_coverage) only guarantees coverage on average, "
+    "and a segment whose score distribution is wider silently "
+    "under-covers; the Mondrian form is what a per-tenant/per-class SLA "
+    "needs, completing the stratified suite beside ks_drift_by_source / "
+    "psi_drift_by_lang. Same deterministic md5 calibration/test split "
+    "and exact integer order statistics as the global query; all "
+    "windows partition by group.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_conformal_mondrian_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import conformal_mondrian_calibrate
+    from cartography_spark.operators.sampling import hash_bucket
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        hash_bucket(F.col("o_orderkey"), 2, "conformal").alias("b"),
+    )
+    cal = o.filter(F.col("b") == 0)
+    mu = cal.groupBy("g").agg(
+        F.floor(F.sum("y").cast("double") / F.count("*")).cast("bigint").alias("m")
+    )
+    cal_scores = cal.join(F.broadcast(mu), "g").select(
+        "g", F.abs(F.col("y") - F.col("m")).alias("s")
+    )
+    calib = conformal_mondrian_calibrate(cal_scores, "g", "s", alpha=0.1)
+    test = o.filter(F.col("b") == 1).join(F.broadcast(mu), "g").select(
+        "g", F.abs(F.col("y") - F.col("m")).alias("s")
+    )
+    return (
+        test.join(
+            F.broadcast(calib.withColumnRenamed("group_key", "g")), "g"
+        )
+        .groupBy("g", "n_cal", "k", "q_hat")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            (
+                F.sum(F.when(F.col("s") <= F.col("q_hat"), 1).otherwise(0))
+                / F.count("*").cast("double")
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("g").alias("group_key"),
+            "n_cal",
+            "k",
+            "q_hat",
+            "n_test",
+            "coverage",
+            F.lit(0.9).alias("target"),
+        )
+    )

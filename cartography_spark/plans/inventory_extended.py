@@ -1610,3 +1610,69 @@ def q_streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = cdc_latest_state(stream, "c_custkey", payload_cols=("name",))
     name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
     return run_available_now(state, name, output_mode="complete")
+
+
+@query(
+    "streaming_psi_drift",
+    oracle="""
+    WITH pb AS (
+      SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2000.0) AS INTEGER) AS bin,
+             sum(CASE WHEN hour(date_trunc('hour', ts)) % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN hour(date_trunc('hour', ts)) % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM events GROUP BY bin
+    ),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM pb),
+    j AS (SELECT pb.*, t.na, t.nb, t.nbins,
+                 t.na + t.nbins AS na_s, t.nb + t.nbins AS nb_s
+          FROM pb CROSS JOIN t),
+    terms AS (
+      SELECT na, nb, nbins, na_s, nb_s,
+             ((ca + 1) * nb_s - (cb + 1) * na_s)
+               * CAST(round(ln(CAST((ca + 1) * nb_s AS DOUBLE)
+                                / ((cb + 1) * na_s)) * 1000) AS BIGINT) AS term
+      FROM j
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(nbins AS BIGINT) AS n_bins,
+           sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 AS psi,
+           (sum(term) / (CAST(na_s AS DOUBLE) * nb_s) / 1000.0 > 0.2) AS major_shift
+    FROM terms GROUP BY na, nb, nbins, na_s, nb_s
+    """,
+    doc="Streaming drift monitor: the per-window binned value histogram "
+    "is maintained by watermarked streaming aggregation "
+    "(streaming/events.py:psi_bin_stream — ONE state row per (window, "
+    "bin), additive partials, watermark-evicted), then the PSI between "
+    "the even- and odd-hour window populations is a read-side fold over "
+    "the emitted windows through the SAME psi_drift operator the batch "
+    "gate uses (weighted by the streamed counts). Because count() "
+    "partials merge by sum, the streamed histogram equals the batch "
+    "histogram EXACTLY and the oracle runs the whole computation in "
+    "batch SQL — no lambda-architecture divergence. This is the "
+    "production deployment shape of psi_drift_binned: stream owns the "
+    "mergeable state; the statistic (or a different one — KS, JSD) is "
+    "swappable read-side without touching stream state.",
+    tags=("streaming", "drift", "scale"),
+)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cartography_spark.operators.profiling import psi_drift
+    from cartography_spark.streaming.events import (
+        psi_bin_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"psi_stream_{uuid.uuid4().hex[:8]}"
+    per_window = run_available_now(
+        psi_bin_stream(stream), name, output_mode="complete"
+    )
+    parity = F.hour("window_start") % 2
+    cells = per_window.select(parity.alias("p"), "bin", "n")
+    return psi_drift(
+        cells,
+        F.col("bin"),
+        F.when(F.col("p") == 0, F.col("n")).otherwise(F.lit(0)),
+        F.when(F.col("p") == 1, F.col("n")).otherwise(F.lit(0)),
+    )

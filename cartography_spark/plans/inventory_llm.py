@@ -4262,3 +4262,51 @@ def q_text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ql_micro").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "text_kn_bigram_logprob",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM words CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    pairs AS (
+      SELECT * FROM (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        FROM toks
+      ) WHERE prev IS NOT NULL
+    ),
+    uni AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev),
+    bi AS (SELECT prev, tok, count(*) AS c2 FROM pairs GROUP BY prev, tok),
+    cont AS (SELECT prev, count(*) AS tp FROM bi GROUP BY prev),
+    pred AS (SELECT tok, count(*) AS n1w FROM bi GROUP BY tok),
+    nt AS (SELECT count(*) AS nt FROM bi),
+    scored AS (
+      SELECT doc_id,
+             length(bin(CAST((4 * nt.nt * c1)
+                 // ((4 * c2 - 3) * nt.nt + 3 * tp * n1w) AS BIGINT))) - 1 AS bits
+      FROM pairs JOIN bi USING (prev, tok) JOIN uni USING (prev)
+      JOIN cont USING (prev) JOIN pred USING (tok) CROSS JOIN nt
+    )
+    SELECT doc_id, count(*) AS n_bigrams, CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram LM score with discount d=3/4 "
+    "(operators/textstats.py:kn_bigram_surprisal) — the standard "
+    "smoothed n-gram model real LM-quality filters use, upgrading "
+    "text_bigram_logprob's raw conditional: KN's continuation "
+    "probability scores a word by how many CONTEXTS it follows rather "
+    "than raw frequency (the canonical fix for frequent-but-rigid "
+    "tokens). With d=3/4 the observed-pair probability is the exact "
+    "rational ((4*c2-3)*Nt + 3*T(p)*N1w) / (4*Nt*c1), so the charged "
+    "bits stay pure bin()-length integer arithmetic — no float log; "
+    "both engines reproduce bit-exactly. Two extra vocabulary-bounded "
+    "dictionaries + a 1-row type-count broadcast over the raw bigram "
+    "plan.",
+    tags=("llm", "text"),
+)
+def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.kn_bigram_surprisal(_docs(spark, sf_dir))

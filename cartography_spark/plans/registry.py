@@ -92,7 +92,8 @@ PRIORITY: tuple[str, ...] = (
     "job_feed_retirement_cleanup", "job_ontology_label_strip", "ks_drift_by_source",
     "psi_drift_by_lang", "stats_spearman_corr", "drift_js_divergence", "stats_cramers_v",
     "timeseries_acf", "text_hapax_ratio", "job_tenant_node_materialization",
-    "text_query_likelihood_topk",
+    "text_query_likelihood_topk", "streaming_psi_drift", "conformal_mondrian_coverage",
+    "text_kn_bigram_logprob",
     # --- below: 250 queries already driver-green in r01-r06, kept re-verified
     # every round by the local full gate (tools/oracle_check.py) ---
     "rollup_pricing", "pivot_status_by_priority", "skew_salted_agg", "streaming_stateful_totals",

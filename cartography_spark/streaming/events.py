@@ -351,3 +351,37 @@ def cdc_latest_state(
         seq_col,
         op_col,
     )
+
+
+def psi_bin_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width_cents: int = 2000,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Maintain the binned value histogram a drift monitor needs, per
+    event-time window: (window_start, bin, n). count() partials merge by
+    SUM — the additive mergeable-sketch contract — so Spark keeps ONE
+    state row per (window, bin), bounded by the watermark, and the
+    emitted per-window histograms sum into EXACTLY the batch histogram.
+    This is how PSI/KS/JSD drift gates actually deploy: the stream owns
+    the cheap mergeable state (bin counts); the drift statistic itself
+    is a read-side fold over emitted windows (plans/inventory_extended:
+    streaming_psi_drift), so changing the reference population or the
+    drift metric never touches stream state.
+
+    Same OUTPUT-MODE CONTRACT as hll_register_stream: run in ``complete``
+    (or ``update``) mode — append would withhold the trailing
+    watermark-width of windows from the read-side fold.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.floor(cents / F.lit(float(bin_width_cents))).cast("int").alias("bin"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )

@@ -126,6 +126,8 @@ _SCALAR_ATTACH = {
     "stats_cramers_v",              # x broadcast(1-row n/r/c totals)
     "timeseries_acf",               # x broadcast(6-row lag frame + 1-row n/sum totals)
     "text_query_likelihood_topk",   # x broadcast(1-row corpus token total)
+    "streaming_psi_drift",          # x broadcast(1-row totals, via psi_drift)
+    "text_kn_bigram_logprob",       # x broadcast(1-row bigram-type total)
 }
 
 

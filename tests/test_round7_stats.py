@@ -198,3 +198,39 @@ def test_tenant_materialization_idempotent_read(spark):
     for r in out.values():
         assert (r.n_hosts == 0) == (r.host_tag_sum == 0)
         assert (r.n_vulns == 0) == (r.vuln_tag_sum == 0)
+
+
+def test_kn_bigram_hand_computed(spark):
+    from cartography_spark.operators.textstats import kn_bigram_surprisal
+
+    # corpus: "a b a b" and "a c" -> pairs: (a,b)x2, (b,a)x1, (a,c)x1
+    # uni: a->3, b->1; bi: (a,b)=2,(b,a)=1,(a,c)=1; Nt=3
+    # T(a)=2, T(b)=1; N1(.b)=1, N1(.a)=1, N1(.c)=1
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in kn_bigram_surprisal(docs).collect()}
+    # (a,b): num=(4*2-3)*3+3*2*1=21, den=4*3*3=36 -> 36//21=1 -> 0 bits
+    # (b,a): num=(4*1-3)*3+3*1*1=6,  den=4*3*1=12 -> 12//6=2 -> 1 bit
+    assert out[0].n_bigrams == 3 and out[0].total_bits == 0 + 1 + 0
+    # (a,c): num=(4*1-3)*3+3*2*1=9,  den=4*3*3=36 -> 36//9=4 -> 2 bits
+    assert out[1].n_bigrams == 1 and out[1].total_bits == 2
+
+
+def test_mondrian_conformal_per_group_order_statistic(spark):
+    from cartography_spark.operators.profiling import (
+        conformal_interval_calibrate,
+        conformal_mondrian_calibrate,
+    )
+
+    rows = [("g1", s) for s in range(1, 21)] + [("g2", s) for s in (5, 5, 5, 100)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = {r.group_key: r for r in conformal_mondrian_calibrate(df, "g", "s").collect()}
+    # g1: n=20, k=ceil(21*0.9)=19 -> 19th smallest of 1..20 = 19
+    assert out["g1"].n_cal == 20 and out["g1"].k == 19 and out["g1"].q_hat == 19
+    # g2: n=4, k=ceil(5*0.9)=5 > n -> clamp to max score
+    assert out["g2"].q_hat == 100
+    # single-group Mondrian == global calibrate
+    single = df.filter(F.col("g") == "g1").select("s")
+    glob = conformal_interval_calibrate(single, "s", alpha=0.1).head()
+    assert (glob.n_cal, glob.k, glob.q_hat) == (20, 19, 19)

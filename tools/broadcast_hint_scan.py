@@ -43,6 +43,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
         "per-group means grouped by o_orderpriority (5 distinct values)",
     ("inventory_analytics.py", "q_conformal_interval", "calib"):
         "conformal calibration produces a single (n_cal, k, q_hat) row",
+    ("inventory_analytics.py", "q_conformal_mondrian_coverage", "mu"):
+        "per-group means grouped by o_orderpriority (5 distinct values)",
+    ("inventory_analytics.py", "q_conformal_mondrian_coverage",
+     'calib.withColumnRenamed("group_key", "g")'):
+        "Mondrian calibration: one (n_cal, k, q_hat) row PER GROUP, "
+        "bounded by the 5-value priority domain",
     ("inventory_catalog.py", "q_layout_overlap_depth", "b"):
         "file-metadata frame: rows = number of files (min/max per file_id), "
         "metadata-scale (100 TB / 1 GB files = 1e5 rows), not row-scale",
