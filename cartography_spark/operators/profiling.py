@@ -184,9 +184,12 @@ def ks_two_sample(
             F.expr("min_by(v, struct(-dn, v))").alias("ks_at_value"),
         )
     )
-    ks = F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b"))
+    # try_divide: an empty side makes D undefined -> NULL (Spark 4 ANSI
+    # errors even on double division by zero)
+    nab = F.col("n_a").cast("double") * F.col("n_b")
+    ks = F.try_divide(F.col("d_num").cast("double"), nab)
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) / (F.col("n_a").cast("double") * F.col("n_b"))
+        F.try_divide((F.col("n_a") + F.col("n_b")).cast("double"), nab)
     )
     return d.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -292,9 +295,11 @@ def ks_two_sample_by(
             F.expr("min_by(v, struct(-dn, v))").alias("ks_at_value"),
         )
     )
-    ks = F.col("d_num") / (F.col("n_a").cast("double") * F.col("n_b"))
+    # try_divide: a stratum with an empty side gets NULL, not an ANSI error
+    nab = F.col("n_a").cast("double") * F.col("n_b")
+    ks = F.try_divide(F.col("d_num").cast("double"), nab)
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) / (F.col("n_a").cast("double") * F.col("n_b"))
+        F.try_divide((F.col("n_a") + F.col("n_b")).cast("double"), nab)
     )
     return d.select(
         F.col("g").alias("group_key"),
@@ -1021,7 +1026,11 @@ def js_divergence(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("nbins")
     )
     j = per_bin.crossJoin(F.broadcast(tot))
-    # integer cross-products: p/m = 2*ca*nb / (ca*nb + cb*na), q/m likewise
+    # integer cross-products: p/m = 2*ca*nb / (ca*nb + cb*na), q/m likewise.
+    # Guard on mix > 0, not just ca > 0: with one population entirely EMPTY
+    # (nb = 0), a ca-only bin has mix = 0 and the unguarded log is
+    # ln(0/0) = NaN, which the bigint cast turns into an ANSI error —
+    # an empty side means JSD degenerates to 0*anything, so the term is 0.
     mix = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
     qa = F.round(F.log(2 * F.col("ca") * F.col("nb") / mix.cast("double")) * 1e6).cast(
         "bigint"
@@ -1033,15 +1042,22 @@ def js_divergence(
         "na",
         "nb",
         "nbins",
-        F.when(F.col("ca") > 0, F.col("ca") * qa).otherwise(F.lit(0)).alias("ta"),
-        F.when(F.col("cb") > 0, F.col("cb") * qb).otherwise(F.lit(0)).alias("tb"),
+        F.when((F.col("ca") > 0) & (mix > 0), F.col("ca") * qa)
+        .otherwise(F.lit(0))
+        .alias("ta"),
+        F.when((F.col("cb") > 0) & (mix > 0), F.col("cb") * qb)
+        .otherwise(F.lit(0))
+        .alias("tb"),
     )
     out = terms.groupBy("na", "nb", "nbins").agg(
         F.sum("ta").alias("sa"), F.sum("tb").alias("sb")
     )
+    # try_divide: with one population entirely empty the divergence is
+    # undefined (there is no second distribution) -> NULL, not an ANSI
+    # divide-by-zero error (Spark 4 ANSI errors even on double division)
     jsd = (
-        F.col("sa") / F.col("na").cast("double")
-        + F.col("sb") / F.col("nb").cast("double")
+        F.try_divide(F.col("sa").cast("double"), F.col("na").cast("double"))
+        + F.try_divide(F.col("sb").cast("double"), F.col("nb").cast("double"))
     ) / 2.0 / 1e6
     return out.select(
         F.col("na").cast("long").alias("n_a"),

@@ -234,3 +234,34 @@ def test_mondrian_conformal_per_group_order_statistic(spark):
     single = df.filter(F.col("g") == "g1").select("s")
     glob = conformal_interval_calibrate(single, "s", alpha=0.1).head()
     assert (glob.n_cal, glob.k, glob.q_hat) == (20, 19, 19)
+
+
+def test_jsd_one_empty_population_yields_zero_not_error(spark):
+    from cartography_spark.operators.profiling import js_divergence
+
+    # population b entirely empty: every bin has mix = 0 on the a-side term
+    # and n_b = 0 in the final ratio; the unguarded form crashed under ANSI
+    # (Spark 4 errors even on double division by zero). The divergence
+    # against a nonexistent distribution is undefined -> NULL, not a crash.
+    df = spark.createDataFrame([(0, "a")] * 3 + [(1, "a")] * 2, "bin int, side string")
+    out = js_divergence(
+        df, F.col("bin"), F.col("side") == "a", F.col("side") == "b"
+    ).head()
+    assert out.n_b == 0 and out.sum_term_a == 0 and out.jsd_nats is None
+
+
+def test_ks_one_empty_population_yields_null_not_error(spark):
+    from cartography_spark.operators.profiling import ks_two_sample, ks_two_sample_by
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "a")], "v long, side string")
+    out = ks_two_sample(
+        df, F.col("v"), F.col("side") == "a", F.col("side") == "b"
+    ).head()
+    assert out.n_b == 0 and out.ks_stat is None and out.reject_95 is None
+    df2 = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 2, "a")], "g string, v long, side string"
+    )
+    out2 = ks_two_sample_by(
+        df2, F.col("g"), F.col("v"), F.col("side") == "a", F.col("side") == "b"
+    ).head()
+    assert out2.ks_stat is None
