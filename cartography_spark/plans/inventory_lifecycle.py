@@ -275,6 +275,58 @@ def q_analysis_add_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analysis_aibom_runs_on",
+    oracle="""
+    SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_runs_on
+    FROM supplier JOIN customer ON s_nationkey = c_nationkey
+    GROUP BY s_nationkey
+    """,
+    doc="1:1 port of the reference's aibom analysis job "
+    "(analysis/aibom/analysis.py:5-23): MATCH (a:AIBOMSource)-"
+    "[:SCANNED_IMAGE]->(i:Image)<-[:RESOLVED_IMAGE]-(c:Container) => "
+    "AddRelationship(a, RUNS_ON, c) with auto-cleanup. Same 2-hop "
+    "shared-middle shape on the fixture graph: (Supplier)-[:LOCATED_IN]->"
+    "(Nation)<-[:LOCATED_IN]-(Customer) => (Supplier)-[:RUNS_ON]->"
+    "(Customer). The job runs TWICE (idempotency: the MERGE + auto-cleanup "
+    "keeps the derived edge set stable — a duplicated edge would double the "
+    "oracle counts). Scale note: per-middle fan-out is |S_n|x|C_n| per "
+    "nation — the derived edge set IS the contract (reference "
+    "cleanup_iterationsize=1000 batches the same volume); the read-back "
+    "aggregates, so nothing quadratic reaches the driver.",
+    tags=("engine", "analysis"),
+)
+def q_analysis_aibom_runs_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.analysis import AddRelationship, AnalysisJob, AnalysisStatement
+    from cartography_spark.plans.query import match
+
+    cat = base_catalog(spark, sf_dir)
+
+    def matcher(c: GraphCatalog) -> DataFrame:
+        return (
+            match(c, "Supplier", "a")
+            .out("LOCATED_IN", "Nation", "i")
+            .inward("LOCATED_IN", "Customer", "c")
+            .select(F.col("a__id").alias("src"), F.col("c__id").alias("dst"))
+        )
+
+    effect = AddRelationship("Supplier", "RUNS_ON", "Customer", "src", "dst")
+    job = AnalysisJob(
+        "aibom_runs_on_container_analysis",
+        (AnalysisStatement(matcher, (effect,)),),
+    )
+    job.run(cat, T1)
+    job.run(cat, T2)  # idempotent re-run: auto-cleanup keeps the set stable
+
+    edges = cat.edge("Supplier", "RUNS_ON", "Customer")
+    sup = cat.node("Supplier").select(F.col("id").alias("src_id"), "s_nationkey")
+    return (
+        edges.join(sup, "src_id")  # AQE broadcasts the supplier dim when it fits
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_runs_on"))
+    )
+
+
+@query(
     "analysis_exposure_chain",
     oracle="""
     WITH exposed_cust AS (

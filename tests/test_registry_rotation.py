@@ -1,13 +1,15 @@
-"""Self-enforcing registry rotation (round-6 verdict item 1).
+"""Self-enforcing registry rotation (round-6 verdict item 1; auto since r8).
 
 The driver's CORRECTNESS gate walks ``queries()`` in insertion order under a
 ~50-query budget, so cumulative driver coverage depends on every query that
 has NO ``CORRECTNESS_r*.json`` row sorting BEFORE every query that has one.
 Round 6 lost its entire driver budget re-verifying the round-5 window because
-the rotation procedure was a comment, not a test. This test makes the
-procedure mechanical: it fails the suite the moment an unverified query sits
-behind a verified one — including any query added mid-round and appended in
-the wrong place.
+the rotation procedure was a comment, not a test; round 7 made it a test but
+the suite went red whenever a new artifact landed before the next manual
+rotation commit (ADVICE r7, medium). Since round 8 the rotation is AUTOMATIC:
+``registry._ordered()`` stably partitions PRIORITY on the artifact set at
+import time, so the ordering updates itself the moment the driver writes
+``CORRECTNESS_r{N}.json``. These tests pin that mechanism.
 """
 
 from __future__ import annotations
@@ -33,23 +35,29 @@ def _driver_verified() -> set[str]:
 
 
 def test_unverified_queries_sort_before_verified():
-    from cartography_spark.plans.registry import PRIORITY
+    """The EFFECTIVE ordering (what the driver sees) is rotation-correct."""
+    from cartography_spark.plans.registry import all_queries
 
     verified = _driver_verified()
     assert verified, "no CORRECTNESS_r*.json artifacts found at repo root"
     first_verified_pos = None
-    for pos, name in enumerate(PRIORITY):
+    for pos, name in enumerate(all_queries()):
         if name in verified:
             if first_verified_pos is None:
                 first_verified_pos = pos
         elif first_verified_pos is not None:
             raise AssertionError(
-                f"rotation violated: driver-unverified query {name!r} at "
-                f"PRIORITY position {pos} sorts after driver-verified "
-                f"{PRIORITY[first_verified_pos]!r} at position "
-                f"{first_verified_pos}; move every query with no "
-                f"CORRECTNESS_r*.json row to the front of PRIORITY"
+                f"auto-rotation broken: driver-unverified query {name!r} at "
+                f"effective position {pos} sorts after driver-verified "
+                f"queries starting at position {first_verified_pos}"
             )
+
+
+def test_rotation_helper_matches_local_scan():
+    """registry.driver_verified() reads the same artifact set this test does."""
+    from cartography_spark.plans.registry import driver_verified
+
+    assert driver_verified() == _driver_verified()
 
 
 def test_priority_matches_registry_exactly():
