@@ -156,49 +156,12 @@ def ks_two_sample(
     ks_at_value is the smallest value attaining the max divergence and
     reject_95 applies the large-sample critical value
     c(0.05)=1.358*sqrt((n_a+n_b)/(n_a*n_b)).
+
+    Implemented as :func:`ks_two_sample_by` over a constant stratum so
+    the integer-exact math and the ANSI division guards live in ONE body
+    (ADVICE r7: the two copies had to be patched in lockstep).
     """
-    per_v = df.groupBy(value.alias("v")).agg(
-        F.sum(in_a.cast("long")).alias("ca"),
-        F.sum(in_b.cast("long")).alias("cb"),
-    )
-    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = per_v.select(
-        "v",
-        F.sum("ca").over(cum).alias("cum_a"),
-        F.sum("cb").over(cum).alias("cum_b"),
-    )
-    tot = ecdf.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
-    d = (
-        ecdf.crossJoin(F.broadcast(tot))
-        .select(
-            "n_a",
-            "n_b",
-            "v",
-            F.abs(F.col("n_b") * F.col("cum_a") - F.col("n_a") * F.col("cum_b")).alias(
-                "dn"
-            ),
-        )
-        .groupBy("n_a", "n_b")
-        .agg(
-            F.max("dn").alias("d_num"),
-            F.expr("min_by(v, struct(-dn, v))").alias("ks_at_value"),
-        )
-    )
-    # try_divide: an empty side makes D undefined -> NULL (Spark 4 ANSI
-    # errors even on double division by zero)
-    nab = F.col("n_a").cast("double") * F.col("n_b")
-    ks = F.try_divide(F.col("d_num").cast("double"), nab)
-    crit = F.lit(1.358) * F.sqrt(
-        F.try_divide((F.col("n_a") + F.col("n_b")).cast("double"), nab)
-    )
-    return d.select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("d_num").cast("long").alias("d_num"),
-        ks.alias("ks_stat"),
-        "ks_at_value",
-        (ks > crit).alias("reject_95"),
-    )
+    return ks_two_sample_by(df, F.lit(0), value, in_a, in_b).drop("group_key")
 
 
 def psi_drift(
@@ -213,39 +176,11 @@ def psi_drift(
     cross-multiplied, so the per-bin products sum as exact integers —
     reduction-order-immune — and the final PSI is two identical
     divisions. One map-side-combined groupBy to bin counts; everything
-    after runs on the bounded bin frame."""
-    per_bin = df.groupBy(bin_col.alias("bin")).agg(
-        F.sum(in_a.cast("long")).alias("ca"),
-        F.sum(in_b.cast("long")).alias("cb"),
-    )
-    tot = per_bin.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count("*").alias("nbins")
-    )
-    j = per_bin.crossJoin(F.broadcast(tot))
-    na_s = F.col("na") + F.col("nbins")
-    nb_s = F.col("nb") + F.col("nbins")
-    num_a = (F.col("ca") + 1) * nb_s
-    num_b = (F.col("cb") + 1) * na_s
-    q = F.round(F.log(num_a.cast("double") / num_b) * 1000).cast("bigint")
-    terms = j.select(
-        "na",
-        "nb",
-        "nbins",
-        na_s.alias("na_s"),
-        nb_s.alias("nb_s"),
-        ((num_a - num_b) * q).alias("term"),
-    )
-    out = terms.groupBy("na", "nb", "nbins", "na_s", "nb_s").agg(
-        F.sum("term").alias("s")
-    )
-    psi = F.col("s") / (F.col("na_s").cast("double") * F.col("nb_s")) / 1000.0
-    return out.select(
-        F.col("na").cast("long").alias("n_a"),
-        F.col("nb").cast("long").alias("n_b"),
-        F.col("nbins").cast("long").alias("n_bins"),
-        psi.alias("psi"),
-        (psi > 0.2).alias("major_shift"),
-    )
+    after runs on the bounded bin frame.
+
+    Implemented as :func:`psi_drift_by` over a constant stratum so the
+    smoothing/quantization contract lives in ONE body (ADVICE r7)."""
+    return psi_drift_by(df, F.lit(0), bin_col, in_a, in_b).drop("group_key")
 
 
 def ks_two_sample_by(
@@ -1083,11 +1018,9 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     (n*n_ij - r_i*c_j)^2 / (n * r_i * c_j), where every numerator is an
     exact BIGINT and each cell contributes ONE correctly-rounded float
     division — summed over the bounded |r|x|c| frame, then quantized.
-    Absent cells (n_ij = 0) still contribute r_i*c_j/n, accounted
-    exactly via the closed form chi2 = n * (sum_observed - 1) ... no:
-    absent cells are handled by summing n*n_ij^2/(r_i*c_j) over PRESENT
-    cells and using the identity chi2 = n * (that sum - 1), which needs
-    no dense cell enumeration.
+    Absent cells (n_ij = 0) are handled by the sparse identity
+    chi2 = n * (sum over PRESENT cells of n_ij^2/(r_i*c_j) - 1), which
+    needs no dense cell enumeration.
 
     Scale: |categories_a| x |categories_b| bounded frames end-to-end
     after the first collapse; the row/col marginals broadcast back.
@@ -1151,8 +1084,11 @@ def acf_hourly(
     are computed in doubles from exact integer hourly sums and the
     global integer (n, sum): a few-thousand-term float sum carries
     ~1e-13 relative error, quantized at 1e-6. Gaps in the hour axis are
-    treated as missing buckets (pairs spanning a gap are simply absent
-    — consistent in both engines).
+    treated as missing buckets (pairs spanning a gap are absent from
+    the numerator). The contract is ONE ROW PER LAG unconditionally:
+    lags with zero pairs (series shorter than lag+1 hours, or a fully
+    gapped axis) still emit (lag, n_buckets, n_pairs=0,
+    acf_micros=NULL), so consumers indexing 1..max_lag never misalign.
 
     Scale: everything after the first map-side-combinable collapse runs
     on the hourly axis (time cardinality); the lag self-join is a
@@ -1189,15 +1125,25 @@ def acf_hourly(
         .agg(F.sum((F.col("x") - xbar) * (F.col("x") - xbar)).alias("den"))
         .select("n", "den")
     )
+    acf = num.join(F.broadcast(den), "n").select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_buckets"),
+        "n_pairs",
+        F.round(F.try_divide(F.lit(1_000_000.0) * F.col("num"), F.col("den")))
+        .cast("bigint")
+        .alias("acf_micros"),
+    )
+    # one row per lag unconditionally: pairless lags (short/gapped series)
+    # emit n_pairs=0, acf_micros=NULL rather than silently vanishing
     return (
-        num.join(F.broadcast(den), "n")
+        lags.select(F.col("lag").cast("long").alias("lag"))
+        .join(acf, "lag", "left")
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_total"))))
         .select(
-            F.col("lag").cast("long").alias("lag"),
-            F.col("n").alias("n_buckets"),
-            "n_pairs",
-            F.round(F.try_divide(F.lit(1_000_000.0) * F.col("num"), F.col("den")))
-            .cast("bigint")
-            .alias("acf_micros"),
+            "lag",
+            F.coalesce("n_buckets", F.col("n_total")).cast("long").alias("n_buckets"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            "acf_micros",
         )
         .orderBy("lag")
     )

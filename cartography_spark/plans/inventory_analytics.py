@@ -1542,11 +1542,14 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (x - CAST(t.sx AS DOUBLE) / t.n)) AS den
       FROM hourly CROSS JOIN t GROUP BY t.n
     )
-    SELECT CAST(lag AS BIGINT) AS lag,
-           CAST(num.n AS BIGINT) AS n_buckets,
-           CAST(n_pairs AS BIGINT) AS n_pairs,
-           CAST(round(1000000.0 * num / den) AS BIGINT) AS acf_micros
-    FROM num JOIN den ON den.n = num.n
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           CAST(coalesce(num.n, t.n) AS BIGINT) AS n_buckets,
+           CAST(coalesce(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(round(1000000.0 * num.num / den.den) AS BIGINT) AS acf_micros
+    FROM lags l
+    LEFT JOIN num ON num.lag = l.lag
+    LEFT JOIN den ON den.n = num.n
+    CROSS JOIN t
     """,
     doc="Autocorrelation of the hourly event-value series at lags 1..6 "
     "(operators/profiling.py:acf_hourly) — the standard biased "

@@ -1753,3 +1753,218 @@ def q_job_tenant_node_materialization(spark: SparkSession, sf_dir: str) -> DataF
     assert GraphJob.from_json(job.as_json()) == job
     job.run(cat, params={"UPDATE_TAG": 200})
     return job.run(cat, params={"UPDATE_TAG": 200})[-1]  # anti-joins empty on rerun
+
+
+# ---------------------------------------------------------------------------
+# Cleanup-corpus ports (data/jobs/cleanup/*.json) — the last unmapped job
+# directory. Each port compiles one reference JSON 1:1 through GraphJob.
+# ---------------------------------------------------------------------------
+
+_PRINCIPAL_ORPHAN_JOB_JSON = """
+{
+  "name": "cleanup AWSPrincipal",
+  "short_name": "principal_orphan_stale_cleanup",
+  "statements": [
+    {"query": "SELECT n.* FROM n_Supplier n WHERE EXISTS (SELECT 1 FROM e_Region__RESOURCE__Supplier e WHERE e.dst_id = n.id) OR n.lastupdated = $UPDATE_TAG",
+     "writes": "Supplier"},
+    {"query": "SELECT e.* FROM e_Supplier__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Supplier n WHERE n.id = e.src_id)",
+     "writes": "Supplier,LOCATED_IN,Nation"},
+    {"query": "SELECT n.id, n.lastupdated, e.dst_id IS NOT NULL AS anchored FROM n_Supplier n LEFT JOIN (SELECT DISTINCT dst_id FROM e_Region__RESOURCE__Supplier) e ON e.dst_id = n.id",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_principal_orphan_stale_cleanup",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS id,
+           CAST(CASE WHEN s_suppkey % 3 = 0 THEN 50 ELSE 100 END AS BIGINT) AS lastupdated,
+           (s_suppkey % 5 <> 0) AS anchored
+    FROM supplier
+    WHERE s_suppkey % 5 <> 0 OR s_suppkey % 3 <> 0
+    """,
+    doc="1:1 port of the reference cleanup-corpus job "
+    "aws_post_ingestion_principals_cleanup.json (data/jobs/cleanup/): "
+    "MATCH (n:AWSPrincipal) WHERE NOT (n)<-[:RESOURCE]-(:AWSAccount) AND "
+    "n.lastupdated <> $UPDATE_TAG DETACH DELETE n. On the fixture graph "
+    "AWSPrincipal=Supplier, AWSAccount=Region: the negated pattern "
+    "predicate compiles to an EXISTS semi-join on the RESOURCE edge "
+    "table, the stale-tag test binds through the $UPDATE_TAG param, and "
+    "DETACH is an explicit rewrite of the LOCATED_IN edge table against "
+    "surviving suppliers. The reference's LIMIT-100 iterative chunking is "
+    "one set-based statement here (job.py docstring). Pre-state: RESOURCE "
+    "anchors removed for suppkey%5=0, tags reset to stale 50 for "
+    "suppkey%3=0. End state: only suppliers BOTH unanchored AND stale are "
+    "deleted. The job runs TWICE (orphan deletion is idempotent).",
+    tags=("engine", "job"),
+)
+def q_job_principal_orphan_stale_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    k = F.col("id").cast("long")
+    cat.set_node(
+        "Supplier",
+        cat.node("Supplier").withColumn(
+            "lastupdated",
+            F.when(k % 3 == 0, F.lit(50)).otherwise(F.col("lastupdated")).cast("bigint"),
+        ),
+    )
+    rkey = ("Region", "RESOURCE", "Supplier")
+    cat.set_edge(rkey, cat.edges[rkey].filter(F.col("dst_id").cast("long") % 5 != 0))
+    job = GraphJob.from_json(_PRINCIPAL_ORPHAN_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={"UPDATE_TAG": 100})
+    return job.run(cat, params={"UPDATE_TAG": 100})[-1]  # second run proves idempotency
+
+
+_S3_DETAILS_JOB_JSON = """
+{
+  "name": "AWS S3 Exposure Details",
+  "short_name": "s3_details_property_remove",
+  "statements": [
+    {"query": "SELECT n.id, n.name, n.acctbal, n.mktsegment, n.c_custkey, n.c_nationkey, n.lastupdated, n.firstseen, CASE WHEN t.dst_id IS NOT NULL AND n.anonymous_access IS NOT NULL THEN NULL ELSE n.anonymous_access END AS anonymous_access, CASE WHEN t.dst_id IS NOT NULL AND n.anonymous_access IS NOT NULL THEN NULL ELSE n.anonymous_actions END AS anonymous_actions FROM n_Customer n LEFT JOIN (SELECT DISTINCT dst_id FROM e_Region__RESOURCE__Customer WHERE src_id = $AWS_ID) t ON t.dst_id = n.id",
+     "writes": "Customer"},
+    {"query": "SELECT id, coalesce(anonymous_access, '') AS anonymous_access, coalesce(anonymous_actions, '') AS anonymous_actions FROM n_Customer",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_s3_details_property_remove",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           CASE WHEN c_custkey % 4 = 0 AND n_regionkey <> 0
+                THEN 'Enabled' ELSE '' END AS anonymous_access,
+           CASE WHEN c_custkey % 4 = 0 AND n_regionkey <> 0
+                THEN 'GetObject,ListBucket' ELSE '' END AS anonymous_actions
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="1:1 port of the reference cleanup-corpus job aws_s3_details.json "
+    "(data/jobs/cleanup/): MATCH (:AWSAccount{id:$AWS_ID})-[:RESOURCE]->"
+    "(s:AWSS3Bucket) WHERE s.anonymous_access IS NOT NULL REMOVE "
+    "s.anonymous_access, s.anonymous_actions — the tenant-scoped REMOVE "
+    "that strips per-sync S3 exposure details before re-ingest. On the "
+    "fixture graph AWSAccount=Region '0', bucket=Customer: the id-scoped "
+    "match compiles to a semi-join on the tenant RESOURCE edge filtered "
+    "to $AWS_ID, the IS NOT NULL guard gates the rewrite, and REMOVE is "
+    "a guarded column-to-NULL projection (same compile as "
+    "job_property_remove_cleanup but tenant-scoped through the edge "
+    "table, not global). Pre-state: custkey%4=0 carries "
+    "anonymous_access='Enabled' + an actions string. End state: tenant-0 "
+    "buckets stripped; other tenants keep their details. Runs TWICE "
+    "(second run's IS NOT NULL guard matches nothing).",
+    tags=("engine", "job"),
+)
+def q_job_s3_details_property_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    k = F.col("id").cast("long")
+    cat.set_node(
+        "Customer",
+        cat.node("Customer")
+        .withColumn("anonymous_access", F.when(k % 4 == 0, F.lit("Enabled")))
+        .withColumn("anonymous_actions", F.when(k % 4 == 0, F.lit("GetObject,ListBucket"))),
+    )
+    job = GraphJob.from_json(_S3_DETAILS_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    job.run(cat, params={"AWS_ID": "0"})
+    return job.run(cat, params={"AWS_ID": "0"})[-1]  # REMOVE is idempotent
+
+
+_OKTA_GROUPS_JOB_JSON = """
+{
+  "name": "Okta groups cleanup",
+  "short_name": "okta_group_membership_cleanup",
+  "statements": [
+    {"query": "SELECT e.* FROM e_Customer__LOCATED_IN__Nation e WHERE NOT (e.lastupdated <> $UPDATE_TAG AND EXISTS (SELECT 1 FROM e_Region__RESOURCE__Nation r WHERE r.src_id = $OKTA_ORG_ID AND r.dst_id = e.dst_id))",
+     "writes": "Customer,LOCATED_IN,Nation"},
+    {"query": "SELECT n.* FROM n_Nation n WHERE NOT (n.lastupdated <> $UPDATE_TAG AND EXISTS (SELECT 1 FROM e_Region__RESOURCE__Nation r WHERE r.src_id = $OKTA_ORG_ID AND r.dst_id = n.id))",
+     "writes": "Nation"},
+    {"query": "SELECT e.* FROM e_Customer__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Nation n WHERE n.id = e.dst_id)",
+     "writes": "Customer,LOCATED_IN,Nation"},
+    {"query": "SELECT e.* FROM e_Supplier__LOCATED_IN__Nation e WHERE EXISTS (SELECT 1 FROM n_Nation n WHERE n.id = e.dst_id)",
+     "writes": "Supplier,LOCATED_IN,Nation"},
+    {"query": "SELECT r.* FROM e_Region__RESOURCE__Nation r WHERE EXISTS (SELECT 1 FROM n_Nation n WHERE n.id = r.dst_id)",
+     "writes": "Region,RESOURCE,Nation"},
+    {"query": "SELECT n.id, n.lastupdated, CAST(count(e.src_id) AS BIGINT) AS n_members FROM n_Nation n LEFT JOIN e_Customer__LOCATED_IN__Nation e ON e.dst_id = n.id GROUP BY n.id, n.lastupdated",
+     "writes": null}
+  ]
+}
+"""
+
+
+@query(
+    "job_okta_group_membership_cleanup",
+    oracle="""
+    WITH nat AS (
+      SELECT n_nationkey AS k, n_regionkey,
+             CASE WHEN n_nationkey % 4 = 0 THEN 50 ELSE 100 END AS tag
+      FROM nation
+    ),
+    surv AS (SELECT * FROM nat WHERE NOT (tag <> 100 AND n_regionkey = 0)),
+    mem AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 50 ELSE 100 END AS etag
+      FROM customer
+    )
+    SELECT CAST(k AS VARCHAR) AS id, CAST(tag AS BIGINT) AS lastupdated,
+           CAST(count(CASE WHEN NOT (etag <> 100 AND n_regionkey = 0)
+                           THEN c_custkey END) AS BIGINT) AS n_members
+    FROM surv LEFT JOIN mem ON c_nationkey = k
+    GROUP BY k, tag, n_regionkey
+    """,
+    doc="1:1 port of the reference cleanup-corpus job "
+    "okta_groups_cleanup.json (data/jobs/cleanup/): statement 1 deletes "
+    "stale MEMBER_OF_OKTA_GROUP relationships into the org's groups "
+    "(MATCH (:OktaOrganization{id:$OKTA_ORG_ID})-[:RESOURCE]->"
+    "(:OktaGroup)<-[r]-(:OktaUser) WHERE r.lastupdated <> $UPDATE_TAG "
+    "DELETE r), statement 2 DETACH-DELETEs stale groups in the org. On "
+    "the fixture graph Organization=Region '0', Group=Nation, "
+    "User=Customer, membership=LOCATED_IN. Rel staleness lives ON the "
+    "edge rows (edge tables carry their own lastupdated — SURVEY §1.4), "
+    "org scoping is a semi-join against the tenant RESOURCE edge "
+    "filtered to $OKTA_ORG_ID, and DETACH expands to explicit rewrites "
+    "of all three edge tables touching Nation. Pre-state: membership "
+    "edges stale (tag 50) for custkey%3=0, groups stale for "
+    "nationkey%4=0. End state: stale org-0 memberships gone even into "
+    "surviving groups; stale org-0 groups gone with all their edges; "
+    "other orgs untouched. Runs TWICE (both deletes are idempotent); "
+    "the read hashes every surviving group's (id, tag, member count).",
+    tags=("engine", "job"),
+)
+def q_job_okta_group_membership_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob
+
+    cat = base_catalog(spark, sf_dir)
+    mkey = ("Customer", "LOCATED_IN", "Nation")
+    cat.set_edge(
+        mkey,
+        cat.edges[mkey].withColumn(
+            "lastupdated",
+            F.when(F.col("src_id").cast("long") % 3 == 0, F.lit(50))
+            .otherwise(F.col("lastupdated"))
+            .cast("bigint"),
+        ),
+    )
+    nk = F.col("id").cast("long")
+    cat.set_node(
+        "Nation",
+        cat.node("Nation").withColumn(
+            "lastupdated",
+            F.when(nk % 4 == 0, F.lit(50)).otherwise(F.col("lastupdated")).cast("bigint"),
+        ),
+    )
+    job = GraphJob.from_json(_OKTA_GROUPS_JOB_JSON)
+    assert GraphJob.from_json(job.as_json()) == job
+    params = {"UPDATE_TAG": 100, "OKTA_ORG_ID": "0"}
+    job.run(cat, params=params)
+    return job.run(cat, params=params)[-1]  # second run proves idempotency

@@ -151,6 +151,63 @@ def test_acf_constant_series_yields_null(spark):
     assert out.acf_micros is None  # zero variance -> undefined, not an error
 
 
+def test_acf_pairless_lags_still_emit_rows(spark):
+    from cartography_spark.operators.profiling import acf_hourly
+
+    # 3-hour series, max_lag=6: lags 3..6 have ZERO pairs but must still
+    # appear — one row per lag unconditionally (ADVICE r7: silent omission
+    # misaligns consumers indexing 1..max_lag)
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(t0 + datetime.timedelta(hours=h), float(h)) for h in range(3)],
+        "ts timestamp, value double",
+    )
+    out = {
+        r.lag: r
+        for r in acf_hourly(
+            ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=6
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    assert out[1].n_pairs == 2 and out[2].n_pairs == 1
+    for lag in (3, 4, 5, 6):
+        assert out[lag].n_pairs == 0
+        assert out[lag].acf_micros is None
+        assert out[lag].n_buckets == 3
+
+
+def test_ks_psi_global_equals_stratified_constant_key(spark):
+    # the global forms ARE the stratified forms over a constant stratum
+    # (ADVICE r7 dedup) — pin the equivalence on a concrete frame
+    from cartography_spark.operators.profiling import (
+        ks_two_sample,
+        ks_two_sample_by,
+        psi_drift,
+        psi_drift_by,
+    )
+
+    df = spark.createDataFrame(
+        [(v % 7, v % 2 == 0, v % 3 == 0) for v in range(50)],
+        "v int, a boolean, b boolean",
+    )
+    g = ks_two_sample(df, F.col("v"), F.col("a"), F.col("b")).head().asDict()
+    s = (
+        ks_two_sample_by(df, F.lit(0), F.col("v"), F.col("a"), F.col("b"))
+        .drop("group_key")
+        .head()
+        .asDict()
+    )
+    assert g == s
+    gp = psi_drift(df, F.col("v"), F.col("a"), F.col("b")).head().asDict()
+    sp = (
+        psi_drift_by(df, F.lit(0), F.col("v"), F.col("a"), F.col("b"))
+        .drop("group_key")
+        .head()
+        .asDict()
+    )
+    assert gp == sp
+
+
 def test_hapax_ratio_hand_computed(spark):
     from cartography_spark.operators.textstats import hapax_ratio_by
 
