@@ -295,3 +295,56 @@ def hll_registers_by(df: DataFrame, col: str, group_cols: list[str]) -> DataFram
         .groupBy(*group_cols, "b")
         .agg(F.max("rho").alias("mx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (r08): the mergeable quantile summary that
+# complements exact order statistics where a 100 TB budget can't afford
+# distinct-value frames (VERDICT r7 item 6).
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(df: DataFrame, id_col, value_col, k: int, salt: str) -> DataFrame:
+    """Deterministic uniform k-sample: the k rows with the SMALLEST
+    md5(id:salt) — the quantile-sketch analogue of KMV. Because the hash
+    order is a fixed uniform permutation of the rows, the bottom-k set is a
+    simple random sample without replacement, and it is EXACTLY mergeable:
+    bottomk(A u B) = bottomk(bottomk(A) u bottomk(B)) — per-partition (or
+    per-source, per-day) sketches union and re-take-k with no rescan, the
+    same associativity contract as KMV/HLL/Count-Min in this module.
+
+    Distributed cost: one hash projection + a global TakeOrdered(k) — no
+    full shuffle, no sort of the data (Spark's orderBy().limit(k) compiles
+    to per-partition top-k + a k-row merge on the driver side of the
+    exchange). Sample quantiles from k rows carry the standard
+    O(1/sqrt(k)) error; k=256 gives ~6% rank error at 95% confidence —
+    the trade a 100 TB scan makes when the exact distinct-value cumsum
+    (conformal_interval_calibrate's pattern) is too wide.
+
+    md5-portable: DuckDB reproduces the sample bit-exactly, so the sketch
+    is oracle-verified end-to-end (module docstring convention).
+    """
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
+    return df.select(h.alias("h"), value_col.alias("v")).orderBy("h").limit(k)
+
+
+def quantiles_from_sample(sample: DataFrame, q_pcts: tuple[int, ...]) -> DataFrame:
+    """Discrete sample quantiles from a bottom-k sample: for each q, the
+    value at rank ceil(q * n_sample / 100) in value order (ties broken by
+    hash for a total order; the VALUE at a rank is tie-order-invariant).
+    The sample is k rows, so the window sort is a bounded frame."""
+    from pyspark.sql import Window
+
+    ranked = sample.select(
+        "v", F.row_number().over(Window.orderBy("v", "h")).alias("rn")
+    ).crossJoin(F.broadcast(sample.agg(F.count("*").alias("n_s"))))
+    qf = sample.sparkSession.createDataFrame(
+        [(q,) for q in q_pcts], "q_pct int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(qf),
+            ranked.rn == F.ceil(F.col("q_pct") * F.col("n_s") / F.lit(100.0)),
+        )
+        .select(F.col("q_pct").cast("long").alias("q_pct"), F.col("v").alias("est"))
+    )

@@ -1694,3 +1694,125 @@ def q_conformal_mondrian_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(0.9).alias("target"),
         )
     )
+
+
+@query(
+    "sketch_quantile_bottomk",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type,
+             md5(CAST(event_id AS VARCHAR) || ':qsk') AS h
+      FROM events
+    ),
+    direct AS (SELECT h, v FROM base ORDER BY h LIMIT 256),
+    per_src AS (
+      SELECT h, v FROM (
+        SELECT h, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM base
+      ) WHERE rn <= 256
+    ),
+    merged AS (SELECT h, v FROM per_src ORDER BY h LIMIT 256),
+    qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct),
+    rd AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                  count(*) OVER () AS n_s FROM direct),
+    rm AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                  count(*) OVER () AS n_s FROM merged),
+    ed AS (SELECT q_pct, v AS est_direct_cents FROM qs JOIN rd
+           ON rd.rn = CAST(ceil(q_pct * n_s / 100.0) AS BIGINT)),
+    em AS (SELECT q_pct, v AS est_merged_cents FROM qs JOIN rm
+           ON rm.rn = CAST(ceil(q_pct * n_s / 100.0) AS BIGINT)),
+    pv AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+    e AS (SELECT v, sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pv),
+    t AS (SELECT max(cum) AS n FROM e),
+    ex AS (
+      SELECT q_pct, min(v) AS exact_cents
+      FROM qs CROSS JOIN e CROSS JOIN t
+      WHERE cum >= ceil(q_pct * n / 100.0)
+      GROUP BY q_pct
+    )
+    SELECT CAST(em.q_pct AS BIGINT) AS q_pct,
+           em.est_merged_cents,
+           ed.est_direct_cents,
+           (em.est_merged_cents = ed.est_direct_cents) AS merged_equals_direct,
+           ex.exact_cents,
+           abs(em.est_merged_cents - ex.exact_cents) AS abs_err_cents
+    FROM em JOIN ed USING (q_pct) JOIN ex USING (q_pct)
+    """,
+    doc="Mergeable bottom-k quantile sketch with an in-query merge-equality "
+    "and accuracy audit (operators/sketches.py:bottomk_sample) — the "
+    "quantile summary that complements exact order statistics where a "
+    "100 TB budget can't afford distinct-value frames (VERDICT r7 item "
+    "6). The sketch is the k=256 rows with smallest md5(event_id:salt): "
+    "a deterministic uniform sample whose bottom-k set is EXACTLY "
+    "mergeable (bottomk(A u B) = bottomk(bottomk(A) u bottomk(B)) — the "
+    "KMV associativity argument applied to rows). The query builds the "
+    "sketch BOTH ways — direct global TakeOrdered(k), and per-source "
+    "sketches unioned and re-taken — and proves merged == direct per "
+    "quantile (the mergeability theorem, hash-verified), alongside the "
+    "exact quantile from the distinct-value cumsum and the absolute "
+    "error the k=256 sample pays for its O(1/sqrt(k)) rank guarantee. "
+    "md5-portable: DuckDB reproduces the sample bit-exactly, so the "
+    "sketch is value-verified end-to-end, not within-tolerance. Scale: "
+    "one hash projection + TakeOrdered(k) per sketch (no full shuffle, "
+    "no data sort); the per-source path windows WITHIN sources "
+    "(parallel across them); every frame after sampling is <= k rows.",
+    tags=("sketch", "scale"),
+)
+def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import bottomk_sample, quantiles_from_sample
+
+    K, SALT = 256, "qsk"
+    QS = (25, 50, 75, 90, 99)
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "event_type",
+    )
+    direct = bottomk_sample(base, F.col("event_id"), F.col("v"), K, SALT)
+    # merged path: per-source bottom-k sketches (windowed WITHIN each
+    # source, parallel across sources), union, re-take-k — the merge
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":" + SALT)))
+    w = Window.partitionBy("event_type").orderBy("h")
+    per_src = (
+        base.select("event_type", h.alias("h"), "v")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .drop("rn", "event_type")
+    )
+    merged = per_src.orderBy("h").limit(K)
+    est_m = quantiles_from_sample(merged, QS).withColumnRenamed("est", "est_merged_cents")
+    est_d = quantiles_from_sample(direct, QS).withColumnRenamed("est", "est_direct_cents")
+    # exact quantiles: distinct-value cumsum (sort-free order statistic)
+    per_v = base.groupBy("v").agg(F.count("*").alias("c"))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = per_v.select("v", F.sum("c").over(cum).alias("cum"))
+    tot = e.agg(F.max("cum").alias("n"))
+    qf = spark.createDataFrame([(q,) for q in QS], "q_pct int")
+    exact = (
+        e.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(qf),
+            F.col("cum") >= F.ceil(F.col("q_pct") * F.col("n") / F.lit(100.0)),
+        )
+        .groupBy(F.col("q_pct").cast("long").alias("q_pct"))
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return (
+        est_m.join(est_d, "q_pct")
+        .join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "est_merged_cents",
+            "est_direct_cents",
+            (F.col("est_merged_cents") == F.col("est_direct_cents")).alias(
+                "merged_equals_direct"
+            ),
+            "exact_cents",
+            F.abs(F.col("est_merged_cents") - F.col("exact_cents")).alias(
+                "abs_err_cents"
+            ),
+        )
+    )

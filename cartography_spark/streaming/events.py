@@ -385,3 +385,40 @@ def psi_bin_stream(
         .agg(F.count("*").cast("long").alias("n"))
         .select(F.col("w.start").alias("window_start"), "bin", "n")
     )
+
+
+def value_count_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    quant_cents: int = 100,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Maintain per-window QUANTIZED-VALUE counts — the mergeable state a
+    streaming Kolmogorov-Smirnov gate needs: (window_start, v, n), where
+    v is the value quantized to ``quant_cents`` so state stays bounded by
+    the value DOMAIN (not the event count) per watermark-live window. KS
+    of the quantized variable is exact KS of that variable — the same
+    upstream-quantization contract as the batch ks_two_sample.
+
+    The exact factoring psi_bin_stream established (r07): the stream owns
+    only additive count() state (partials merge by SUM, so emitted
+    windows sum to EXACTLY the batch histogram); the drift statistic is a
+    read-side fold over emitted windows through the SAME batch operator
+    — swapping PSI for KS touches zero stream state, which is why this
+    function differs from psi_bin_stream only in the grouping column.
+
+    Same OUTPUT-MODE CONTRACT as hll_register_stream: run in ``complete``
+    (or ``update``) mode — append would withhold the trailing
+    watermark-width of windows from the read-side fold.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.floor(cents / F.lit(float(quant_cents))).cast("long").alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "v", "n")
+    )

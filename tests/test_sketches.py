@@ -97,3 +97,35 @@ def test_countmin_merge_associative(spark):
     )
     direct = countmin_build(a.unionByName(b), "x")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bottomk_sample_exactly_mergeable(spark):
+    """bottomk(A u B) == bottomk(bottomk(A) u bottomk(B)) — the theorem the
+    r08 quantile sketch rides on, pinned on a concrete frame."""
+    from cartography_spark.operators.sketches import bottomk_sample
+
+    a = spark.createDataFrame([(i, i * 10) for i in range(0, 40)], "id long, v long")
+    b = spark.createDataFrame([(i, i * 10) for i in range(40, 90)], "id long, v long")
+    k, salt = 8, "t"
+    direct = bottomk_sample(a.unionByName(b), F.col("id"), F.col("v"), k, salt)
+    # merge = union of sketches + re-take-k on the stored hash (no re-hash)
+    merged = (
+        bottomk_sample(a, F.col("id"), F.col("v"), k, salt)
+        .unionByName(bottomk_sample(b, F.col("id"), F.col("v"), k, salt))
+        .orderBy("h")
+        .limit(k)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    assert direct.count() == k
+
+
+def test_quantiles_from_sample_hand_computed(spark):
+    from cartography_spark.operators.sketches import quantiles_from_sample
+
+    # 4-row sample, values 10..40: rank(50%) = ceil(0.5*4) = 2 -> 20;
+    # rank(99%) = ceil(3.96) = 4 -> 40; rank(25%) = 1 -> 10
+    sample = spark.createDataFrame(
+        [("a", 30), ("b", 10), ("c", 40), ("d", 20)], "h string, v long"
+    )
+    est = {r.q_pct: r.est for r in quantiles_from_sample(sample, (25, 50, 99)).collect()}
+    assert est == {25: 10, 50: 20, 99: 40}

@@ -323,3 +323,34 @@ def test_streaming_cdc_revive_after_tombstone(spark):
     )
     got = {r.k: r.name for r in out.collect()}
     assert got == {2: "b2", 3: "c2"}
+
+
+def test_value_count_stream_equals_batch(spark, sf_dir):
+    """Summed per-window streaming value counts == the batch quantized
+    histogram: the additive contract the streaming KS gate rides on."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.sources.parquet import load_table
+    from cartography_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        value_count_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    per_window = run_available_now(
+        value_count_stream(stream), "vc_stream_test", output_mode="complete"
+    )
+    streamed = per_window.groupBy("v").agg(F.sum("n").cast("long").alias("n"))
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.round(F.col("value") * 100).cast("long") / F.lit(100.0))
+            .cast("long")
+            .alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
