@@ -465,6 +465,57 @@ def ranking_auc(
     )
 
 
+def average_precision(
+    scored: DataFrame, score_col: str = "score_millinats", label_col: str = "correct"
+) -> DataFrame:
+    """Exact PR-AUC (average precision) of a scored binary outcome — the
+    discrimination metric that, unlike ROC-AUC (ranking_auc), is not
+    inflated by a large negative class, so it is the one retrieval and
+    rare-event filters report. Step-wise AP over distinct score
+    thresholds descending (the sklearn average_precision_score
+    definition): AP = sum_s (n1_s / P) * (cum1_s / cum_tot_s), where
+    cum1/cum_tot count labels at-or-above threshold s.
+
+    Exactness: each threshold's term is quantized INDEPENDENTLY —
+    term_micros = round(1e6 * n1_s * cum1_s / cum_tot_s) — so the sum is
+    exact BIGINT arithmetic (reduction-order-immune, the psi_drift
+    contract) and the final AP is one identical division by P on both
+    engines; ap_micros_sum ships in the output for a bit-stable hash.
+
+    Scale shape: identical to ranking_auc — one map-side-combinable
+    collapse to distinct scores, rank cumsum over that bounded frame,
+    never a global sort of the raw predictions.
+    """
+    from pyspark.sql import Window
+
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n0"),
+    )
+    above = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_score.select(
+        "n1",
+        F.sum("n1").over(above).alias("cum1"),
+        (F.sum("n1").over(above) + F.sum("n0").over(above)).alias("cum_tot"),
+    )
+    term = F.round(
+        F.lit(1_000_000.0) * F.col("n1") * F.col("cum1") / F.col("cum_tot")
+    ).cast("long")
+    totals = cum.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        (F.max("cum_tot") - F.sum("n1")).cast("long").alias("n_neg"),
+        F.sum(term).cast("long").alias("ap_micros_sum"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        "ap_micros_sum",
+        F.try_divide(F.col("ap_micros_sum") / 1_000_000.0, F.col("n_pos").cast("double")).alias(
+            "average_precision"
+        ),
+    )
+
+
 def chi2_feature_selection(
     docs: DataFrame,
     n_buckets: int = 64,

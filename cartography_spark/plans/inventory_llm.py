@@ -2067,6 +2067,52 @@ def q_classifier_ranking_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "classifier_pr_auc",
+    oracle=f"""
+    WITH {_NB_CTES},
+    by_score AS (
+      SELECT score_millinats AS s,
+             sum(CASE WHEN correct THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN correct THEN 0 ELSE 1 END) AS n0
+      FROM nb GROUP BY score_millinats
+    ),
+    cum AS (
+      SELECT n1,
+             sum(n1) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(n1 + n0) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot
+      FROM by_score
+    )
+    SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+           CAST(max(cum_tot) - sum(n1) AS BIGINT) AS n_neg,
+           CAST(sum(CAST(round(1000000.0 * n1 * cum1 / cum_tot) AS BIGINT)) AS BIGINT)
+             AS ap_micros_sum,
+           sum(CAST(round(1000000.0 * n1 * cum1 / cum_tot) AS BIGINT)) / 1000000.0
+             / CAST(sum(n1) AS DOUBLE) AS average_precision
+    FROM cum
+    """,
+    doc="Exact PR-AUC (average precision) of the NB classifier's "
+    "confidence as a predictor of its own correctness "
+    "(operators/textstats.py:average_precision) — the discrimination "
+    "metric retrieval and rare-event filters report because, unlike "
+    "ROC-AUC, it is not inflated by a large negative class. Step-wise AP "
+    "over distinct score thresholds descending (sklearn "
+    "average_precision_score definition); each threshold's term is "
+    "quantized independently to micros so the sum is exact BIGINT "
+    "arithmetic (reduction-order-immune) and AP is one identical final "
+    "division. Same scale shape as classifier_ranking_auc: collapse to "
+    "distinct integer scores, cumsum the bounded frame, no global sort. "
+    "Completes the classifier-eval family: calibration (reliability), "
+    "ROC-AUC (ranking), PR-AUC (rare-class discrimination).",
+    tags=("llm", "text", "eval"),
+)
+def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = ts.nb_language_classifier(_docs(spark, sf_dir))
+    return ts.average_precision(nb, score_col="score_millinats", label_col="correct")
+
+
+@query(
     "multimodal_phash_near_dup",
     oracle=f"""
     WITH bts AS (SELECT doc_id, {_MD5_BYTES} AS bs FROM documents),

@@ -1,0 +1,54 @@
+"""Hand-computed unit tests for the round-8 additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_average_precision_hand_computed(spark):
+    from cartography_spark.operators.textstats import average_precision
+
+    # thresholds desc: s=3 -> term 1e6*1*1/1; s=2 -> 1e6*1*2/3 = 666667;
+    # s=1 -> n1=0 term 0. P=2 -> AP = 1.666667/2 = 0.8333335
+    df = spark.createDataFrame(
+        [(3, True), (2, False), (2, True), (1, False)], "s int, y boolean"
+    )
+    out = average_precision(df, score_col="s", label_col="y").head()
+    assert out.n_pos == 2 and out.n_neg == 2
+    assert out.ap_micros_sum == 1_000_000 + 666_667
+    assert abs(out.average_precision - 0.8333335) < 1e-9
+
+
+def test_average_precision_perfect_and_empty(spark):
+    from cartography_spark.operators.textstats import average_precision
+
+    # perfectly separated: AP = 1.0 exactly
+    df = spark.createDataFrame(
+        [(10, True), (9, True), (1, False), (0, False)], "s int, y boolean"
+    )
+    out = average_precision(df, score_col="s", label_col="y").head()
+    assert out.ap_micros_sum == 2_000_000 and out.average_precision == 1.0
+
+    # no positives: AP undefined -> NULL, not a division error (ANSI)
+    neg = spark.createDataFrame([(5, False), (4, False)], "s int, y boolean")
+    assert average_precision(neg, score_col="s", label_col="y").head().average_precision is None
+
+
+def test_analysis_aibom_runs_on_idempotent(spark, sf_dir):
+    """The derived RUNS_ON edge count equals the supplier-customer
+    same-nation pair count, and re-running the job leaves it unchanged
+    (the reference job reruns every sync)."""
+    from cartography_spark.plans.inventory_lifecycle import q_analysis_aibom_runs_on
+    from cartography_spark.sources.parquet import load_table
+
+    out = q_analysis_aibom_runs_on(spark, sf_dir)
+    got = {(r.nationkey, r.n_runs_on) for r in out.collect()}
+    sup = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").count()
+    cus = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").count()
+    want = {
+        (r.s_nationkey, r.ns * r.nc)
+        for r in sup.join(
+            cus, sup.s_nationkey == cus.c_nationkey
+        ).select("s_nationkey", sup["count"].alias("ns"), cus["count"].alias("nc")).collect()
+    }
+    assert got == want
