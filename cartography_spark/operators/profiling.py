@@ -1189,3 +1189,72 @@ def conformal_mondrian_calibrate(
             F.col("q_hat").cast("long").alias("q_hat"),
         )
     )
+
+
+def median_of_means_by(
+    df: DataFrame,
+    group_col,
+    id_col,
+    value_cents_col,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Median-of-means robust location estimate per group — the mergeable
+    alternative to the trimmed mean when a 100 TB scan can't afford even
+    per-group rank windows over raw rows: rows are dealt into
+    ``n_buckets`` fixed hash buckets (md5-portable, same '0x'||hex
+    convention as the sketch module), each bucket keeps an exact
+    BIGINT (sum, count) pair — map-side combinable, mergeable across
+    partitions/days by field-wise addition — and the estimate is the
+    median of the <= n_buckets bucket means. Heavy-tailed contamination
+    moves only the buckets it lands in, giving the classical
+    exp(-buckets/8)-tail guarantee where the plain mean has none.
+
+    Exactness: bucket means are quantized to milli BIGINTs with one
+    identical rounding; the median of the bounded bucket frame is the
+    exact average of the two middle ranks, published in micros
+    ((m_lo + m_hi) * 500 stays integer). The plain mean ships alongside
+    for contrast. The only per-row work is one hash + one sum/count.
+    """
+    from pyspark.sql import Window
+
+    b = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("b")
+    per_bucket = df.groupBy(group_col.alias("g"), b).agg(
+        F.sum(value_cents_col).cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    bm = per_bucket.select(
+        "g", "b", "s", "c", F.round(F.lit(1000.0) * F.col("s") / F.col("c")).cast("long").alias("m")
+    )
+    w = Window.partitionBy("g").orderBy("m", "b")
+    ranked = bm.select("g", "s", "c", "m", F.row_number().over(w).alias("rn"))
+    tot = ranked.groupBy("g").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum("s").alias("sum_cents"),
+        F.count("*").alias("nb"),
+    )
+    lo = F.floor((F.col("nb") + 1) / 2)
+    hi = F.ceil((F.col("nb") + 1) / 2)
+    return (
+        ranked.join(tot, "g")
+        .groupBy(
+            F.col("g"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("nb").cast("long").alias("n_buckets_eff"),
+            F.round(F.lit(1_000_000.0) * F.col("sum_cents") / F.col("n_rows"))
+            .cast("long")
+            .alias("mean_micros"),
+        )
+        .agg(
+            (
+                (F.min(F.when(F.col("rn") == lo, F.col("m")))
+                 + F.min(F.when(F.col("rn") == hi, F.col("m"))))
+                * 500
+            )
+            .cast("long")
+            .alias("mom_micros")
+        )
+    )

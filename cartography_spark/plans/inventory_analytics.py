@@ -1816,3 +1816,55 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "robust_median_of_means",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS b,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    pb AS (SELECT g, b, sum(c) AS s, count(*) AS c2 FROM v GROUP BY g, b),
+    bm AS (SELECT g, b, s, c2, CAST(round(1000.0 * s / c2) AS BIGINT) AS m FROM pb),
+    r AS (SELECT g, s, c2, m,
+                 row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn FROM bm),
+    t AS (SELECT g, sum(c2) AS n_rows, sum(s) AS sum_cents, count(*) AS nb
+          FROM r GROUP BY g)
+    SELECT r.g AS event_type,
+           CAST(t.n_rows AS BIGINT) AS n_rows,
+           CAST(t.nb AS BIGINT) AS n_buckets_eff,
+           CAST(round(1000000.0 * t.sum_cents / t.n_rows) AS BIGINT) AS mean_micros,
+           CAST((min(CASE WHEN rn = (t.nb + 1) // 2 THEN m END)
+               + min(CASE WHEN rn = CAST(ceil((t.nb + 1) / 2.0) AS BIGINT) THEN m END))
+               * 500 AS BIGINT) AS mom_micros
+    FROM r JOIN t USING (g)
+    GROUP BY r.g, t.n_rows, t.nb, t.sum_cents
+    """,
+    doc="Median-of-means robust event-value location per event type "
+    "(operators/profiling.py:median_of_means_by) — the MERGEABLE robust "
+    "estimator for when even per-group rank windows over raw rows are "
+    "too wide at 100 TB: rows deal into 32 fixed md5 hash buckets, each "
+    "bucket keeps an exact BIGINT (sum, count) — map-side combinable, "
+    "mergeable across partitions/days by field-wise addition, the same "
+    "associativity contract as the sketch module — and the estimate is "
+    "the exact median of the bounded bucket-mean frame (average of the "
+    "two middle milli-means, published in micros so it stays integer). "
+    "Completes the robust-location ladder: mean (fragile) -> trimmed "
+    "mean (rank window over raw rows) -> median-of-means (constant "
+    "state). The plain mean ships alongside for contrast.",
+    tags=("analytics", "robust", "scale"),
+)
+def q_robust_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import median_of_means_by
+
+    ev = T(spark, sf_dir, "events")
+    return median_of_means_by(
+        ev,
+        F.col("event_type"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("long"),
+        n_buckets=32,
+    ).withColumnRenamed("g", "event_type")

