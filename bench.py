@@ -64,6 +64,10 @@ HEADLINE = [
     "rules_framework_rollup",
     "contrastive_hard_negatives",
     "streaming_session_window",
+    # r8: the three heaviest r8 additions, same promotion rationale
+    "streaming_ks_drift",
+    "sketch_quantile_bottomk",
+    "job_okta_group_membership_cleanup",
 ]
 
 # Measured and reported, but excluded from the headline total: raw pair-list

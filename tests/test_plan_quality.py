@@ -128,6 +128,9 @@ _SCALAR_ATTACH = {
     "text_query_likelihood_topk",   # x broadcast(1-row corpus token total)
     "streaming_psi_drift",          # x broadcast(1-row totals, via psi_drift)
     "text_kn_bigram_logprob",       # x broadcast(1-row bigram-type total)
+    "streaming_ks_drift",           # x broadcast(1-row population totals, via ks_two_sample)
+    "sketch_quantile_bottomk",      # x broadcast(1-row n_s/n totals + 5-row q spec) over <=256-row sketch frames
+    "classifier_pr_auc",            # same NB attach as classifier_ranking_auc
 }
 
 
