@@ -35,23 +35,27 @@ def test_average_precision_perfect_and_empty(spark):
 
 
 def test_analysis_aibom_runs_on_idempotent(spark, sf_dir):
-    """The derived RUNS_ON edge count equals the supplier-customer
-    same-nation pair count, and re-running the job leaves it unchanged
-    (the reference job reruns every sync)."""
+    """One derived RUNS_ON edge per order (linear fan-out, the reference
+    job's shape), and re-running the job leaves the set unchanged (the
+    reference job reruns every sync — the query itself runs it twice)."""
     from cartography_spark.plans.inventory_lifecycle import q_analysis_aibom_runs_on
     from cartography_spark.sources.parquet import load_table
 
     out = q_analysis_aibom_runs_on(spark, sf_dir)
-    got = {(r.nationkey, r.n_runs_on) for r in out.collect()}
-    sup = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").count()
-    cus = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").count()
+    got = {(r.regionkey, r.n_runs_on) for r in out.collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    cus = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
     want = {
-        (r.s_nationkey, r.ns * r.nc)
-        for r in sup.join(
-            cus, sup.s_nationkey == cus.c_nationkey
-        ).select("s_nationkey", sup["count"].alias("ns"), cus["count"].alias("nc")).collect()
+        (r.n_regionkey, r.n)
+        for r in orders.join(cus, orders.o_custkey == cus.c_custkey)
+        .join(nat, cus.c_nationkey == nat.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     assert got == want
+    assert sum(n for _, n in got) == orders.count()  # exactly one edge per order
 
 
 def test_median_of_means_resists_contamination(spark):
