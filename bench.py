@@ -125,7 +125,9 @@ def _prior_timings(sf) -> dict[str, float]:
     import glob
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True):
+    # BENCH_r*.json (driver, sorts first at equal sf), BENCH_sf*_r*.json and
+    # BENCH_local_r*.json (builder rehearsals) — the sf filter picks the lane
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_*.json")), reverse=True):
         try:
             with open(path) as f:
                 doc = json.load(f)
