@@ -419,3 +419,107 @@ def test_phrase_search_matches_bruteforce(spark, docs, phrase):
         if n:
             want[i] = n
     assert got == want
+
+
+# --- round-8 additions: bottom-k sketch, average precision, median-of-means ---
+
+_rows8 = st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(-100, 100)), min_size=1, max_size=40, unique_by=lambda t: t[0]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_rows8, split=st.integers(1, 999), k=st.integers(1, 12))
+def test_bottomk_sample_merge_equals_direct(spark, rows, split, k):
+    """bottomk(A u B) == re-take-k(bottomk(A) u bottomk(B)) for EVERY split
+    point and k — the exact-mergeability theorem the quantile sketch uses."""
+    from cartography_spark.operators.sketches import bottomk_sample
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    a, b = df.filter(F.col("id") < split), df.filter(F.col("id") >= split)
+    direct = bottomk_sample(df, F.col("id"), F.col("v"), k, "p8")
+    merged = (
+        bottomk_sample(a, F.col("id"), F.col("v"), k, "p8")
+        .unionByName(bottomk_sample(b, F.col("id"), F.col("v"), k, "p8"))
+        .orderBy("h")
+        .limit(k)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-20, 20), st.booleans()), min_size=1, max_size=30
+    )
+)
+def test_average_precision_matches_bruteforce(spark, rows):
+    """average_precision == the step-wise threshold definition computed in
+    plain Python (with the identical per-term micro quantization)."""
+    from cartography_spark.operators.textstats import average_precision
+
+    df = spark.createDataFrame(rows, "s int, y boolean")
+    out = average_precision(df, score_col="s", label_col="y").head()
+    pos = sum(1 for _, y in rows if y)
+    by_s: dict[int, list[int]] = {}
+    for s, y in rows:
+        c = by_s.setdefault(s, [0, 0])
+        c[0 if y else 1] += 1
+    cum1 = cumt = 0
+    ap_sum = 0
+    for s in sorted(by_s, reverse=True):
+        n1, n0 = by_s[s]
+        cum1 += n1
+        cumt += n1 + n0
+        # Spark ROUND on doubles is HALF_UP
+        import decimal
+
+        ap_sum += int(
+            decimal.Decimal(1_000_000.0 * n1 * cum1 / cumt).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+    assert out.n_pos == pos
+    assert out.ap_micros_sum == ap_sum
+    if pos == 0:
+        assert out.average_precision is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(-10_000, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    nb=st.integers(1, 8),
+)
+def test_median_of_means_matches_bruteforce(spark, rows, nb):
+    """mom_micros == the exact median (average of middle two) of the
+    per-bucket milli-means computed in plain Python with the same md5
+    bucketing and rounding."""
+    import decimal
+    import hashlib
+
+    from cartography_spark.operators.profiling import median_of_means_by
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = median_of_means_by(df, F.lit("g"), F.col("id"), F.col("v"), n_buckets=nb).head()
+
+    buckets: dict[int, list[int]] = {}
+    for i, v in rows:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % nb
+        buckets.setdefault(b, []).append(v)
+    means = sorted(
+        int(
+            decimal.Decimal(1000.0 * sum(vs) / len(vs)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for vs in buckets.values()
+    )
+    n = len(means)
+    lo, hi = means[(n + 1) // 2 - 1], means[-(-(n + 1) // 2) - 1]
+    assert out.n_buckets_eff == n
+    assert out.mom_micros == (lo + hi) * 500
