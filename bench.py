@@ -115,25 +115,42 @@ def _best_of_n(spec, spark, sf_dir: str) -> float:
 
 
 def _prior_timings(sf) -> dict[str, float]:
-    """Per-query timings from the most recent BENCH_r*.json at the same SF.
+    """Per-query timings from the most recent BENCH artifact at the same SF.
 
     Used to adjudicate host-epoch noise IN the artifact (VERDICT r7 item 2):
     any headline query breaching the ±30% band vs the prior round gets an
     immediate solo re-measure appended as ``solo_remeasure`` so a judge can
     separate plan regressions from batch-position noise without a session.
+
+    Artifact lanes: driver ``BENCH_r{N}.json`` (bench output nested under a
+    ``parsed`` key), builder ``BENCH_sf{X}_r{N}.json`` / ``BENCH_local_r{N}
+    .json`` (bench output at top level). Candidates sort by round number
+    NUMERICALLY (lexicographic glob order would put r9 after r10), driver
+    lane first within a round since it is the canonical prior.
     """
     import glob
+    import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # BENCH_r*.json (driver, sorts first at equal sf), BENCH_sf*_r*.json and
-    # BENCH_local_r*.json (builder rehearsals) — the sf filter picks the lane
-    for path in sorted(glob.glob(os.path.join(repo, "BENCH_*.json")), reverse=True):
+    candidates: list[tuple[int, int, str]] = []
+    for path in glob.glob(os.path.join(repo, "BENCH_*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            is_driver = 1 if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(path)) else 0
+            candidates.append((int(m.group(1)), is_driver, path))
+    for _, _, path in sorted(candidates, reverse=True):
         try:
             with open(path) as f:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if doc.get("sf") == sf and isinstance(doc.get("queries"), dict):
+        if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]  # driver artifact wraps the bench JSON line
+        if (
+            isinstance(doc, dict)
+            and doc.get("sf") == sf
+            and isinstance(doc.get("queries"), dict)
+        ):
             return {**doc["queries"], **doc.get("secondary", {})}
     return {}
 
@@ -184,16 +201,19 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Solo re-measure (VERDICT r7 item 2): any query whose batch time breached
-    # the ±30% host-noise band vs the latest recorded round at this SF is
+    # the ±30% host-noise band vs the latest recorded round at this SF — in
+    # EITHER direction; a 2x speedup is as suspicious as a 2x slowdown — is
     # re-run on its own (cold batch position, post-GC) and both numbers ship
-    # in the artifact. Sub-0.15s queries are exempt — at that magnitude a
+    # in the artifact. Sub-0.15s pairs are exempt — at that magnitude a
     # single hypervisor steal-time spike IS the measurement.
     solo_remeasure: dict[str, dict[str, float]] = {}
     if not only:
         prior = _prior_timings(sf_val)
         for name, t in timings.items():
             p = prior.get(name)
-            if p is not None and t >= 0.15 and t > p * 1.3:
+            if p is None or max(t, p) < 0.15:
+                continue
+            if t > p * 1.3 or t < p * 0.7:
                 solo_remeasure[name] = {
                     "batch_sec": t,
                     "prior_round_sec": p,

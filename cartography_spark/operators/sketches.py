@@ -324,20 +324,37 @@ def bottomk_sample(df: DataFrame, id_col, value_col, k: int, salt: str) -> DataF
     md5-portable: DuckDB reproduces the sample bit-exactly, so the sketch
     is oracle-verified end-to-end (module docstring convention).
     """
-    h = F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
-    return df.select(h.alias("h"), value_col.alias("v")).orderBy("h").limit(k)
+    return (
+        df.select(sample_hash(id_col, salt).alias("h"), value_col.alias("v"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def sample_hash(id_col, salt: str) -> F.Column:
+    """The bottom-k sample's hash key, md5(id:salt) — exposed so callers
+    building PER-GROUP sketches (window row_number <= k within a group)
+    use the identical convention as :func:`bottomk_sample`; two inline
+    copies of this expression would have to change in lockstep for the
+    merge-equality theorem to keep holding."""
+    return F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
 
 
 def quantiles_from_sample(sample: DataFrame, q_pcts: tuple[int, ...]) -> DataFrame:
     """Discrete sample quantiles from a bottom-k sample: for each q, the
     value at rank ceil(q * n_sample / 100) in value order (ties broken by
     hash for a total order; the VALUE at a rank is tie-order-invariant).
-    The sample is k rows, so the window sort is a bounded frame."""
+    The sample is k rows, so the window sorts are bounded frames; n_s
+    comes from a count window over the SAME frame (a separate .agg would
+    re-execute the sample's TakeOrdered scan of the base table)."""
     from pyspark.sql import Window
 
+    whole = Window.partitionBy()
     ranked = sample.select(
-        "v", F.row_number().over(Window.orderBy("v", "h")).alias("rn")
-    ).crossJoin(F.broadcast(sample.agg(F.count("*").alias("n_s"))))
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("rn"),
+        F.count("*").over(whole).alias("n_s"),
+    )
     qf = sample.sparkSession.createDataFrame(
         [(q,) for q in q_pcts], "q_pct int"
     )

@@ -1761,7 +1761,11 @@ def q_conformal_mondrian_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("sketch", "scale"),
 )
 def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cartography_spark.operators.sketches import bottomk_sample, quantiles_from_sample
+    from cartography_spark.operators.sketches import (
+        bottomk_sample,
+        quantiles_from_sample,
+        sample_hash,
+    )
 
     K, SALT = 256, "qsk"
     QS = (25, 50, 75, 90, 99)
@@ -1773,11 +1777,12 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     direct = bottomk_sample(base, F.col("event_id"), F.col("v"), K, SALT)
     # merged path: per-source bottom-k sketches (windowed WITHIN each
-    # source, parallel across sources), union, re-take-k — the merge
-    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":" + SALT)))
+    # source, parallel across sources), union, re-take-k — the merge.
+    # sample_hash is the operator's own key builder, so the per-source
+    # sketches can never drift from the direct sketch's convention.
     w = Window.partitionBy("event_type").orderBy("h")
     per_src = (
-        base.select("event_type", h.alias("h"), "v")
+        base.select("event_type", sample_hash(F.col("event_id"), SALT).alias("h"), "v")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= K)
         .drop("rn", "event_type")

@@ -195,11 +195,13 @@ def driver_verified() -> set[str]:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        queries = doc.get("queries", doc)
+        queries = doc.get("queries", doc) if isinstance(doc, dict) else doc
         if isinstance(queries, dict):
             names |= set(queries.keys())
-        else:
-            names |= {q["name"] for q in queries}
+        elif isinstance(queries, list):
+            # list-of-objects artifact form; malformed entries count as
+            # unverified (fail-safe: unverified queries sort FORWARD)
+            names |= {q["name"] for q in queries if isinstance(q, dict) and "name" in q}
     return names
 
 
