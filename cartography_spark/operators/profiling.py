@@ -1258,3 +1258,73 @@ def median_of_means_by(
             .alias("mom_micros")
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, value: Column, in_a: Column, in_b: Column
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum) test between two
+    populations of one integer-valued column — the rank-based LOCATION
+    test completing the two-sample suite: Welch compares means (moment-
+    based, outlier-fragile), KS compares whole distributions, MW asks
+    "does one population stochastically dominate?" robustly to outliers
+    and without normality.
+
+    Exactness: the doubled statistic u2 = 2U = sum_v ca_v*(2*cumb_<v +
+    cb_v) is an exact BIGINT over the distinct-value frame (identical
+    midrank construction as ranking_auc — AUC = U/(n_a*n_b) is the same
+    statistic normalized). The normal approximation applies the exact
+    tie correction: var_U = (n_a*n_b/12) * ((n+1) - T/(n*(n-1))) with
+    T = sum_v (t_v^3 - t_v), t_v the tied count at value v — T stays an
+    exact BIGINT (int64 headroom: t_v <= ~2.09e6 per distinct value; at
+    corpus scale beyond that, pre-bucket values or shard T like the
+    assortativity sums). z = (u2 - n_a*n_b) / (2*sqrt(var_U)) is a fixed
+    left-associative expression over exact integers, quantized once to
+    z_micros; reject_95 is |z| > 1.96.
+
+    Scale shape: ONE map-side-combinable collapse to distinct values;
+    cumsum + both reductions on that bounded frame. ANSI-safe: empty
+    side or n < 2 -> NULL z via try_divide, never a division error.
+    """
+    per_v = df.groupBy(value.alias("v")).agg(
+        F.sum(in_a.cast("long")).alias("ca"),
+        F.sum(in_b.cast("long")).alias("cb"),
+    )
+    below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(below), F.lit(0)).alias("cumb"),
+    )
+    t = F.col("ca") + F.col("cb")
+    tot = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("cb"))).cast("long").alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tie_term"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    nab = F.col("n_a").cast("double") * F.col("n_b")
+    var_u = (
+        nab
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.try_divide(F.col("tie_term").cast("double"), (n * (n - 1)).cast("double"))
+        )
+    )
+    z = F.try_divide(
+        (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double"),
+        2.0 * F.sqrt(var_u),
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        "u2",
+        "tie_term",
+        F.round(z * 1_000_000).cast("bigint").alias("z_micros"),
+        # coalesce: undefined z (empty side / zero variance) -> no rejection,
+        # and the output column stays non-null (nullable-boolean hash gotcha)
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("reject_95"),
+    )

@@ -1873,3 +1873,160 @@ def q_robust_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long"),
         n_buckets=32,
     ).withColumnRenamed("g", "event_type")
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH pv AS (
+      SELECT l_quantity AS v,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS cb
+      FROM lineitem GROUP BY l_quantity
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM pv
+    ),
+    t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+               AS tie_term
+      FROM c
+    ),
+    z AS (
+      SELECT n_a, n_b, u2, tie_term,
+             CAST(u2 - n_a * n_b AS DOUBLE)
+               / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                   * (CAST(n_a + n_b + 1 AS DOUBLE)
+                      - CAST(tie_term AS DOUBLE)
+                        / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) AS zz
+      FROM t
+    )
+    SELECT n_a, n_b, u2, tie_term,
+           CAST(round(zz * 1000000) AS BIGINT) AS z_micros,
+           coalesce(abs(zz) > 1.96, false) AS reject_95
+    FROM z
+    """,
+    doc="Tie-corrected Mann-Whitney U test between the returned ('R') and "
+    "delivered ('N') quantity populations "
+    "(operators/profiling.py:mann_whitney_u) — the rank-based LOCATION "
+    "test completing the two-sample suite: Welch compares means "
+    "(moment-based, outlier-fragile), KS compares whole distributions "
+    "(same populations as ks_drift_two_sample, deliberately), MW asks "
+    "'does one side stochastically dominate?' robustly. u2 = 2U is the "
+    "exact BIGINT midrank statistic (ranking_auc's formula — AUC is "
+    "U/(n_a*n_b) normalized); the tie correction sum(t^3 - t) stays an "
+    "exact BIGINT; z is one fixed left-associative expression over those "
+    "integers, quantized once to micros. One collapse to distinct "
+    "values; everything after on the bounded frame.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import mann_whitney_u
+
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    return mann_whitney_u(
+        li,
+        F.col("l_quantity"),
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") == "N",
+    )
+
+
+@query(
+    "sampling_weighted_bottomk",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS w
+      FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    keyed AS (
+      SELECT event_type, w, md5(id || ':wsk') AS h,
+             CAST(round(1000000.0
+                 * -ln((('0x' || substring(md5(id || ':wsk'), 1, 8))::BIGINT + 1)
+                       / 4294967296.0)
+                 / w) AS BIGINT) AS key_micros
+      FROM base
+    ),
+    direct AS (SELECT * FROM keyed ORDER BY key_micros, h LIMIT 512),
+    per_src AS (
+      SELECT event_type, w, h, key_micros FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY key_micros, h) AS rn
+        FROM keyed
+      ) WHERE rn <= 512
+    ),
+    merged AS (SELECT * FROM per_src ORDER BY key_micros, h LIMIT 512),
+    d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_direct,
+                 CAST(sum(w) AS BIGINT) AS wsum_direct_cents
+          FROM direct GROUP BY event_type),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_merged
+          FROM merged GROUP BY event_type)
+    SELECT coalesce(d.event_type, m.event_type) AS event_type,
+           coalesce(n_direct, 0) AS n_direct,
+           coalesce(wsum_direct_cents, 0) AS wsum_direct_cents,
+           coalesce(n_merged, 0) AS n_merged
+    FROM d FULL JOIN m ON d.event_type = m.event_type
+    """,
+    doc="Efraimidis-Spirakis weighted sample without replacement as a "
+    "mergeable bottom-k sketch "
+    "(operators/sketches.py:weighted_bottomk_sample) — THE distributed "
+    "weighted-sampling technique a training-mixture pipeline runs at "
+    "100 TB: every row keys itself -ln(u)/w from a portable md5 draw, "
+    "the k=512 smallest keys are a weight-proportional sample, and the "
+    "sketch merges like KMV (union + re-take-k; a row's key never "
+    "changes). The query builds the sample direct AND via per-source "
+    "sketches re-merged, and emits per-type composition from BOTH paths "
+    "— the hash compare proves merged == direct (the associativity "
+    "theorem) and the weight sums audit the weighting. Keys are "
+    "micro-quantized with one identical left-associative expression so "
+    "the ORDER is reproducible cross-engine; ties break on the hash. "
+    "Per-row arithmetic + one TakeOrdered(k): no full shuffle, no sort "
+    "of the data.",
+    tags=("sampling", "sketch", "scale"),
+)
+def q_sampling_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sketches import weighted_sample_keys
+
+    K, SALT = 512, "wsk"
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    keyed = weighted_sample_keys(
+        base, F.col("event_id"), F.col("w"), SALT, extra_cols=("event_type",)
+    )
+    direct = keyed.orderBy("key_micros", "h").limit(K)
+    per_src = (
+        keyed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("key_micros", "h")
+            ),
+        )
+        .filter(F.col("rn") <= K)
+        .drop("rn")
+    )
+    merged = per_src.orderBy("key_micros", "h").limit(K)
+    d = direct.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_direct"),
+        F.sum("w").cast("long").alias("wsum_direct_cents"),
+    )
+    m = merged.groupBy("event_type").agg(F.count("*").cast("long").alias("n_merged"))
+    return (
+        d.join(m, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_direct", F.lit(0)).cast("long").alias("n_direct"),
+            F.coalesce("wsum_direct_cents", F.lit(0)).cast("long").alias("wsum_direct_cents"),
+            F.coalesce("n_merged", F.lit(0)).cast("long").alias("n_merged"),
+        )
+    )

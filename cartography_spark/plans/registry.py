@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "analysis_aibom_runs_on", "job_principal_orphan_stale_cleanup",
     "job_s3_details_property_remove", "job_okta_group_membership_cleanup",
     "streaming_ks_drift", "sketch_quantile_bottomk", "classifier_pr_auc",
-    "robust_median_of_means",
+    "robust_median_of_means", "stats_mann_whitney", "sampling_weighted_bottomk",
     # --- below: 300 queries already driver-green in r01-r07, kept
     # re-verified every round by the local full gate (tools/oracle_check.py) ---
     "rules_framework_rollup", "job_resource_edge_backfill", "job_guarded_relabel_migration",

@@ -86,3 +86,82 @@ def test_median_of_means_even_bucket_count_averages_middles(spark):
     assert out.n_buckets_eff == 1
     assert out.mom_micros == 23_333_000
     assert out.mean_micros == 23_333_333
+
+
+def test_mann_whitney_hand_computed(spark):
+    from cartography_spark.operators.profiling import mann_whitney_u
+
+    # a = {1, 2}, b = {2, 3, 3}: ranks of a vs b — pairs (a,b): (1<2),(1<3),(1<3),
+    # (2=2),(2<3),(2<3) -> U_a = 0*6 wins + 0.5 tie = 0.5 -> u2 = 1
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b"), (3, "b")], "v int, g string"
+    )
+    out = mann_whitney_u(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b"
+    ).head()
+    assert (out.n_a, out.n_b, out.u2) == (2, 3, 1)
+    # tie counts: t(1)=1, t(2)=2, t(3)=2 -> T = (1-1)+(8-2)+(8-2) = 12
+    assert out.tie_term == 12
+    assert out.reject_95 is False  # tiny n, nowhere near significance
+
+
+def test_mann_whitney_no_overlap_extreme_z(spark):
+    from cartography_spark.operators.profiling import mann_whitney_u
+
+    # a entirely below b, 30 rows each, no ties: u2 = 0, z strongly negative
+    rows = [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "v int, g string")
+    out = mann_whitney_u(df, F.col("v"), F.col("g") == "a", F.col("g") == "b").head()
+    assert out.u2 == 0 and out.tie_term == 0
+    assert out.reject_95 is True and out.z_micros < -6_000_000
+
+
+def test_mann_whitney_degenerate_single_value_null_z(spark):
+    from cartography_spark.operators.profiling import mann_whitney_u
+
+    # every row tied at one value: variance 0 -> z NULL, reject False (ANSI-safe)
+    df = spark.createDataFrame([(5, "a"), (5, "a"), (5, "b")], "v int, g string")
+    out = mann_whitney_u(df, F.col("v"), F.col("g") == "a", F.col("g") == "b").head()
+    assert out.z_micros is None and out.reject_95 is False
+
+
+def test_weighted_bottomk_merge_and_weight_bias(spark):
+    from cartography_spark.operators.sketches import (
+        weighted_bottomk_sample,
+        weighted_sample_keys,
+    )
+
+    # 200 light rows (w=1) + 200 heavy rows (w=100): the heavy class must
+    # dominate a k=40 ES-sample; merged-by-class == direct exactly
+    rows = [(i, "light", 1) for i in range(200)] + [
+        (1000 + i, "heavy", 100) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, cls string, w long")
+    direct = weighted_bottomk_sample(df, F.col("id"), F.col("w"), 40, "t8")
+    keyed = weighted_sample_keys(df, F.col("id"), F.col("w"), "t8", extra_cols=("cls",))
+    from pyspark.sql import Window
+
+    per = (
+        keyed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("cls").orderBy("key_micros", "h"))
+        )
+        .filter(F.col("rn") <= 40)
+        .drop("rn", "cls")
+    )
+    merged = per.orderBy("key_micros", "h").limit(40)
+    assert sorted((r.key_micros, r.h) for r in merged.collect()) == sorted(
+        (r.key_micros, r.h) for r in direct.collect()
+    )
+    n_heavy = sum(1 for r in direct.collect() if r.w == 100)
+    # E[heavy share] ~ 100/101; even with sampling noise it must dominate
+    assert n_heavy >= 35
+
+
+def test_weighted_bottomk_zero_weight_never_sampled(spark):
+    from cartography_spark.operators.sketches import weighted_bottomk_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7)], "id long, w long"
+    )
+    got = weighted_bottomk_sample(df, F.col("id"), F.col("w"), 10, "t8").collect()
+    assert [r.id for r in got] == ["3"]
