@@ -1328,3 +1328,243 @@ def mann_whitney_u(
         # and the output column stays non-null (nullable-boolean hash gotcha)
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("reject_95"),
     )
+
+
+def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Tie-corrected Kendall rank correlation (tau-b) between two
+    integer-valued columns — the concordance companion to
+    spearman_rank_corr: Spearman correlates the RANKS linearly (sensitive
+    to the size of rank gaps), tau-b asks only "of all pairs, how many
+    agree in direction?", which is the statistic behind ordinal
+    association audits and rank-stability checks between two scoring
+    runs. Continuous columns must be quantized upstream (same contract
+    as ks_two_sample / ranking_auc).
+
+    Exactness: ONE map-side-combinable collapse to the |X| x |Y|
+    contingency cells; concordant/discordant pair MASSES are exact
+    BIGINTs summed over cell pairs (n1*n2 per ordered cell pair), and
+    the tie terms stay doubled so everything is integer: with
+    n02 = n(n-1), tr2 = sum_x r_x(r_x - 1), tc2 = sum_y c_y(c_y - 1),
+    tau_b = 2*(C - D) / sqrt((n02 - tr2) * (n02 - tc2)) — one fixed
+    left-associative float expression over exact integers, quantized
+    once to micros (int64 headroom: n02 exact while n <= ~3e9; beyond
+    that, pre-aggregate to coarser value buckets).
+
+    Scale shape: after the first collapse every stage runs on the
+    domain-bounded cell frame. The cell-pair enumeration is a
+    broadcast non-equi self-join of that frame with itself
+    (|cells|^2 <= (|X|*|Y|)^2 pairs, data-size independent) — the ONE
+    deliberate BroadcastNestedLoop in this operator, justified exactly
+    like cramers_v's marginal broadcasts: the frame is bounded by the
+    value DOMAINS, never by the row count. ANSI-safe: a constant column
+    (zero tie-free pairs) yields NULL tau via try_divide.
+    """
+    cells = df.groupBy(x.alias("xv"), y.alias("yv")).agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    left = cells.select(
+        F.col("xv").alias("x1"), F.col("yv").alias("y1"), F.col("nij").alias("n1")
+    )
+    right = cells.select(
+        F.col("xv").alias("x2"), F.col("yv").alias("y2"), F.col("nij").alias("n2")
+    )
+    # non-equi join on x1 < x2: every unordered cell pair exactly once
+    pairs = left.join(F.broadcast(right), F.col("x1") < F.col("x2"))
+    cd = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("y1") < F.col("y2"), F.col("n1") * F.col("n2"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("conc"),
+        F.coalesce(
+            F.sum(F.when(F.col("y1") > F.col("y2"), F.col("n1") * F.col("n2"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    tr2 = (
+        cells.groupBy("xv")
+        .agg(F.sum("nij").alias("r"))
+        .agg(F.sum(F.col("r") * (F.col("r") - 1)).cast("long").alias("tr2"))
+    )
+    tc2 = (
+        cells.groupBy("yv")
+        .agg(F.sum("nij").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("tc2"))
+    )
+    tot = cells.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    j = (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tr2))
+        .crossJoin(F.broadcast(tc2))
+    )
+    n02 = (F.col("n") * (F.col("n") - 1)).cast("double")
+    tau = F.try_divide(
+        2.0 * (F.col("conc") - F.col("disc")).cast("double"),
+        F.sqrt((n02 - F.col("tr2")) * (n02 - F.col("tc2"))),
+    )
+    return j.select(
+        "n",
+        "n_cells",
+        "conc",
+        "disc",
+        "tr2",
+        "tc2",
+        F.round(tau * 1_000_000).cast("bigint").alias("tau_b_micros"),
+    )
+
+
+def brown_forsythe(df: DataFrame, group: Column, value: Column) -> DataFrame:
+    """Brown-Forsythe test for equality of spread across groups — the
+    robust Levene variant (deviations from the group MEDIAN, not the
+    mean) that a data-quality gate runs before trusting a pooled-variance
+    test: Welch/MW/KS compare locations and shapes; this asks "do the
+    groups even have comparable dispersion?" without being wrecked by
+    the heavy tails that motivate the question. Integer-valued column
+    contract (quantize continuous values upstream).
+
+    Construction, all integer until the final F: group medians come from
+    the same sort-free exact-order-statistic collapse as
+    conformal_mondrian_calibrate (one row per (group, DISTINCT value),
+    rank cumsum per group on that bounded frame), kept DOUBLED
+    (med2 = m_lo + m_hi) so half-medians stay integer; each row's
+    deviation z = |2v - med2_g| is an exact BIGINT; the one-way ANOVA on
+    z needs only per-group (n_g, S_g = sum z, Q_g = sum z^2). Each
+    group's S_g^2/n_g is quantized ONCE to a milli BIGINT so the
+    across-group sums are exact-integer and reduction-order-immune:
+    ssb_milli = sum_g t_g - round(1000*S^2/N),
+    ssw_milli = 1000*sum_g Q_g - sum_g t_g,
+    F = (ssb/(k-1)) / (ssw/(N-k)) — one fixed expression, quantized to
+    micros. ANSI-safe: k < 2 or zero within-group spread -> NULL F via
+    try_divide.
+
+    Scale shape: one collapse to (group, value) cells; medians on the
+    bounded cell frame; one broadcast of the k-row median table back
+    onto the raw rows for a single map-side-combinable moment pass.
+    """
+    base = df.select(group.alias("g"), value.cast("long").alias("v"))
+    per_v = base.groupBy("g", "v").agg(F.count("*").alias("c"))
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select("g", "v", F.sum("c").over(cum).alias("cum"))
+    tot = ecdf.groupBy("g").agg(F.max("cum").cast("long").alias("n_g"))
+    lo = F.floor((F.col("n_g") + 1) / 2).cast("long")
+    hi = F.ceil((F.col("n_g") + 1) / 2).cast("long")
+    ranked = ecdf.join(F.broadcast(tot), "g").withColumn("lo", lo).withColumn("hi", hi)
+    med = (
+        ranked.groupBy("g")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo"), F.col("v"))).alias("m_lo"),
+            F.min(F.when(F.col("cum") >= F.col("hi"), F.col("v"))).alias("m_hi"),
+        )
+        .select("g", (F.col("m_lo") + F.col("m_hi")).cast("long").alias("med2"))
+    )
+    z = F.abs(2 * F.col("v") - F.col("med2"))
+    moments = (
+        base.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum(z).cast("long").alias("s_g"),
+            F.sum(z * z).cast("long").alias("q_g"),
+        )
+        .withColumn(
+            "t_g",
+            F.round(
+                F.lit(1000.0) * F.col("s_g").cast("double") * F.col("s_g")
+                / F.col("n_g")
+            ).cast("long"),
+        )
+    )
+    agg = moments.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("q_g").cast("long").alias("q_all"),
+        F.sum("t_g").cast("long").alias("t_all"),
+    )
+    ssb_milli = (
+        F.col("t_all")
+        - F.round(
+            F.lit(1000.0) * F.col("s_all").cast("double") * F.col("s_all")
+            / F.col("n_total")
+        ).cast("long")
+    )
+    ssw_milli = F.lit(1000) * F.col("q_all") - F.col("t_all")
+    f = F.try_divide(
+        F.try_divide(ssb_milli.cast("double"), (F.col("k") - 1).cast("double")),
+        F.try_divide(
+            ssw_milli.cast("double"), (F.col("n_total") - F.col("k")).cast("double")
+        ),
+    )
+    return agg.select(
+        "k",
+        "n_total",
+        ssb_milli.alias("ssb_milli"),
+        ssw_milli.alias("ssw_milli"),
+        F.round(f * 1_000_000).cast("bigint").alias("f_micros"),
+    )
+
+
+def two_proportion_z(
+    df: DataFrame, in_a: Column, in_b: Column, success: Column
+) -> DataFrame:
+    """Two-proportion pooled z-test — the conversion-rate / pass-rate A/B
+    gate completing the two-sample suite: Welch compares means, KS whole
+    distributions, Mann-Whitney ranks, and this compares BINARY outcome
+    rates, the single most common production comparison (did the error
+    rate move between populations?).
+
+    Exactness: the four counts (n_a, x_a, n_b, x_b) come from ONE
+    map-side-combinable pass; the rate difference is carried
+    cross-multiplied as diff_num = x_a*n_b - x_b*n_a (exact BIGINT;
+    int64 headroom while n_a*n_b <= ~9e18 — beyond that pre-aggregate
+    per shard and sum the counts, they are plain additive integers).
+    z = (diff_num / (n_a*n_b)) / sqrt(p*(1-p)*(1/n_a + 1/n_b)) with the
+    pooled p = (x_a+x_b)/(n_a+n_b) is one fixed left-associative float
+    expression over the exact integers, quantized once to micros.
+    ANSI-safe: an empty side or a degenerate pooled rate (p in {0,1})
+    yields NULL z via try_divide, reject_95 coalesces to false.
+    """
+    t = df.agg(
+        F.coalesce(F.sum(in_a.cast("long")), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum((in_a & success).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("x_a"),
+        F.coalesce(F.sum(in_b.cast("long")), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum((in_b & success).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    diff_num = (F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")).cast("long")
+    p = F.try_divide(
+        (F.col("x_a") + F.col("x_b")).cast("double"),
+        (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    se = F.sqrt(
+        p
+        * (1.0 - p)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_a").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("n_b").cast("double"))
+        )
+    )
+    z = F.try_divide(
+        F.try_divide(
+            diff_num.cast("double"), (F.col("n_a") * F.col("n_b")).cast("double")
+        ),
+        se,
+    )
+    return t.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        diff_num.alias("diff_num"),
+        F.round(z * 1_000_000).cast("bigint").alias("z_micros"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("reject_95"),
+    )

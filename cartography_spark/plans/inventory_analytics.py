@@ -2030,3 +2030,169 @@ def q_sampling_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_merged", F.lit(0)).cast("long").alias("n_merged"),
         )
     )
+
+
+@query(
+    "stats_kendall_tau_b",
+    oracle="""
+    WITH cells AS (
+      SELECT l_quantity AS xv, l_linenumber AS yv, CAST(count(*) AS BIGINT) AS nij
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cd AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN a.yv < b.yv THEN a.nij * b.nij END), 0)
+             AS BIGINT) AS conc,
+        CAST(coalesce(sum(CASE WHEN a.yv > b.yv THEN a.nij * b.nij END), 0)
+             AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.xv < b.xv
+    ),
+    tr AS (SELECT CAST(sum(r * (r - 1)) AS BIGINT) AS tr2
+           FROM (SELECT sum(nij) AS r FROM cells GROUP BY xv)),
+    tc AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS tc2
+           FROM (SELECT sum(nij) AS c FROM cells GROUP BY yv)),
+    t AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT n, n_cells, conc, disc, tr2, tc2,
+           CAST(round(2.0 * CAST(conc - disc AS DOUBLE)
+               / sqrt((CAST(n * (n - 1) AS DOUBLE) - tr2)
+                      * (CAST(n * (n - 1) AS DOUBLE) - tc2))
+               * 1000000) AS BIGINT) AS tau_b_micros
+    FROM cd, tr, tc, t
+    """,
+    doc="Tie-corrected Kendall tau-b between line quantity and line number "
+    "(operators/profiling.py:kendall_tau_b) — the concordance-based rank "
+    "association completing the correlation pair: Spearman (r7) "
+    "correlates midranks linearly, tau-b counts agreeing vs disagreeing "
+    "pairs, the statistic ordinal-association audits and rank-stability "
+    "checks actually quote. Concordant/discordant masses are exact "
+    "BIGINTs from the |X|x|Y| contingency collapse (cell-pair "
+    "enumeration on the domain-bounded cell frame — a deliberate, "
+    "justified broadcast non-equi self-join, <= (50*7)^2 pairs at ANY "
+    "data size); tie terms stay doubled so tau_b = 2(C-D)/"
+    "sqrt((n(n-1)-tr2)(n(n-1)-tc2)) is one fixed float expression over "
+    "exact integers, quantized once to micros.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import kendall_tau_b
+
+    li = T(spark, sf_dir, "lineitem").select("l_quantity", "l_linenumber")
+    return kendall_tau_b(li, F.col("l_quantity"), F.col("l_linenumber"))
+
+
+@query(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH base AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+                  FROM lineitem),
+    pv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+    e AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pv),
+    tt AS (SELECT g, max(cum) AS n_g FROM e GROUP BY g),
+    med AS (
+      SELECT e.g,
+             CAST(min(CASE WHEN cum >= CAST(floor((n_g + 1) / 2) AS BIGINT)
+                           THEN v END)
+                + min(CASE WHEN cum >= CAST(ceil((n_g + 1) / 2) AS BIGINT)
+                           THEN v END) AS BIGINT) AS med2
+      FROM e JOIN tt USING (g) GROUP BY e.g
+    ),
+    m AS (
+      SELECT b.g, count(*) AS n_g, sum(abs(2 * v - med2)) AS s_g,
+             sum(abs(2 * v - med2) * abs(2 * v - med2)) AS q_g
+      FROM base b JOIN med ON b.g = med.g GROUP BY b.g
+    ),
+    m2 AS (SELECT g, n_g, s_g, q_g,
+                  CAST(round(1000.0 * CAST(s_g AS DOUBLE) * s_g / n_g)
+                       AS BIGINT) AS t_g
+           FROM m),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n_total,
+                 CAST(sum(s_g) AS BIGINT) AS s_all,
+                 CAST(sum(q_g) AS BIGINT) AS q_all,
+                 CAST(sum(t_g) AS BIGINT) AS t_all
+          FROM m2),
+    b2 AS (SELECT k, n_total,
+                  CAST(t_all - CAST(round(1000.0 * CAST(s_all AS DOUBLE)
+                      * s_all / n_total) AS BIGINT) AS BIGINT) AS ssb_milli,
+                  CAST(1000 * q_all - t_all AS BIGINT) AS ssw_milli
+           FROM a)
+    SELECT k, n_total, ssb_milli, ssw_milli,
+           CAST(round((CAST(ssb_milli AS DOUBLE) / (k - 1))
+               / (CAST(ssw_milli AS DOUBLE) / (n_total - k))
+               * 1000000) AS BIGINT) AS f_micros
+    FROM b2
+    """,
+    doc="Brown-Forsythe equality-of-spread test across the three return-flag "
+    "populations of line quantity "
+    "(operators/profiling.py:brown_forsythe) — the robust Levene variant "
+    "(deviations from the group MEDIAN) a DQ gate runs before trusting "
+    "any pooled-variance comparison. Medians come from the sort-free "
+    "per-group exact-order-statistic collapse (the Mondrian machinery), "
+    "kept DOUBLED so half-medians stay integer; deviations and their "
+    "squares are exact BIGINTs; each group's S^2/n quantizes ONCE to a "
+    "milli BIGINT so the across-group ANOVA sums are exact-integer and "
+    "reduction-order-immune; F is one fixed float expression, quantized "
+    "to micros. One cell collapse + one broadcast of the 3-row median "
+    "table back for a single map-side moment pass.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import brown_forsythe
+
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return brown_forsythe(li, F.col("l_returnflag"), F.col("l_quantity"))
+
+
+@query(
+    "stats_two_proportion_z",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'R'
+                  AND l_quantity >= 25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_a,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n_b,
+             CAST(coalesce(sum(CASE WHEN l_returnflag = 'N'
+                  AND l_quantity >= 25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_b
+      FROM lineitem
+    ),
+    d AS (SELECT n_a, x_a, n_b, x_b,
+                 CAST(x_a * n_b - x_b * n_a AS BIGINT) AS diff_num,
+                 CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+          FROM t)
+    SELECT n_a, x_a, n_b, x_b, diff_num,
+           CAST(round(CAST(diff_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+               / sqrt(p * (1.0 - p)
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               * 1000000) AS BIGINT) AS z_micros,
+           coalesce(abs(CAST(diff_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+               / sqrt(p * (1.0 - p)
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+               > 1.96, false) AS reject_95
+    FROM d
+    """,
+    doc="Two-proportion pooled z-test: does the high-quantity rate differ "
+    "between returned ('R') and delivered ('N') line items "
+    "(operators/profiling.py:two_proportion_z)? Completes the two-sample "
+    "suite along its fourth axis — means (Welch), distributions (KS), "
+    "ranks (Mann-Whitney), and now binary RATES, the most common "
+    "production comparison (error-rate / conversion-rate gates). All "
+    "four counts from ONE map-side pass; the rate difference carried "
+    "cross-multiplied as an exact BIGINT; z is one fixed float "
+    "expression quantized once to micros, try_divide-guarded.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import two_proportion_z
+
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return two_proportion_z(
+        li,
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") == "N",
+        F.col("l_quantity") >= 25,
+    )

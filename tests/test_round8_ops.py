@@ -165,3 +165,99 @@ def test_weighted_bottomk_zero_weight_never_sampled(spark):
     )
     got = weighted_bottomk_sample(df, F.col("id"), F.col("w"), 10, "t8").collect()
     assert [r.id for r in got] == ["3"]
+
+
+def test_kendall_tau_b_hand_computed(spark):
+    from cartography_spark.operators.profiling import kendall_tau_b
+
+    # cells: (1,1):1 (1,2):1 (2,1):1 (2,2):2 (3,3):1 -> C=7 D=1
+    # marginals r=(2,3,1) c=(2,3,1) -> tr2=tc2=8, n02=30
+    # tau = 2*6/sqrt(22*22) = 12/22 = 0.5454545...
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 3)], "x int, y int"
+    )
+    out = kendall_tau_b(df, F.col("x"), F.col("y")).head()
+    assert out.n == 6 and out.n_cells == 5
+    assert out.conc == 7 and out.disc == 1
+    assert out.tr2 == 8 and out.tc2 == 8
+    assert out.tau_b_micros == round(12.0 / 22.0 * 1_000_000)
+
+
+def test_kendall_tau_b_degenerate(spark):
+    from cartography_spark.operators.profiling import kendall_tau_b
+
+    # constant x: every pair tied on x -> zero tie-free pairs -> NULL tau
+    df = spark.createDataFrame([(7, 1), (7, 2), (7, 3)], "x int, y int")
+    out = kendall_tau_b(df, F.col("x"), F.col("y")).head()
+    assert out.conc == 0 and out.disc == 0
+    assert out.tau_b_micros is None
+
+    # perfect agreement, no ties: tau = 1 exactly
+    mono = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "x int, y int")
+    assert kendall_tau_b(mono, F.col("x"), F.col("y")).head().tau_b_micros == 1_000_000
+
+
+def test_brown_forsythe_hand_computed(spark):
+    from cartography_spark.operators.profiling import brown_forsythe
+
+    # A=[1,3,5]: med2=6, z=(4,0,4), S=8, Q=32, t=round(64000/3)=21333
+    # B=[2,2,8]: med2=4, z=(0,0,12), S=12, Q=144, t=48000
+    # ssb = 69333 - round(1000*400/6) = 69333-66667 = 2666
+    # ssw = 176000 - 69333 = 106667; F = (2666/1)/(106667/4)
+    rows = [("A", 1), ("A", 3), ("A", 5), ("B", 2), ("B", 2), ("B", 8)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = brown_forsythe(df, F.col("g"), F.col("v")).head()
+    assert out.k == 2 and out.n_total == 6
+    assert out.ssb_milli == 2666 and out.ssw_milli == 106667
+    assert out.f_micros == round((2666.0 / 1) / (106667.0 / 4) * 1_000_000)
+
+
+def test_brown_forsythe_even_group_and_degenerate(spark):
+    from cartography_spark.operators.profiling import brown_forsythe
+
+    # even-count group: med2 = m_lo + m_hi = 4 + 6 = 10 -> z=(6,2,2,6)
+    df = spark.createDataFrame(
+        [("A", 2), ("A", 4), ("A", 6), ("A", 8), ("B", 5)], "g string, v int"
+    )
+    out = brown_forsythe(df, F.col("g"), F.col("v")).head()
+    # A: S=16, Q=80, t=round(256000/4)=64000; B: z=0, t=0
+    assert out.ssw_milli == 1000 * 80 - 64000
+    # single group: k-1 = 0 -> NULL F (ANSI-safe), never a division error
+    one = spark.createDataFrame([("A", 1), ("A", 9)], "g string, v int")
+    assert brown_forsythe(one, F.col("g"), F.col("v")).head().f_micros is None
+
+
+def test_two_proportion_z_hand_computed(spark):
+    import math
+
+    from cartography_spark.operators.profiling import two_proportion_z
+
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 1), ("b", 0), ("b", 0), ("b", 0)]
+    df = spark.createDataFrame(rows, "pop string, ok int")
+    out = two_proportion_z(
+        df, F.col("pop") == "a", F.col("pop") == "b", F.col("ok") == 1
+    ).head()
+    assert (out.n_a, out.x_a, out.n_b, out.x_b) == (3, 2, 4, 1)
+    assert out.diff_num == 2 * 4 - 1 * 3
+    p = 3.0 / 7.0
+    z = (5.0 / 12.0) / math.sqrt(p * (1.0 - p) * (1.0 / 3.0 + 1.0 / 4.0))
+    assert out.z_micros == round(z * 1_000_000)
+    assert out.reject_95 is False
+
+
+def test_two_proportion_z_degenerate(spark):
+    from cartography_spark.operators.profiling import two_proportion_z
+
+    # empty B side: NULL z via try_divide, reject coalesces to false
+    df = spark.createDataFrame([("a", 1), ("a", 0)], "pop string, ok int")
+    out = two_proportion_z(
+        df, F.col("pop") == "a", F.col("pop") == "b", F.col("ok") == 1
+    ).head()
+    assert out.n_b == 0 and out.z_micros is None and out.reject_95 is False
+
+    # degenerate pooled rate p=1 (all successes): se=0 -> NULL z, no error
+    allok = spark.createDataFrame([("a", 1), ("b", 1)], "pop string, ok int")
+    out2 = two_proportion_z(
+        allok, F.col("pop") == "a", F.col("pop") == "b", F.col("ok") == 1
+    ).head()
+    assert out2.z_micros is None and out2.reject_95 is False
