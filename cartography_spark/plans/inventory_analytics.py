@@ -2196,3 +2196,117 @@ def q_stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "N",
         F.col("l_quantity") >= 25,
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, date_trunc('hour', ts) AS ws,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT event_type, ws AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+           CAST(max(c) AS BIGINT) AS high_cents,
+           CAST(min(c) AS BIGINT) AS low_cents,
+           CAST(min(CASE WHEN rn_z = 1 THEN c END) AS BIGINT) AS close_cents,
+           CAST(sum(c) AS BIGINT) AS total_cents
+    FROM q
+    GROUP BY 1, 2
+    """,
+    doc="OHLC candle bars per (event_type, hour) — the time-series "
+    "downsampling shape every metrics/hypertable rollup ships "
+    "(open/high/low/close + volume per bucket). The whole bar is ONE "
+    "map-side-combinable aggregate: open/close are min_by/max_by over "
+    "the (ts, event_id) struct — the composite key makes tie-broken "
+    "endpoint selection deterministic AND keeps the plan a single "
+    "hash-aggregate (partial min_by/max_by combine associatively), so "
+    "there is no rank window, no second shuffle, and the hourly bar "
+    "table is exactly one pass over the events at any scale. Values "
+    "quantized to integer cents once, shared by both engines.",
+    tags=("analytics", "timeseries", "scale"),
+)
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("window_start"),
+                  "ts", "event_id", cents.alias("c"))
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min_by("c", key).cast("long").alias("open_cents"),
+            F.max("c").cast("long").alias("high_cents"),
+            F.min("c").cast("long").alias("low_cents"),
+            F.max_by("c", key).cast("long").alias("close_cents"),
+            F.sum("c").cast("long").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "events_user_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT mon,
+             ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY mon DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
+    FROM scored GROUP BY 1
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation over the "
+    "event stream — the classic marketing-warehouse rollup: per-user "
+    "last-touch, event count, and integer-cents spend collapse in ONE "
+    "map-side-combinable pass (linear, the only data-scale stage), then "
+    "each axis is quartile-scored with ntile(4) over a TOTAL order "
+    "(metric desc, user_id) so tie assignment is reproducible "
+    "cross-engine, and segments roll up to (segment, n_users, spend). "
+    "Scale note: the three rank windows run on the POST-COLLAPSE user "
+    "frame, not the raw events; at extreme user cardinality swap ntile "
+    "for exact quantile thresholds (the conformal/order-statistic "
+    "machinery) to avoid the single-partition global sort — same "
+    "escape hatch documented on gini_concentration.",
+    tags=("analytics", "warehouse"),
+)
+def q_events_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(cents).cast("long").alias("mon"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("last_ts").desc(), F.col("user_id")))
+    f = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.col("mon").desc(), F.col("user_id")))
+    scored = per_user.select(
+        "mon", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("mon").cast("long").alias("sum_monetary_cents"),
+        )
+    )

@@ -261,3 +261,87 @@ def test_two_proportion_z_degenerate(spark):
         allok, F.col("pop") == "a", F.col("pop") == "b", F.col("ok") == 1
     ).head()
     assert out2.z_micros is None and out2.reject_95 is False
+
+
+def test_ohlc_bars_endpoints_match_window_recompute(spark, sf_dir):
+    """The single-aggregate min_by/max_by endpoints must equal the
+    rank-window formulation (the oracle's shape) on real data."""
+    from cartography_spark.plans.inventory_analytics import q_events_ohlc_bars
+    from cartography_spark.sources.parquet import load_table
+    from pyspark.sql import Window
+
+    got = {
+        (r.event_type, r.window_start): (r.open_cents, r.close_cents, r.n_events)
+        for r in q_events_ohlc_bars(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("ws"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    part = Window.partitionBy("event_type", "ws")
+    ranked = ev.withColumn(
+        "rn_a", F.row_number().over(part.orderBy("ts", "event_id"))
+    ).withColumn(
+        "rn_z",
+        F.row_number().over(part.orderBy(F.col("ts").desc(), F.col("event_id").desc())),
+    )
+    want = {
+        (r.event_type, r.ws): (r.o, r.cl, r.n)
+        for r in ranked.groupBy("event_type", "ws")
+        .agg(
+            F.min(F.when(F.col("rn_a") == 1, F.col("c"))).alias("o"),
+            F.min(F.when(F.col("rn_z") == 1, F.col("c"))).alias("cl"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ohlc_bars_hand_computed(spark):
+    """Tie on ts inside a bar: the event_id tiebreak picks open/close."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        Row(event_id=2, ts=t0, event_type="x", value=5.0),
+        Row(event_id=1, ts=t0, event_type="x", value=9.0),  # open: same ts, lower id
+        Row(event_id=3, ts=t0.replace(minute=30), event_type="x", value=1.0),
+    ]
+    df = spark.createDataFrame(rows)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    c = F.round(F.col("value") * 100).cast("long")
+    out = (
+        df.select("ts", "event_id", c.alias("c"))
+        .agg(
+            F.min_by("c", key).alias("open_cents"),
+            F.max_by("c", key).alias("close_cents"),
+            F.max("c").alias("high_cents"),
+            F.min("c").alias("low_cents"),
+        )
+        .head()
+    )
+    assert out.open_cents == 900 and out.close_cents == 100
+    assert out.high_cents == 900 and out.low_cents == 100
+
+
+def test_rfm_segments_mass_conservation(spark, sf_dir):
+    from cartography_spark.plans.inventory_analytics import q_events_user_rfm_segments
+    from cartography_spark.sources.parquet import load_table
+
+    out = q_events_user_rfm_segments(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    total_cents = ev.agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
+    ).head().s
+    assert sum(r.n_users for r in out) == n_users
+    assert sum(r.sum_monetary_cents for r in out) == total_cents
+    for r in out:
+        s = r.rfm_segment
+        assert 111 <= s <= 444
+        assert 1 <= s // 100 <= 4 and 1 <= (s // 10) % 10 <= 4 and 1 <= s % 10 <= 4
