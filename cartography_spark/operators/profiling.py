@@ -1568,3 +1568,166 @@ def two_proportion_z(
         F.round(z * 1_000_000).cast("bigint").alias("z_micros"),
         F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("reject_95"),
     )
+
+
+def kruskal_wallis(df: DataFrame, group: Column, value: Column) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H test — the k-sample generalization
+    of mann_whitney_u: "do any of the k groups differ in location?"
+    asked on RANKS, so it survives the heavy tails and outliers that
+    wreck a raw-value ANOVA. The one-way screen a DQ gate runs across
+    sources/tenants/shards before trusting pairwise drill-downs.
+    Integer-valued column contract (quantize continuous values
+    upstream, same as mann_whitney_u / ks_two_sample).
+
+    Construction uses the ANOVA-on-midranks identity, which IS the
+    tie-corrected H: H = (N-1) * SSB_ranks / SST_ranks on midranks.
+    Ranks stay DOUBLED so they are exact integers (doubled midrank of
+    value v = 2*cum(v) - c_v + 1, mean doubled rank = N+1 exactly), and
+    everything data-sized is collapsed first: one map-side-combinable
+    groupBy to (group, value) cells, value marginals + the rank cumsum
+    on the |V|-bounded value frame, then per-group D2_g =
+    sum c_gv * (r2(v) - (N+1)) — an exact BIGINT because the centered
+    doubled ranks are exact integers summing to zero. SSB2 =
+    sum_g D2_g^2/n_g and SST2 = sum_v c_v * d2(v)^2 are double sums of
+    exact-integer terms (they overflow int64 around N ~ 2e6, so the
+    float sum is deliberate; the ~1e-13 relative error sits nine orders
+    inside the 1e-6 quantization — the acf_hourly / kaplan_meier
+    precedent). H is quantized once to micros. ANSI-safe: a constant
+    value column (SST2 = 0) yields NULL via try_divide.
+
+    Scale shape: one collapse to (group, value) cells; the rank window
+    runs on the distinct-value axis (domain cardinality); the group
+    frame is k rows. Nothing after the first aggregate is data-sized.
+    reject_95 uses the chi-square(k-1) 95% critical value for k <= 8
+    (the bounded-group contract), NULL beyond.
+    """
+    cells = df.groupBy(group.alias("g"), value.alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_v = cells.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn("cum", F.sum("cv").over(w_cum)).withColumn(
+        "r2", 2 * F.col("cum") - F.col("cv") + 1
+    )
+    tot = ranked.agg(F.max("cum").cast("long").alias("n"))
+    # centered doubled rank: d2 = r2 - (N+1), exact integer, sums to 0
+    rv = ranked.crossJoin(F.broadcast(tot)).select(
+        "v", "cv", "n", (F.col("r2") - (F.col("n") + 1)).alias("d2")
+    )
+    sst2 = rv.groupBy("n").agg(
+        F.sum(F.col("cv").cast("double") * F.col("d2") * F.col("d2")).alias("sst2")
+    )
+    per_g = (
+        cells.join(F.broadcast(rv.select("v", "d2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("d2")).cast("long").alias("d2_g"),
+        )
+    )
+    ssb2 = per_g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.col("d2_g").cast("double")
+            * F.col("d2_g")
+            / F.col("n_g").cast("double")
+        ).alias("ssb2"),
+    )
+    j = ssb2.crossJoin(F.broadcast(sst2))
+    h = F.try_divide((F.col("n") - 1).cast("double") * F.col("ssb2"), F.col("sst2"))
+    # chi2 95% critical values for df = k-1, k in 2..8 (bounded-group contract)
+    crit = (
+        F.when(F.col("k") == 2, 3.841)
+        .when(F.col("k") == 3, 5.991)
+        .when(F.col("k") == 4, 7.815)
+        .when(F.col("k") == 5, 9.488)
+        .when(F.col("k") == 6, 11.070)
+        .when(F.col("k") == 7, 12.592)
+        .when(F.col("k") == 8, 14.067)
+    )
+    return j.select(
+        "k",
+        F.col("n").alias("n_total"),
+        F.round(h * 1_000_000).cast("bigint").alias("h_micros"),
+        # coalesce: NULL H (constant column) or k > 8 must not emit a
+        # nullable boolean (hash-mismatch gotcha), and "can't reject" is
+        # the honest answer in both cases
+        F.coalesce(h > crit, F.lit(False)).alias("reject_95"),
+    )
+
+
+def oneway_anova(df: DataFrame, group: Column, value: Column) -> DataFrame:
+    """One-way fixed-effects ANOVA F test across k groups of one
+    integer-valued column — the raw-value location screen completing
+    the k-sample pair with kruskal_wallis (ranks) the same way
+    Welch/MW pair up at k=2 — plus eta^2, the effect size
+    (between-group share of total variance) that turns "significant"
+    into "matters". Small-integer-domain contract: the sum of squares
+    Q_g = sum v^2 must fit int64, i.e. max|v| <= ~3e6 at a billion rows
+    (quantize to a coarser unit upstream if not — same headroom
+    discipline as kendall_tau_b).
+
+    All integer until the final ratios, mirroring brown_forsythe (which
+    IS this ANOVA applied to median deviations): per-group moments
+    (n_g, S_g, Q_g) from ONE map-side pass; each group's S_g^2/n_g is
+    quantized ONCE to a milli BIGINT so the across-group sums are
+    exact-integer and reduction-order-immune; ssb_milli =
+    sum_g t_g - round(1000*S^2/N), ssw_milli = 1000*sum Q_g - sum t_g;
+    F = (ssb/(k-1)) / (ssw/(N-k)) is one fixed float expression
+    quantized to micros, and eta2 = ssb/(ssb+ssw) is a ratio of the
+    SAME two exact integers. ANSI-safe: k < 2 or zero within-group
+    variance -> NULL F via try_divide.
+
+    Scale shape: one map-side-combinable aggregate to k rows; the rest
+    is arithmetic on the k-row frame. No window, no second scan.
+    """
+    m = df.groupBy(group.alias("g")).agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(value).cast("long").alias("s_g"),
+        F.sum(value * value).cast("long").alias("q_g"),
+    )
+    m2 = m.withColumn(
+        "t_g",
+        F.round(
+            F.lit(1000.0) * F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).cast("long"),
+    )
+    a = m2.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s_g").cast("long").alias("s_all"),
+        F.sum("q_g").cast("long").alias("q_all"),
+        F.sum("t_g").cast("long").alias("t_all"),
+    )
+    b = a.select(
+        "k",
+        "n_total",
+        (
+            F.col("t_all")
+            - F.round(
+                F.lit(1000.0)
+                * F.col("s_all").cast("double")
+                * F.col("s_all")
+                / F.col("n_total")
+            ).cast("long")
+        ).alias("ssb_milli"),
+        (1000 * F.col("q_all") - F.col("t_all")).alias("ssw_milli"),
+    )
+    f = F.try_divide(
+        F.try_divide(F.col("ssb_milli").cast("double"), (F.col("k") - 1).cast("double")),
+        F.try_divide(
+            F.col("ssw_milli").cast("double"), (F.col("n_total") - F.col("k")).cast("double")
+        ),
+    )
+    eta2 = F.try_divide(
+        F.col("ssb_milli").cast("double"),
+        (F.col("ssb_milli") + F.col("ssw_milli")).cast("double"),
+    )
+    return b.select(
+        "k",
+        "n_total",
+        "ssb_milli",
+        "ssw_milli",
+        F.round(f * 1_000_000).cast("bigint").alias("f_micros"),
+        F.round(eta2 * 1_000_000).cast("bigint").alias("eta2_micros"),
+    )

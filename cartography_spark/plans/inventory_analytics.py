@@ -2310,3 +2310,117 @@ def q_events_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon").cast("long").alias("sum_monetary_cents"),
         )
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH base AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+                  FROM lineitem),
+    cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, v),
+    per_v AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY v),
+    ranked AS (
+      SELECT v, cv,
+             sum(cv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per_v
+    ),
+    tot AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM ranked),
+    rv AS (SELECT v, cv, n, 2 * cum - cv + 1 - (n + 1) AS d2
+           FROM ranked, tot),
+    sst AS (SELECT n, sum(CAST(cv AS DOUBLE) * d2 * d2) AS sst2
+            FROM rv GROUP BY n),
+    per_g AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(c * d2) AS BIGINT) AS d2_g
+      FROM cells JOIN rv USING (v) GROUP BY g
+    ),
+    ssb AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(CAST(d2_g AS DOUBLE) * d2_g / CAST(n_g AS DOUBLE)) AS ssb2
+            FROM per_g)
+    SELECT k, n AS n_total,
+           CAST(round(CAST(n - 1 AS DOUBLE) * ssb2 / sst2 * 1000000) AS BIGINT)
+             AS h_micros,
+           coalesce((CAST(n - 1 AS DOUBLE) * ssb2 / sst2) >
+             (CASE k WHEN 2 THEN 3.841 WHEN 3 THEN 5.991 WHEN 4 THEN 7.815
+                     WHEN 5 THEN 9.488 WHEN 6 THEN 11.070 WHEN 7 THEN 12.592
+                     WHEN 8 THEN 14.067 END), false) AS reject_95
+    FROM ssb, sst
+    """,
+    doc="Tie-corrected Kruskal-Wallis H across the three return-flag "
+    "populations of line quantity "
+    "(operators/profiling.py:kruskal_wallis) — the k-sample "
+    "generalization of the Mann-Whitney pair test, computed via the "
+    "ANOVA-on-midranks identity so the tie correction is structural, "
+    "not bolted on. Doubled midranks keep every rank an exact integer "
+    "(mean doubled rank = N+1 exactly), per-group centered rank masses "
+    "are exact BIGINTs, and the two sums of squares are double sums of "
+    "exact-integer terms (~1e-13 relative error against a 1e-6 "
+    "quantization — the acf/KM precedent). One collapse to (group, "
+    "value) cells; the rank window runs on the 50-value quantity "
+    "domain, never on data cardinality.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import kruskal_wallis
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return kruskal_wallis(li, F.col("l_returnflag"), F.col("qty"))
+
+
+@query(
+    "stats_oneway_anova",
+    oracle="""
+    WITH base AS (SELECT l_linenumber AS g, CAST(l_quantity AS BIGINT) AS v
+                  FROM lineitem),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(v) AS BIGINT) AS s_g,
+                 CAST(sum(v * v) AS BIGINT) AS q_g
+          FROM base GROUP BY g),
+    m2 AS (SELECT g, n_g, s_g, q_g,
+                  CAST(round(1000.0 * CAST(s_g AS DOUBLE) * s_g / n_g)
+                       AS BIGINT) AS t_g
+           FROM m),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n_total,
+                 CAST(sum(s_g) AS BIGINT) AS s_all,
+                 CAST(sum(q_g) AS BIGINT) AS q_all,
+                 CAST(sum(t_g) AS BIGINT) AS t_all
+          FROM m2),
+    b2 AS (SELECT k, n_total,
+                  CAST(t_all - CAST(round(1000.0 * CAST(s_all AS DOUBLE)
+                      * s_all / n_total) AS BIGINT) AS BIGINT) AS ssb_milli,
+                  CAST(1000 * q_all - t_all AS BIGINT) AS ssw_milli
+           FROM a)
+    SELECT k, n_total, ssb_milli, ssw_milli,
+           CAST(round((CAST(ssb_milli AS DOUBLE) / (k - 1))
+               / (CAST(ssw_milli AS DOUBLE) / (n_total - k))
+               * 1000000) AS BIGINT) AS f_micros,
+           CAST(round(CAST(ssb_milli AS DOUBLE)
+               / CAST(ssb_milli + ssw_milli AS DOUBLE) * 1000000) AS BIGINT)
+             AS eta2_micros
+    FROM b2
+    """,
+    doc="One-way fixed-effects ANOVA of line quantity across the seven "
+    "line-number positions (operators/profiling.py:oneway_anova) — the raw-value "
+    "location screen pairing with Kruskal-Wallis (ranks) exactly the "
+    "way Welch pairs with Mann-Whitney at k=2, plus eta^2 effect size "
+    "so 'significant' is separated from 'matters'. Per-group integer "
+    "moments from ONE map-side pass (quantity <= 50, so sum v^2 has "
+    "int64 headroom to ~4e15 rows); each S_g^2/n_g quantized once to a "
+    "milli BIGINT so the across-group ANOVA sums are exact-integer and "
+    "reduction-order-immune; F and eta^2 are fixed float expressions "
+    "over the SAME two exact integers, quantized to micros. No window, "
+    "no second scan — the whole statistic is one aggregate over k=7 "
+    "rows.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import oneway_anova
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_linenumber", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return oneway_anova(li, F.col("l_linenumber"), F.col("qty"))

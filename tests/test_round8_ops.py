@@ -345,3 +345,62 @@ def test_rfm_segments_mass_conservation(spark, sf_dir):
         s = r.rfm_segment
         assert 111 <= s <= 444
         assert 1 <= s // 100 <= 4 and 1 <= (s // 10) % 10 <= 4 and 1 <= s % 10 <= 4
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    from cartography_spark.operators.profiling import kruskal_wallis
+
+    # pooled 1,2,2,3,3,3: midranks 1, 2.5, 5 -> doubled 2, 5, 10; N+1=7
+    # D2: a=(1,2)->-7, b=(2,3)->1, c=(3,3)->6; SSB2=43, SST2=60
+    # H = 5*43/60 = 3.5833...  (cross-checked against the classic
+    # tie-corrected form: H0=3.0714, C=6/7, H0/C=3.5833)
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3), ("c", 3), ("c", 3)],
+        "g string, v long",
+    )
+    out = kruskal_wallis(df, F.col("g"), F.col("v")).head()
+    assert out.k == 3 and out.n_total == 6
+    assert out.h_micros == 3583333
+    assert out.reject_95 is False
+
+
+def test_kruskal_wallis_constant_column_null(spark):
+    from cartography_spark.operators.profiling import kruskal_wallis
+
+    # constant value: SST2 = 0 -> H NULL via try_divide, not an ANSI error
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    out = kruskal_wallis(df, F.col("g"), F.col("v")).head()
+    assert out.h_micros is None
+
+
+def test_oneway_anova_hand_computed(spark):
+    from cartography_spark.operators.profiling import oneway_anova
+
+    # a=(1,2), b=(4,6): SSB=12.25, SSW=2.5, F=(12.25/1)/(2.5/2)=9.8,
+    # eta2 = 12250/14750 = 0.8305084...
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 4), ("b", 6)], "g string, v long"
+    )
+    out = oneway_anova(df, F.col("g"), F.col("v")).head()
+    assert out.k == 2 and out.n_total == 4
+    assert out.ssb_milli == 12250 and out.ssw_milli == 2500
+    assert out.f_micros == 9_800_000
+    assert out.eta2_micros == 830508
+
+
+def test_oneway_anova_degenerate_null(spark):
+    from cartography_spark.operators.profiling import oneway_anova
+
+    # single group: k-1 = 0 -> F NULL (eta2 = 0/total = 0)
+    one = spark.createDataFrame([("a", 1), ("a", 3)], "g string, v long")
+    assert oneway_anova(one, F.col("g"), F.col("v")).head().f_micros is None
+
+    # zero within-group variance: SSW = 0 -> F NULL via try_divide
+    const = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("b", 7), ("b", 7)], "g string, v long"
+    )
+    out = oneway_anova(const, F.col("g"), F.col("v")).head()
+    assert out.ssw_milli == 0 and out.f_micros is None
+    assert out.eta2_micros == 1_000_000
