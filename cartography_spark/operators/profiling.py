@@ -1731,3 +1731,125 @@ def oneway_anova(df: DataFrame, group: Column, value: Column) -> DataFrame:
         F.round(f * 1_000_000).cast("bigint").alias("f_micros"),
         F.round(eta2 * 1_000_000).cast("bigint").alias("eta2_micros"),
     )
+
+
+def nelson_aalen(
+    durations: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over right-censored
+    integer durations — the additive sibling of kaplan_meier: one row
+    per distinct OBSERVED death time t with n_at_risk, d_deaths,
+    H(t) = sum_{t'<=t} d/n as cumhaz_micros, and the standard variance
+    estimate sum d/n^2 as var_micros. Hazard is the quantity a
+    churn-model or reliability analysis actually regresses on (it adds
+    across causes and strata; survival multiplies), and exp(-H) is the
+    textbook upper bound on the KM curve — a cheap cross-estimator
+    consistency probe (tested).
+
+    Exactness: identical risk-set construction to kaplan_meier (ONE
+    grouped collapse to distinct times, n_at_risk as the suffix running
+    sum — never a per-t rescan); each hazard increment d/n is one
+    correctly-rounded IEEE division of exact integers, and the running
+    sums accumulate in t order inside an ordered window on both engines,
+    so the float op sequence is identical (the KM exp(cumsum(ln))
+    precedent, without even the transcendental). No division guards
+    needed: every emitted row has n_at_risk >= d >= 1 by construction.
+
+    Scale: the raw table collapses to |distinct durations| rows before
+    any window; the single unpartitioned cumulative window runs on that
+    bounded time axis (time cardinality, not data cardinality).
+    """
+    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(F.col(observed_col), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("arrivals"),
+    )
+    w_rest = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dn = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    dn2 = F.col("d").cast("double") / (
+        F.col("n_at_risk").cast("double") * F.col("n_at_risk").cast("double")
+    )
+    curve = (
+        per_t.withColumn("n_at_risk", F.sum("arrivals").over(w_rest))
+        .withColumn("cumhaz", F.sum(dn).over(w_cum))
+        .withColumn("cumvar", F.sum(dn2).over(w_cum))
+        .filter(F.col("d") > 0)
+    )
+    return curve.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("d_deaths"),
+        F.round(F.lit(1_000_000.0) * F.col("cumhaz")).cast("bigint").alias("cumhaz_micros"),
+        F.round(F.lit(1_000_000.0) * F.col("cumvar")).cast("bigint").alias("var_micros"),
+    )
+
+
+def ljung_box_hourly(
+    events: DataFrame,
+    ts_col: str,
+    value_cents_col: Column,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly-aggregated series:
+    Q = n(n+2) * sum_{k=1..h} r_k^2/(n-k) over the acf_hourly
+    autocorrelations — the one-number "is there ANY serial structure
+    left?" gate run on residuals after detrending/deseasonalizing, or on
+    a raw series before treating samples as exchangeable. One row:
+    (n_buckets, h_lags, sum_pico, q_micros, reject_95).
+
+    Exactness: built ON the already-quantized acf_micros integers, so
+    both engines fold the SAME numbers — each lag's term is
+    round(acf_micros^2 / (n-k)) (an exact-integer-derived double, one
+    identical division+round per lag, at pico scale since
+    acf_micros^2/1e12 = r^2), the cross-lag sum is an exact BIGINT sum,
+    and Q = n(n+2) * sum_pico / 1e12 is one fixed float expression
+    quantized to micros. Pairless lags (NULL acf from a short or gapped
+    axis) contribute 0 by contract, with h staying the DECLARED lag
+    count — the conservative reading (absent evidence is not evidence of
+    autocorrelation). reject_95 uses the chi-square(h) 95% critical
+    value for h <= 8, coalesced to false beyond (bounded-lag contract).
+
+    Scale: inherits acf_hourly's shape — everything after the first
+    map-side-combinable collapse runs on the hourly axis; the fold here
+    is over h <= 8 rows.
+    """
+    acf = acf_hourly(events, ts_col, value_cents_col, max_lag=max_lag)
+    term = F.coalesce(
+        F.round(
+            F.try_divide(
+                F.col("acf_micros").cast("double") * F.col("acf_micros"),
+                (F.col("n_buckets") - F.col("lag")).cast("double"),
+            )
+        ).cast("long"),
+        F.lit(0),
+    )
+    agg = acf.agg(
+        F.max("n_buckets").cast("long").alias("n_buckets"),
+        F.count("*").cast("long").alias("h_lags"),
+        F.sum(term).cast("long").alias("sum_pico"),
+    )
+    q = (
+        F.col("n_buckets").cast("double")
+        * (F.col("n_buckets") + 2).cast("double")
+        * F.col("sum_pico").cast("double")
+        / F.lit(1e12)
+    )
+    crit = (
+        F.when(F.col("h_lags") == 1, 3.841)
+        .when(F.col("h_lags") == 2, 5.991)
+        .when(F.col("h_lags") == 3, 7.815)
+        .when(F.col("h_lags") == 4, 9.488)
+        .when(F.col("h_lags") == 5, 11.070)
+        .when(F.col("h_lags") == 6, 12.592)
+        .when(F.col("h_lags") == 7, 14.067)
+        .when(F.col("h_lags") == 8, 15.507)
+    )
+    return agg.select(
+        "n_buckets",
+        "h_lags",
+        "sum_pico",
+        F.round(q * 1_000_000).cast("bigint").alias("q_micros"),
+        F.coalesce(q > crit, F.lit(False)).alias("reject_95"),
+    )

@@ -2424,3 +2424,144 @@ def q_stats_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber", F.col("l_quantity").cast("long").alias("qty")
     )
     return oneway_anova(li, F.col("l_linenumber"), F.col("qty"))
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS dur
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN dur < 42000 THEN dur ELSE 42000 END AS t,
+             (dur < 42000) AS ev
+      FROM d
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS arrivals
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(arrivals) OVER (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+      FROM per_t
+    ),
+    curve AS (
+      SELECT t, d, n_at_risk,
+             sum(CAST(d AS DOUBLE) / n_at_risk)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+             sum(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * n_at_risk))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_at_risk, d AS d_deaths,
+           CAST(round(1000000.0 * ch) AS BIGINT) AS cumhaz_micros,
+           CAST(round(1000000.0 * cv) AS BIGINT) AS var_micros
+    FROM curve WHERE d > 0
+    """,
+    doc="Nelson-Aalen cumulative hazard of user lifetimes with the same "
+    "42,000-minute administrative censoring as survival_kaplan_meier "
+    "(operators/profiling.py:nelson_aalen) — the additive estimator a "
+    "churn/reliability model regresses on (hazards add across causes "
+    "and strata; survival multiplies), with the standard sum d/n^2 "
+    "variance. Identical risk-set construction to KM (one collapse to "
+    "distinct death times, suffix running sum for n_at_risk); the "
+    "hazard increments are single IEEE divisions of exact integers "
+    "accumulated in t order inside an ordered window, so both engines "
+    "execute the identical float sequence. exp(-H) >= S_KM is pytest-"
+    "checked as a cross-estimator invariant.",
+    tags=("analytics", "stats", "window"),
+)
+def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import nelson_aalen
+
+    ev = T(spark, sf_dir, "events")
+    dur = ev.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
+    ).select(F.expr("dur_us div 60000000").cast("bigint").alias("dur"))
+    obs = dur.select(
+        F.when(F.col("dur") < 42000, F.col("dur")).otherwise(F.lit(42000)).alias("t"),
+        (F.col("dur") < 42000).alias("ev"),
+    )
+    return nelson_aalen(obs, "t", "ev")
+
+
+@query(
+    "timeseries_ljung_box",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY bucket
+    ),
+    t AS (SELECT count(*) AS n, sum(x) AS sx FROM hourly),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    pairs AS (
+      SELECT l.lag, t.n, t.sx, a.x AS xa, b.x AS xb
+      FROM hourly a CROSS JOIN lags l
+      JOIN hourly b ON b.bucket = a.bucket + to_hours(l.lag)
+      CROSS JOIN t
+    ),
+    num AS (
+      SELECT lag, n, sx,
+             sum((xa - CAST(sx AS DOUBLE) / n) * (xb - CAST(sx AS DOUBLE) / n)) AS num
+      FROM pairs GROUP BY lag, n, sx
+    ),
+    den AS (
+      SELECT t.n,
+             sum((x - CAST(t.sx AS DOUBLE) / t.n)
+                 * (x - CAST(t.sx AS DOUBLE) / t.n)) AS den
+      FROM hourly CROSS JOIN t GROUP BY t.n
+    ),
+    acf AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag,
+             CAST(t.n AS BIGINT) AS n_buckets,
+             CAST(round(1000000.0 * num.num / den.den) AS BIGINT) AS acf_micros
+      FROM lags l
+      LEFT JOIN num ON num.lag = l.lag
+      LEFT JOIN den ON den.n = num.n
+      CROSS JOIN t
+    ),
+    folded AS (
+      SELECT CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+             CAST(count(*) AS BIGINT) AS h_lags,
+             CAST(sum(coalesce(CAST(round(
+                 CAST(acf_micros AS DOUBLE) * acf_micros / (n_buckets - lag)
+             ) AS BIGINT), 0)) AS BIGINT) AS sum_pico
+      FROM acf
+    )
+    SELECT n_buckets, h_lags, sum_pico,
+           CAST(round(CAST(n_buckets AS DOUBLE) * (n_buckets + 2)
+               * CAST(sum_pico AS DOUBLE) / 1e12 * 1000000) AS BIGINT) AS q_micros,
+           coalesce(CAST(n_buckets AS DOUBLE) * (n_buckets + 2)
+               * CAST(sum_pico AS DOUBLE) / 1e12 >
+             (CASE h_lags WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+                          WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                          WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 END), false)
+             AS reject_95
+    FROM folded
+    """,
+    doc="Ljung-Box portmanteau test at h=6 on the hourly event-value "
+    "series (operators/profiling.py:ljung_box_hourly) — the one-number "
+    "'any serial structure left?' gate composed ON timeseries_acf's "
+    "already-quantized integers, so both engines fold the SAME numbers: "
+    "per-lag terms round(acf_micros^2/(n-k)) are exact-integer-derived "
+    "picos, their sum is an exact BIGINT, and Q = n(n+2)*sum/1e12 is "
+    "one fixed float expression quantized to micros with the "
+    "chi-square(6) critical gate. Pairless lags contribute 0 by "
+    "contract. Inherits acf's scale shape: one collapse to the hourly "
+    "axis, then all work on time cardinality.",
+    tags=("analytics", "timeseries", "scale"),
+)
+def q_timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import ljung_box_hourly
+
+    ev = T(spark, sf_dir, "events")
+    return ljung_box_hourly(
+        ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=6
+    )

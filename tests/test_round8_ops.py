@@ -404,3 +404,74 @@ def test_oneway_anova_degenerate_null(spark):
     out = oneway_anova(const, F.col("g"), F.col("v")).head()
     assert out.ssw_milli == 0 and out.f_micros is None
     assert out.eta2_micros == 1_000_000
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from cartography_spark.operators.profiling import nelson_aalen
+
+    # t=1: n=4,d=1 -> H=.25, V=1/16; t=2: n=3,d=1 (one censored arrival)
+    # -> H=.25+1/3, V+=1/9; t=4: n=1,d=1 -> H+=1, V+=1
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (2, False), (4, True)], "t long, ev boolean"
+    )
+    rows = {r.t: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].n_at_risk == 4 and rows[1].cumhaz_micros == 250_000
+    assert rows[1].var_micros == 62_500
+    assert rows[2].n_at_risk == 3 and rows[2].cumhaz_micros == 583_333
+    assert rows[2].var_micros == 173_611
+    assert rows[4].n_at_risk == 1 and rows[4].cumhaz_micros == 1_583_333
+    assert rows[4].var_micros == 1_173_611
+
+
+def test_nelson_aalen_exp_bounds_km(spark, sf_dir):
+    """Cross-estimator invariant: exp(-H_NA(t)) >= S_KM(t) at every death
+    time (exp(-d/n) >= 1 - d/n termwise), with equality only as d/n -> 0."""
+    import math
+
+    from cartography_spark.plans.inventory_analytics import (
+        q_survival_kaplan_meier,
+        q_survival_nelson_aalen,
+    )
+
+    km = {r.t: r.surv_micros for r in q_survival_kaplan_meier(spark, sf_dir).collect()}
+    na = {r.t: r.cumhaz_micros for r in q_survival_nelson_aalen(spark, sf_dir).collect()}
+    assert set(km) == set(na) and len(km) > 0
+    for t, h in na.items():
+        # 2-micro slack: both sides are independently rounded to micros
+        assert math.exp(-h / 1e6) * 1e6 >= km[t] - 2
+
+
+def test_ljung_box_hand_computed(spark):
+    from cartography_spark.operators.profiling import ljung_box_hourly
+    from datetime import datetime
+
+    # hourly series 1,2,1,2 cents: r1=-0.75, r2=0.5; n=4
+    # Q = 24*(0.5625/3 + 0.25/2) = 7.5 -> reject at chi2(2)=5.991
+    rows = [
+        (datetime(2026, 1, 1, h), v)
+        for h, v in [(0, 0.01), (1, 0.02), (2, 0.01), (3, 0.02)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ljung_box_hourly(
+        df, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=2
+    ).head()
+    assert out.n_buckets == 4 and out.h_lags == 2
+    assert out.sum_pico == 187_500_000_000 + 125_000_000_000
+    assert out.q_micros == 7_500_000
+    assert out.reject_95 is True
+
+
+def test_ljung_box_short_series_pairless_lags(spark):
+    from cartography_spark.operators.profiling import ljung_box_hourly
+    from datetime import datetime
+
+    # 2 buckets, max_lag=4: lags 2..4 have no pairs (and lag 1's r is
+    # degenerate but defined); pairless lags contribute 0, h stays 4
+    rows = [(datetime(2026, 1, 1, 0), 0.01), (datetime(2026, 1, 1, 1), 0.03)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ljung_box_hourly(
+        df, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=4
+    ).head()
+    assert out.h_lags == 4 and out.n_buckets == 2
+    assert out.q_micros is not None  # no ANSI error from the n-k=... guards
