@@ -1853,3 +1853,107 @@ def ljung_box_hourly(
         F.round(q * 1_000_000).cast("bigint").alias("q_micros"),
         F.coalesce(q > crit, F.lit(False)).alias("reject_95"),
     )
+
+
+def benjamini_hochberg_rates(
+    df: DataFrame, group: Column, success: Column, alpha_micros: int = 50_000
+) -> DataFrame:
+    """Benjamini-Hochberg FDR-controlled multiple testing over per-stratum
+    rate tests: each stratum's success rate is z-tested against its
+    COMPLEMENT (the pooled two-proportion z of two_proportion_z, one per
+    group), p-values come from the normal tail, and the BH step-up rule
+    marks the largest prefix of the p-ordered strata with
+    p_(i) <= alpha*i/m as rejected — the correction a fleet-wide drift
+    screen MUST apply before paging on "source X moved" when it runs the
+    same test across hundreds of sources (at alpha=.05, ~5% of null
+    strata fire spuriously without it).
+
+    Determinism contract: the normal tail uses the Abramowitz-Stegun
+    7.1.26 polynomial (max abs error 7.5e-8, far above the decision
+    granularity that matters here) written as the SAME Horner expression
+    on both engines; p is quantized to micros BEFORE ranking, so the BH
+    ordering (p_micros, group) and the step-up comparison
+    p_micros * m <= alpha_micros * i are pure integer decisions — no
+    float enters the reject/rank path. Degenerate strata (complement
+    empty, zero pooled variance) get p = 1 (never rejected), not NULL.
+
+    Scale shape: ONE map-side collapse to (group: n_g, x_g); totals are
+    a 1-row broadcast; the rank window runs over the m-row stratum frame
+    (stratum cardinality, not data cardinality). Int64 headroom:
+    x_g * N exact while N <= ~3e9 (pre-aggregate coarser strata beyond).
+    """
+    m0 = df.groupBy(group.alias("g")).agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(success.cast("long")).cast("long").alias("x_g"),
+    )
+    tot = m0.agg(
+        F.sum("n_g").cast("long").alias("n_tot"),
+        F.sum("x_g").cast("long").alias("x_tot"),
+        F.count("*").cast("long").alias("m"),
+    )
+    j = m0.crossJoin(F.broadcast(tot))
+    n2 = F.col("n_tot") - F.col("n_g")
+    x2 = F.col("x_tot") - F.col("x_g")
+    diff_num = F.col("x_g") * n2 - x2 * F.col("n_g")
+    p_pool = F.col("x_tot").cast("double") / F.col("n_tot").cast("double")
+    se = F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_g").cast("double"))
+            + F.try_divide(F.lit(1.0), n2.cast("double"))
+        )
+    )
+    z = F.try_divide(
+        F.try_divide(diff_num.cast("double"), (F.col("n_g") * n2).cast("double")), se
+    )
+    az = F.abs(z)
+    # Abramowitz-Stegun 7.1.26 in Horner form — byte-identical in the oracle
+    t = 1.0 / (F.lit(1.0) + F.lit(0.2316419) * az)
+    tail = (
+        F.exp(-(az * az) / F.lit(2.0))
+        * F.lit(0.3989422804014327)
+        * (
+            t
+            * (
+                F.lit(0.319381530)
+                + t
+                * (
+                    F.lit(-0.356563782)
+                    + t
+                    * (
+                        F.lit(1.781477937)
+                        + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+                    )
+                )
+            )
+        )
+    )
+    p_micros = F.coalesce(
+        F.least(F.round(F.lit(2_000_000.0) * tail), F.lit(1_000_000.0)).cast("long"),
+        F.lit(1_000_000),
+    )
+    scored = j.select(
+        "g",
+        "n_g",
+        "x_g",
+        "m",
+        F.round(z * 1_000_000).cast("bigint").alias("z_micros"),
+        p_micros.alias("p_micros"),
+    )
+    w_rank = Window.orderBy("p_micros", "g")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = scored.withColumn("bh_rank", F.row_number().over(w_rank).cast("long"))
+    passes = F.col("p_micros") * F.col("m") <= F.lit(alpha_micros) * F.col("bh_rank")
+    ranked = ranked.withColumn(
+        "i_max", F.max(F.when(passes, F.col("bh_rank")).otherwise(0)).over(w_all)
+    )
+    return ranked.select(
+        F.col("g").alias("group_key"),
+        "n_g",
+        "x_g",
+        "z_micros",
+        "p_micros",
+        "bh_rank",
+        F.coalesce(F.col("bh_rank") <= F.col("i_max"), F.lit(False)).alias("bh_reject"),
+    )

@@ -2565,3 +2565,108 @@ def q_timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box_hourly(
         ev, "ts", F.round(F.col("value") * 100).cast("bigint"), max_lag=6
     )
+
+
+@query(
+    "stats_bh_fdr_rates",
+    oracle="""
+    WITH base AS (SELECT event_type AS g, (value >= 50) AS s FROM events),
+    m0 AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS x_g
+           FROM base GROUP BY g),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+                   CAST(sum(x_g) AS BIGINT) AS x_tot,
+                   CAST(count(*) AS BIGINT) AS m FROM m0),
+    z AS (
+      SELECT g, n_g, x_g, m,
+        (CAST(x_g*(n_tot-n_g) - (x_tot-x_g)*n_g AS DOUBLE)
+           / CAST(n_g*(n_tot-n_g) AS DOUBLE))
+          / sqrt((CAST(x_tot AS DOUBLE)/n_tot)
+                 * (1.0 - CAST(x_tot AS DOUBLE)/n_tot)
+                 * (1.0/CAST(n_g AS DOUBLE) + 1.0/CAST(n_tot-n_g AS DOUBLE)))
+          AS zval
+      FROM m0, tot),
+    h AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(zval)) AS t FROM z),
+    p2 AS (
+      SELECT g, n_g, x_g, m, zval,
+        exp(-(abs(zval)*abs(zval))/2.0) * 0.3989422804014327
+          * (t*(0.319381530 + t*(-0.356563782 + t*(1.781477937
+               + t*(-1.821255978 + t*1.330274429))))) AS tail
+      FROM h),
+    scored AS (
+      SELECT g, n_g, x_g, m,
+        CAST(round(zval*1000000) AS BIGINT) AS z_micros,
+        coalesce(CAST(least(round(2000000.0*tail), 1000000.0) AS BIGINT),
+                 1000000) AS p_micros
+      FROM p2),
+    ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY p_micros, g)
+                              AS BIGINT) AS bh_rank FROM scored),
+    imax AS (SELECT max(CASE WHEN p_micros*m <= 50000*bh_rank
+                             THEN bh_rank ELSE 0 END) AS i_max FROM ranked)
+    SELECT g AS group_key, n_g, x_g, z_micros, p_micros, bh_rank,
+           coalesce(bh_rank <= i_max, false) AS bh_reject
+    FROM ranked, imax
+    """,
+    doc="Benjamini-Hochberg FDR-corrected per-stratum rate screen: each "
+    "event type's high-value rate z-tested against its complement, "
+    "p-values from the Abramowitz-Stegun normal tail, BH step-up at "
+    "alpha=.05 (operators/profiling.py:benjamini_hochberg_rates) — the "
+    "multiple-testing correction a fleet-wide drift monitor MUST apply "
+    "before paging when it runs the same test across hundreds of "
+    "strata. Determinism: the A-S polynomial is the SAME Horner "
+    "expression on both engines, p quantizes to micros BEFORE ranking, "
+    "and the step-up compare p_micros*m <= alpha_micros*i is pure "
+    "integer — no float in the reject path. One collapse to per-stratum "
+    "(n, x); rank window over the m-row stratum frame only.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_bh_fdr_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import benjamini_hochberg_rates
+
+    ev = T(spark, sf_dir, "events")
+    return benjamini_hochberg_rates(
+        ev, F.col("event_type"), F.col("value") >= 50, alpha_micros=50_000
+    )
+
+
+@query(
+    "privacy_dp_laplace_counts",
+    oracle="""
+    WITH per_g AS (
+      SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderpriority
+    ),
+    noise AS (
+      SELECT g, c,
+        (CAST(CAST(('0x' || substr(md5('dp:' || g), 1, 13)) AS BIGINT)
+              AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+      FROM per_g
+    )
+    SELECT g AS group_key,
+           CAST(round((CAST(c AS DOUBLE)
+               + (-(1000000.0/1000000.0) * sign(u - 0.5)
+                  * ln(1.0 - 2.0*abs(u - 0.5)))) * 1000000) AS BIGINT)
+             AS noisy_count_micros,
+           CAST(1000000 AS BIGINT) AS epsilon_micros
+    FROM noise
+    """,
+    doc="Epsilon-DP release of order counts per priority class via the "
+    "Laplace mechanism at epsilon=1 "
+    "(operators/privacy.py:dp_laplace_counts) — the privacy family's "
+    "missing RELEASE primitive: privacy_k_anonymity / l_diversity / "
+    "t_closeness audit the table, this protects the published COUNTS "
+    "themselves (sensitivity 1 under add/remove-one adjacency). Noise "
+    "is derived from md5(salt:group) — 52 uniform bits, +0.5 dodging "
+    "the ln(0) edge exactly — through the inverse-CDF transform, one "
+    "fixed float expression identical in both engines, quantized once "
+    "to micros. ONE map-side count per group; the mechanism is a "
+    "per-row Column on the |groups|-row frame.",
+    tags=("analytics", "privacy", "scale"),
+)
+def q_privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.privacy import dp_laplace_counts
+
+    od = T(spark, sf_dir, "orders")
+    return dp_laplace_counts(
+        od, F.col("o_orderpriority"), epsilon_micros=1_000_000, salt="dp"
+    )

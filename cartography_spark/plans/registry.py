@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "events_ohlc_bars", "events_user_rfm_segments",
     "stats_kruskal_wallis", "stats_oneway_anova",
     "survival_nelson_aalen", "timeseries_ljung_box",
+    "stats_bh_fdr_rates", "privacy_dp_laplace_counts",
     # --- below: 300 queries already driver-green in r01-r07, kept
     # re-verified every round by the local full gate (tools/oracle_check.py) ---
     "rules_framework_rollup", "job_resource_edge_backfill", "job_guarded_relabel_migration",

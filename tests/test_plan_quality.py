@@ -58,6 +58,9 @@ _NESTED_LOOP_ALLOWED = {
     "permission_statement_eval",
     "similarity_cosine_topk",       # brute-force baseline (documented O(n))
     "pandas_cosine_topk",
+    "stats_kendall_tau_b",          # non-equi cell-pair self-join on the
+                                    # domain-bounded |X|x|Y| contingency frame
+                                    # (<= (50*7)^2 pairs at ANY data size)
 }
 
 # BroadcastNestedLoopJoin with a SCALAR/bounded build side: the standard
@@ -131,6 +134,9 @@ _SCALAR_ATTACH = {
     "streaming_ks_drift",           # x broadcast(1-row population totals, via ks_two_sample)
     "sketch_quantile_bottomk",      # x broadcast(1-row n_s/n totals + 5-row q spec) over <=256-row sketch frames
     "classifier_pr_auc",            # same NB attach as classifier_ranking_auc
+    "stats_kruskal_wallis",         # x broadcast(1-row N + value-domain rank frame)
+    "timeseries_ljung_box",         # x broadcast(6-row lag frame + 1-row totals, via acf_hourly)
+    "stats_bh_fdr_rates",           # x broadcast(1-row N/X/m totals)
 }
 
 

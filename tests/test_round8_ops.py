@@ -475,3 +475,73 @@ def test_ljung_box_short_series_pairless_lags(spark):
     ).head()
     assert out.h_lags == 4 and out.n_buckets == 2
     assert out.q_micros is not None  # no ANSI error from the n-k=... guards
+
+
+def test_bh_fdr_hand_computed(spark):
+    from cartography_spark.operators.profiling import benjamini_hochberg_rates
+
+    # a: 80/100 vs pooled .5 -> |z|=6.93, p~0; b: 20/100 symmetric;
+    # c,d: 50/100 -> z=0, p=1. BH at alpha=.05, m=4: i_max=2 -> reject {a,b}
+    rows = (
+        [("a", True)] * 80 + [("a", False)] * 20
+        + [("b", True)] * 20 + [("b", False)] * 80
+        + [("c", True)] * 50 + [("c", False)] * 50
+        + [("d", True)] * 50 + [("d", False)] * 50
+    )
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r.group_key: r for r in
+           benjamini_hochberg_rates(df, F.col("g"), F.col("s")).collect()}
+    assert out["a"].p_micros == 0 and out["b"].p_micros == 0
+    assert out["c"].p_micros == 1_000_000 and out["d"].p_micros == 1_000_000
+    assert out["a"].bh_reject and out["b"].bh_reject
+    assert not out["c"].bh_reject and not out["d"].bh_reject
+    assert {out["a"].bh_rank, out["b"].bh_rank} == {1, 2}
+    # symmetric strata: z_b = -z_a = 0.4/sqrt(.25*(1/100+1/300)) = 6.9282
+    assert out["a"].z_micros == -out["b"].z_micros == 6_928_203
+
+
+def test_bh_fdr_degenerate_single_stratum(spark):
+    from cartography_spark.operators.profiling import benjamini_hochberg_rates
+
+    # one stratum: complement empty -> z NULL -> p=1, never rejected,
+    # and no ANSI division error
+    df = spark.createDataFrame([("a", True), ("a", False)], "g string, s boolean")
+    out = benjamini_hochberg_rates(df, F.col("g"), F.col("s")).head()
+    assert out.p_micros == 1_000_000 and out.bh_reject is False
+    assert out.z_micros is None
+
+
+def test_dp_laplace_deterministic_and_scales(spark):
+    import math
+
+    from cartography_spark.operators.privacy import dp_laplace_counts
+
+    df = spark.createDataFrame([("a",), ("a",), ("a",), ("b",)], "g string")
+    # reproduce the mechanism exactly: k = first 13 hex of md5('dp:'||g)
+    import hashlib
+
+    def lap(g, b):
+        k = int(hashlib.md5(f"dp:{g}".encode()).hexdigest()[:13], 16)
+        u = (k + 0.5) / 2**52
+        w = u - 0.5
+        return -b * math.copysign(1.0, w) * math.log(1.0 - 2.0 * abs(w))
+
+    out1 = {r.group_key: r.noisy_count_micros
+            for r in dp_laplace_counts(df, F.col("g"), 1_000_000).collect()}
+    assert out1["a"] == round((3 + lap("a", 1.0)) * 1e6)
+    assert out1["b"] == round((1 + lap("b", 1.0)) * 1e6)
+
+    # doubling epsilon exactly halves the noise scale
+    out2 = {r.group_key: r.noisy_count_micros
+            for r in dp_laplace_counts(df, F.col("g"), 2_000_000).collect()}
+    assert out2["a"] == round((3 + lap("a", 0.5)) * 1e6)
+
+    # different salt -> different (but still deterministic) noise
+    out3 = {r.group_key: r.noisy_count_micros
+            for r in dp_laplace_counts(df, F.col("g"), 1_000_000, salt="dp2").collect()}
+    k2 = int(hashlib.md5(b"dp2:a").hexdigest()[:13], 16)
+    u2 = (k2 + 0.5) / 2**52
+    w2 = u2 - 0.5
+    lap_a2 = -1.0 * math.copysign(1.0, w2) * math.log(1.0 - 2.0 * abs(w2))
+    assert out3["a"] == round((3 + lap_a2) * 1e6)
+    assert out3["a"] != out1["a"]
