@@ -328,3 +328,56 @@ def neyman_allocation(
         .cast("bigint")
         .alias("alloc_n"),
     )
+
+
+def rendezvous_shards(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8, salt: str = "hrw"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with an expansion
+    audit: each row is assigned to the shard whose md5(salt:id:shard)
+    score is lexicographically largest among shards 0..n-1, then
+    RE-assigned among 0..n (one new shard), and the per-shard movement
+    is reported — one row per base shard with (shard, n_docs, n_moved).
+    HRW is what a shard count change SHOULD cost: unlike modulo
+    sharding (where going 8->9 moves ~8/9 of all rows and invalidates
+    every downstream cache), HRW moves EXACTLY the rows whose new-shard
+    score wins — ~1/(n+1) of the data, all of it INTO the new shard,
+    nothing shuffles between survivors (pytest-checked invariant).
+
+    Determinism: scores are md5 hex strings compared lexicographically —
+    identical in any engine, no RNG. The shard axis is an exploded
+    literal array (no join of any kind — Catalyst sees a narrow
+    generator), the double argmax is ONE map-side-combinable max_by
+    pass per id (the base argmax ranks over a NULL-masked score, which
+    max_by skips by definition), and the report is a second bounded
+    aggregate. Scale shape: a narrow id column fans out x(n+1), then
+    collapses immediately — no window, no shuffle beyond the two
+    grouped aggregates.
+    """
+    shard_axis = F.array(*[F.lit(i) for i in range(n_shards + 1)])
+    scored = df.select(F.col(id_col).alias("id")).select(
+        "id", F.explode(shard_axis).alias("shard")
+    )
+    score = F.md5(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col("id").cast("string"),
+            F.lit(":"),
+            F.col("shard").cast("string"),
+        )
+    )
+    per_id = scored.select("id", "shard", score.alias("score")).groupBy("id").agg(
+        F.expr(f"max_by(shard, CASE WHEN shard < {n_shards} THEN score END)").alias(
+            "base_shard"
+        ),
+        F.expr("max_by(shard, score)").alias("new_shard"),
+    )
+    return (
+        per_id.groupBy(F.col("base_shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("new_shard") != F.col("base_shard")).cast("long"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+    )

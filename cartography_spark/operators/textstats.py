@@ -1249,3 +1249,100 @@ def kn_bigram_surprisal(
             "mean_millibits"
         ),
     )
+
+
+def stupid_backoff_trigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_mod: int = 2,
+) -> DataFrame:
+    """Trigram stupid-backoff LM scored on a HELD-OUT split, integer-
+    exact — the web-scale smoothing Brants et al. built for exactly this
+    setting (count dictionaries too large for principled discounting):
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram was seen
+                    = 0.4 * c(w2w3)/c(w2)      else if the bigram was
+                    = 0.4^2 * c(w3)/N          else if the word was
+                    = 0.4^2 * 1/N              else (OOV)
+
+    Train counts come from docs with id % holdout_mod == 0; scoring runs
+    over the OTHER docs, so the backoff path actually fires (scoring the
+    training corpus itself never leaves the first branch — the mistake
+    this operator's split contract exists to avoid). kn_bigram_surprisal
+    answers "how surprising is each doc under the corpus?"; this answers
+    the LM-eval question "how well does a trained model transfer?", and
+    its per-level hit counts (n_tri/n_bi/n_uni/n_oov) are the coverage
+    diagnostic a dedup/contamination audit reads directly.
+
+    Exactness: 0.4 = 2/5, so 1/S is the exact rational 5^j*den /
+    (2^j*num) at backoff depth j, and the charged bits are
+    floor(log2(.)) via the same bin()-length integer arithmetic as the
+    KN/bigram models — no float log, bit-identical in any engine.
+    Headroom: 25*N must fit int64 (N <= ~3.7e17 train tokens).
+
+    Scale shape: one tokenize pass per side; train collapses to four
+    count dictionaries (trigram/context/bigram/unigram — vocabulary-
+    bounded) + a 1-row token total; scoring is four dictionary
+    left-joins on the held-out trigram frame. Doc-sized windows only
+    for adjacency (partitioned by doc).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    tri = (
+        toks.withColumn("w2", F.lag("tok", 1).over(w))
+        .withColumn("w1", F.lag("tok", 2).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select(F.col(id_col), "w1", "w2", F.col("tok").alias("w3"))
+    )
+    is_train = (F.col(id_col) % holdout_mod) == 0
+    train, held = tri.filter(is_train), tri.filter(~is_train)
+
+    c_tri = train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c_ctx = train.groupBy("w1", "w2").agg(F.count("*").alias("cctx"))
+    c_big = train.groupBy("w2", "w3").agg(F.count("*").alias("cb"))
+    c_un2 = train.groupBy("w2").agg(F.count("*").alias("cu2"))
+    c_uni = train.groupBy("w3").agg(F.count("*").alias("cw"))
+    n_tot = train.agg(F.count("*").cast("long").alias("n_train"))
+
+    j = (
+        held.join(c_tri, ["w1", "w2", "w3"], "left")
+        .join(c_ctx, ["w1", "w2"], "left")
+        .join(c_big, ["w2", "w3"], "left")
+        .join(c_un2, ["w2"], "left")
+        .join(c_uni, ["w3"], "left")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    blen = lambda e: F.length(F.bin(e)).cast("long") - 1  # noqa: E731
+    bits = (
+        F.when(F.col("c3").isNotNull(), blen(F.expr("cctx DIV c3")))
+        .when(F.col("cb").isNotNull(), blen(F.expr("(5 * cu2) DIV (2 * cb)")))
+        .when(F.col("cw").isNotNull(), blen(F.expr("(25 * n_train) DIV (4 * cw)")))
+        .otherwise(blen(F.expr("(25 * n_train) DIV 4")))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit("tri"))
+        .when(F.col("cb").isNotNull(), F.lit("bi"))
+        .when(F.col("cw").isNotNull(), F.lit("uni"))
+        .otherwise(F.lit("oov"))
+    )
+    scored = j.select(F.col(id_col), bits.alias("bits"), level.alias("lv"))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST((sum(bits) * 1000) DIV count(*) AS BIGINT)").alias(
+            "mean_millibits"
+        ),
+        F.sum((F.col("lv") == "tri").cast("long")).cast("long").alias("n_tri_hit"),
+        F.sum((F.col("lv") == "bi").cast("long")).cast("long").alias("n_bi_hit"),
+        F.sum((F.col("lv") == "uni").cast("long")).cast("long").alias("n_uni_hit"),
+        F.sum((F.col("lv") == "oov").cast("long")).cast("long").alias("n_oov"),
+    )

@@ -4356,3 +4356,76 @@ def q_text_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.kn_bigram_surprisal(_docs(spark, sf_dir))
+
+
+@query(
+    "text_stupid_backoff_trigram",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM words CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    tri AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               tok AS w3
+        FROM toks
+      ) WHERE w1 IS NOT NULL
+    ),
+    train AS (SELECT * FROM tri WHERE doc_id % 2 = 0),
+    held AS (SELECT * FROM tri WHERE doc_id % 2 <> 0),
+    c_tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM train GROUP BY w1, w2, w3),
+    c_ctx AS (SELECT w1, w2, count(*) AS cctx FROM train GROUP BY w1, w2),
+    c_big AS (SELECT w2, w3, count(*) AS cb FROM train GROUP BY w2, w3),
+    c_un2 AS (SELECT w2, count(*) AS cu2 FROM train GROUP BY w2),
+    c_uni AS (SELECT w3, count(*) AS cw FROM train GROUP BY w3),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM train),
+    scored AS (
+      SELECT held.doc_id,
+        CASE
+          WHEN c3 IS NOT NULL THEN length(bin(cctx // c3)) - 1
+          WHEN cb IS NOT NULL THEN length(bin((5 * cu2) // (2 * cb))) - 1
+          WHEN cw IS NOT NULL THEN length(bin((25 * n_train) // (4 * cw))) - 1
+          ELSE length(bin((25 * n_train) // 4)) - 1
+        END AS bits,
+        CASE
+          WHEN c3 IS NOT NULL THEN 'tri'
+          WHEN cb IS NOT NULL THEN 'bi'
+          WHEN cw IS NOT NULL THEN 'uni'
+          ELSE 'oov'
+        END AS lv
+      FROM held
+      LEFT JOIN c_tri USING (w1, w2, w3)
+      LEFT JOIN c_ctx USING (w1, w2)
+      LEFT JOIN c_big USING (w2, w3)
+      LEFT JOIN c_un2 USING (w2)
+      LEFT JOIN c_uni USING (w3)
+      CROSS JOIN n_tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits,
+           CAST(sum(CASE WHEN lv = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+           CAST(sum(CASE WHEN lv = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+           CAST(sum(CASE WHEN lv = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+           CAST(sum(CASE WHEN lv = 'oov' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Trigram stupid-backoff LM (Brants et al.'s web-scale smoothing, "
+    "backoff factor 0.4 = 2/5) trained on the even-id half of the "
+    "corpus and scored on the HELD-OUT half, so the backoff ladder "
+    "actually fires (operators/textstats.py:stupid_backoff_trigram). "
+    "Completes the n-gram LM family along the transfer axis: unigram/"
+    "bigram/KN score docs under the whole corpus; this is the LM-eval "
+    "split, and its per-level hit counts (tri/bi/uni/oov) are the "
+    "coverage diagnostic a contamination audit reads. Integer-exact "
+    "bits via bin()-length on exact rationals 5^j*den/(2^j*num) — no "
+    "float log. Train collapses to four vocab-bounded dictionaries + a "
+    "1-row total; scoring is four dictionary left-joins.",
+    tags=("llm", "text", "scale"),
+)
+def q_text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.stupid_backoff_trigram(_docs(spark, sf_dir))

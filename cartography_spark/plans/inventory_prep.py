@@ -1439,3 +1439,45 @@ _CDC_POWS = "[" + ", ".join(str(31**j) for j in range(8)) + "]"
 )
 def q_text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.content_defined_chunks(_docs(spark, sf_dir))
+
+
+@query(
+    "shard_rendezvous_hashing",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, s.shard,
+             md5('hrw:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(s.shard AS VARCHAR)) AS score
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS shard) s
+    ),
+    per_id AS (
+      SELECT doc_id,
+             arg_max(shard, CASE WHEN shard < 8 THEN score END) AS base_shard,
+             arg_max(shard, score) AS new_shard
+      FROM scored GROUP BY doc_id
+    )
+    SELECT CAST(base_shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN new_shard <> base_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM per_id GROUP BY base_shard
+    """,
+    doc="Rendezvous (highest-random-weight) sharding of the corpus into 8 "
+    "shards with an 8->9 expansion audit "
+    "(operators/sampling.py:rendezvous_shards) — the shard-count-change "
+    "story shard_assignment_balanced cannot tell: LPT dealing "
+    "rebalances perfectly but moves almost EVERYTHING when the shard "
+    "count changes; HRW moves exactly the rows whose new-shard md5 "
+    "score wins (~1/9 here), all of them INTO the new shard and none "
+    "between survivors (pytest-checked). Scores are md5 hex compared "
+    "lexicographically — engine-identical, no RNG. The shard axis is an "
+    "exploded literal (no join); the double argmax is one map-side "
+    "max_by pass per id (the base argmax NULL-masks the new shard, "
+    "which max_by skips by definition).",
+    tags=("llm", "prep", "sampling", "scale"),
+)
+def q_shard_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.sampling import rendezvous_shards
+
+    return rendezvous_shards(_docs(spark, sf_dir), "doc_id", n_shards=8, salt="hrw")

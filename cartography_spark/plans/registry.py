@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "stats_kruskal_wallis", "stats_oneway_anova",
     "survival_nelson_aalen", "timeseries_ljung_box",
     "stats_bh_fdr_rates", "privacy_dp_laplace_counts",
+    "shard_rendezvous_hashing", "text_stupid_backoff_trigram",
     # --- below: 300 queries already driver-green in r01-r07, kept
     # re-verified every round by the local full gate (tools/oracle_check.py) ---
     "rules_framework_rollup", "job_resource_edge_backfill", "job_guarded_relabel_migration",

@@ -137,6 +137,7 @@ _SCALAR_ATTACH = {
     "stats_kruskal_wallis",         # x broadcast(1-row N + value-domain rank frame)
     "timeseries_ljung_box",         # x broadcast(6-row lag frame + 1-row totals, via acf_hourly)
     "stats_bh_fdr_rates",           # x broadcast(1-row N/X/m totals)
+    "text_stupid_backoff_trigram",  # x broadcast(1-row train-token total)
 }
 
 

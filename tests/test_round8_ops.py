@@ -545,3 +545,55 @@ def test_dp_laplace_deterministic_and_scales(spark):
     lap_a2 = -1.0 * math.copysign(1.0, w2) * math.log(1.0 - 2.0 * abs(w2))
     assert out3["a"] == round((3 + lap_a2) * 1e6)
     assert out3["a"] != out1["a"]
+
+
+def test_rendezvous_shards_matches_model_and_invariant(spark):
+    """Operator totals must match a pure-Python HRW model, and the HRW
+    invariant must hold: every doc that moves on 8->9 expansion moves
+    INTO the new shard — survivors never trade rows."""
+    import hashlib
+
+    from cartography_spark.operators.sampling import rendezvous_shards
+
+    ids = list(range(100))
+
+    def score(i, s):
+        return hashlib.md5(f"hrw:{i}:{s}".encode()).hexdigest()
+
+    base = {i: max(range(8), key=lambda s: score(i, s)) for i in ids}
+    new = {i: max(range(9), key=lambda s: score(i, s)) for i in ids}
+    for i in ids:  # the invariant the docstring promises
+        assert new[i] == base[i] or new[i] == 8
+    want = {}
+    for i in ids:
+        d = want.setdefault(base[i], [0, 0])
+        d[0] += 1
+        d[1] += int(new[i] != base[i])
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.shard: [r.n_docs, r.n_moved]
+           for r in rendezvous_shards(df, "doc_id", n_shards=8).collect()}
+    assert got == {k: v for k, v in want.items()}
+    assert sum(v[0] for v in got.values()) == 100
+
+
+def test_stupid_backoff_hand_computed(spark):
+    from cartography_spark.operators.textstats import stupid_backoff_trigram
+
+    # train (id 0): "a b c a b d" -> c_tri{abc,bca,cab,abd}=1, cctx{ab:2,...},
+    # c_big{bc,ca,ab,bd}=1, c_uni{a,b,c,d}=1, N=4
+    # held (id 1) "a b c d q": (a,b,c) tri-hit bits=floor(log2(2/1))=1;
+    # (b,c,d) uni-hit bits=floor(log2(100/4))=4; (c,d,q) OOV bits=4
+    # held (id 3) "z a b": (z,a,b) bi-hit bits=floor(log2(5/2))=1
+    df = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c d q"), (3, "z a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in stupid_backoff_trigram(df).collect()}
+    assert set(out) == {1, 3}
+    r1 = out[1]
+    assert r1.n_trigrams == 3 and r1.total_bits == 9 and r1.mean_millibits == 3000
+    assert (r1.n_tri_hit, r1.n_bi_hit, r1.n_uni_hit, r1.n_oov) == (1, 0, 1, 1)
+    r3 = out[3]
+    assert r3.n_trigrams == 1 and r3.total_bits == 1
+    assert (r3.n_tri_hit, r3.n_bi_hit, r3.n_uni_hit, r3.n_oov) == (0, 1, 0, 0)
