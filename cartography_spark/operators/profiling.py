@@ -1957,3 +1957,75 @@ def benjamini_hochberg_rates(
         "bh_rank",
         F.coalesce(F.col("bh_rank") <= F.col("i_max"), F.lit(False)).alias("bh_reject"),
     )
+
+
+def brier_decomposition(df: DataFrame, forecast_pct: Column, outcome: Column) -> DataFrame:
+    """Murphy decomposition of the Brier score for a probabilistic
+    classifier with integer-percent forecasts:
+    brier = reliability - resolution + uncertainty, where reliability
+    ("when it says 80%, is it right 80% of the time?") is what
+    classifier_calibration_bins eyeballs, resolution is how much the
+    forecast actually separates outcomes, and uncertainty is the
+    irreducible base-rate variance. The decomposition turns one loss
+    number into the which-part-is-broken diagnostic a model gate needs:
+    a high Brier from low resolution wants a better model; from high
+    reliability it wants recalibration (a monotone map fixes it for
+    free). Bins are the DISTINCT forecast values — the classical
+    decomposition's exact setting, no binning error term.
+
+    Exactness: per-bin (n_b, X_b) are exact integers from ONE map-side
+    collapse; reliability terms (n_b*f_b - 100*X_b)^2/(1e4*n_b) and
+    resolution terms (X_b*N - X*n_b)^2/(n_b*N^2) are each ONE fixed
+    float expression over exact integers quantized ONCE to milli
+    BIGINTs (they overflow int64 past ~3e9 rows if kept integer), so
+    the cross-bin sums are reduction-order-immune; uncertainty
+    X(N-X)/N^2 is a single expression; and the DIRECT Brier
+    sum(f_i - 100*y_i)^2 / (1e4*N) is kept as an exact BIGINT sum —
+    the identity |brier - (rel - res + unc)| <= quantization slack is
+    pytest-checked, a free end-to-end self-audit.
+
+    Scale shape: one collapse to the <=101-row forecast-value frame,
+    a 1-row totals broadcast, arithmetic on the bin frame. The direct
+    Brier rides the same first pass.
+    """
+    base = df.select(forecast_pct.cast("long").alias("f"), outcome.cast("long").alias("y"))
+    bins = base.groupBy("f").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("x_b"),
+        F.sum((F.col("f") - 100 * F.col("y")) * (F.col("f") - 100 * F.col("y")))
+        .cast("long")
+        .alias("sq_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("x_b").cast("long").alias("x"),
+        F.sum("sq_b").cast("long").alias("sq"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    rel_num = (F.col("n_b") * F.col("f") - 100 * F.col("x_b")).cast("double")
+    t_rel = F.round(
+        F.lit(1000.0) * rel_num * rel_num / (F.lit(10_000.0) * F.col("n_b"))
+    ).cast("long")
+    res_num = (F.col("x_b") * F.col("n") - F.col("x") * F.col("n_b")).cast("double")
+    t_res = F.round(
+        F.lit(1000.0)
+        * res_num
+        * res_num
+        / (F.col("n_b").cast("double") * F.col("n") * F.col("n"))
+    ).cast("long")
+    s = j.groupBy("n", "x", "sq", "n_bins").agg(
+        F.sum(t_rel).cast("long").alias("rel_milli"),
+        F.sum(t_res).cast("long").alias("res_milli"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_total"),
+        "n_bins",
+        F.round(F.lit(1000.0) * F.col("rel_milli") / n_d).cast("bigint").alias("reliability_micros"),
+        F.round(F.lit(1000.0) * F.col("res_milli") / n_d).cast("bigint").alias("resolution_micros"),
+        F.round(
+            F.lit(1_000_000.0) * F.col("x") * (F.col("n") - F.col("x")) / (n_d * n_d)
+        ).cast("bigint").alias("uncertainty_micros"),
+        F.round(F.lit(100.0) * F.col("sq") / n_d).cast("bigint").alias("brier_micros"),
+    )

@@ -2670,3 +2670,68 @@ def q_privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_laplace_counts(
         od, F.col("o_orderpriority"), epsilon_micros=1_000_000, salt="dp"
     )
+
+
+@query(
+    "classifier_brier_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(2 * CAST(l_quantity AS BIGINT) AS BIGINT) AS f,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    bins AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(y) AS BIGINT) AS x_b,
+             CAST(sum((f - 100*y) * (f - 100*y)) AS BIGINT) AS sq_b
+      FROM base GROUP BY f
+    ),
+    tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(x_b) AS BIGINT) AS x,
+                   CAST(sum(sq_b) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+    terms AS (
+      SELECT n, x, sq, n_bins,
+        CAST(round(1000.0 * CAST(n_b*f - 100*x_b AS DOUBLE)
+                          * CAST(n_b*f - 100*x_b AS DOUBLE)
+             / (10000.0 * n_b)) AS BIGINT) AS t_rel,
+        CAST(round(1000.0 * CAST(x_b*n - x*n_b AS DOUBLE)
+                          * CAST(x_b*n - x*n_b AS DOUBLE)
+             / (CAST(n_b AS DOUBLE) * n * n)) AS BIGINT) AS t_res
+      FROM bins, tot
+    ),
+    s AS (SELECT n, x, sq, n_bins,
+                 CAST(sum(t_rel) AS BIGINT) AS rel_milli,
+                 CAST(sum(t_res) AS BIGINT) AS res_milli
+          FROM terms GROUP BY n, x, sq, n_bins)
+    SELECT n AS n_total, n_bins,
+           CAST(round(1000.0 * rel_milli / CAST(n AS DOUBLE)) AS BIGINT)
+             AS reliability_micros,
+           CAST(round(1000.0 * res_milli / CAST(n AS DOUBLE)) AS BIGINT)
+             AS resolution_micros,
+           CAST(round(1000000.0 * x * (n - x)
+                / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS uncertainty_micros,
+           CAST(round(100.0 * sq / CAST(n AS DOUBLE)) AS BIGINT) AS brier_micros
+    FROM s
+    """,
+    doc="Murphy decomposition of the Brier score, with 2*l_quantity as an "
+    "integer-percent forecast of the return outcome "
+    "(operators/profiling.py:brier_decomposition) — the diagnostic that "
+    "turns one loss number into WHICH-part-is-broken: reliability "
+    "(recalibrate — a monotone map fixes it), resolution (the model "
+    "doesn't separate), uncertainty (irreducible base rate). Bins are "
+    "the distinct forecast values (the classical exact setting, no "
+    "binning error term). Per-bin terms are single float expressions "
+    "over exact integers milli-quantized ONCE so cross-bin sums are "
+    "order-immune; the direct Brier rides the same first pass as an "
+    "exact BIGINT sum, and |brier - (rel - res + unc)| <= slack is "
+    "pytest-checked end-to-end. One collapse to <=101 bins; 1-row "
+    "totals broadcast.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_classifier_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import brier_decomposition
+
+    li = T(spark, sf_dir, "lineitem")
+    return brier_decomposition(
+        li, 2 * F.col("l_quantity").cast("long"), F.col("l_returnflag") == "R"
+    )

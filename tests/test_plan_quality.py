@@ -138,6 +138,7 @@ _SCALAR_ATTACH = {
     "timeseries_ljung_box",         # x broadcast(6-row lag frame + 1-row totals, via acf_hourly)
     "stats_bh_fdr_rates",           # x broadcast(1-row N/X/m totals)
     "text_stupid_backoff_trigram",  # x broadcast(1-row train-token total)
+    "classifier_brier_decomposition",  # x broadcast(1-row N/X/sq totals)
 }
 
 

@@ -597,3 +597,49 @@ def test_stupid_backoff_hand_computed(spark):
     r3 = out[3]
     assert r3.n_trigrams == 1 and r3.total_bits == 1
     assert (r3.n_tri_hit, r3.n_bi_hit, r3.n_uni_hit, r3.n_oov) == (0, 1, 0, 0)
+
+
+def test_brier_decomposition_hand_computed(spark):
+    from cartography_spark.operators.profiling import brier_decomposition
+
+    # bin 80%: 4 rows 3 pos; bin 20%: 4 rows 1 pos. N=8, X=4, obar=.5
+    # rel=.0025, res=.0625, unc=.25, brier=.19 (Murphy identity exact here)
+    rows = (
+        [(80, True)] * 3 + [(80, False)]
+        + [(20, True)] + [(20, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "f long, y boolean")
+    out = brier_decomposition(df, F.col("f"), F.col("y")).head()
+    assert out.n_total == 8 and out.n_bins == 2
+    assert out.reliability_micros == 2_500
+    assert out.resolution_micros == 62_500
+    assert out.uncertainty_micros == 250_000
+    assert out.brier_micros == 190_000
+    assert out.brier_micros == (
+        out.reliability_micros - out.resolution_micros + out.uncertainty_micros
+    )
+
+
+def test_brier_decomposition_identity_on_fixture(spark, sf_dir):
+    """Murphy identity end-to-end on real data: the direct Brier (exact
+    integer path) must equal rel - res + unc within per-bin milli slack."""
+    from cartography_spark.plans.inventory_analytics import (
+        q_classifier_brier_decomposition,
+    )
+
+    out = q_classifier_brier_decomposition(spark, sf_dir).head()
+    recomposed = out.reliability_micros - out.resolution_micros + out.uncertainty_micros
+    assert abs(out.brier_micros - recomposed) <= 5
+    assert 0 <= out.brier_micros <= 1_000_000
+
+
+def test_brier_decomposition_perfect_forecaster(spark):
+    from cartography_spark.operators.profiling import brier_decomposition
+
+    # oracle forecaster: 100% on positives, 0% on negatives ->
+    # brier=0, rel=0, res == unc
+    rows = [(100, True)] * 3 + [(0, False)] * 5
+    df = spark.createDataFrame(rows, "f long, y boolean")
+    out = brier_decomposition(df, F.col("f"), F.col("y")).head()
+    assert out.brier_micros == 0 and out.reliability_micros == 0
+    assert out.resolution_micros == out.uncertainty_micros
