@@ -673,3 +673,76 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         # coefficient is undefined (NULL), not a divide-by-zero error
         F.round(F.try_divide(F.lit(1_000_000.0) * num, den)).cast("bigint").alias("assortativity_micros"),
     )
+
+
+def markov_stationary(
+    trans: DataFrame,
+    from_col: str = "prev_type",
+    to_col: str = "event_type",
+    count_col: str = "n_transitions",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Stationary distribution of a finite Markov chain from observed
+    transition counts — the long-run occupancy the transition matrix
+    (event_transition_matrix) only implies: "where does a user
+    eventually spend their time?" is what capacity planning and
+    engagement scoring actually consume; markov_next_event_accuracy
+    evaluates one-step prediction, this closes the family with the
+    fixed-point view. n_iter fixed power iterations from the uniform
+    vector (enough for the sub-percent accuracy bounded state spaces
+    need; the answer is the ITERATE-10 contract, not a convergence
+    promise).
+
+    Integer-deterministic iteration: P quantizes once to micros from
+    exact counts; each step computes v'[j] = round(sum_i v[i]*p[i][j]
+    / 1e6) where the inner sum is an EXACT BIGINT (v, p <= 1e6, so each
+    product <= 1e12 and the k-term sum is far inside int64) — both
+    engines iterate on identical integers, so the unrolled-CTE oracle
+    reproduces every step bit-for-bit. States with no outgoing
+    transitions get the standard dangling self-loop (p = 1e6) so mass
+    is conserved up to the +-k/2-micro rounding per step. Output: one
+    row per state (state, pi_micros), zero-mass states included.
+
+    Scale shape: the chain lives on the event-type DOMAIN — after the
+    count collapse every frame is k or k^2 rows, and the n_iter
+    join+agg steps run on those bounded broadcast frames. The only
+    data-sized work is whatever built `trans` upstream.
+    """
+    t = trans.select(
+        F.col(from_col).alias("i"), F.col(to_col).alias("j"),
+        F.col(count_col).cast("long").alias("c"),
+    )
+    states = (
+        t.select(F.col("i").alias("s")).union(t.select(F.col("j").alias("s"))).distinct()
+    )
+    out_tot = t.groupBy("i").agg(F.sum("c").alias("ci"))
+    p_obs = t.join(out_tot, "i").select(
+        "i", "j",
+        F.round(F.lit(1_000_000.0) * F.col("c") / F.col("ci")).cast("long").alias("p"),
+    )
+    dangling = states.join(out_tot, states.s == out_tot.i, "left_anti").select(
+        F.col("s").alias("i"), F.col("s").alias("j"), F.lit(1_000_000).cast("long").alias("p")
+    )
+    p_full = p_obs.union(dangling)
+    k = states.agg(F.count("*").alias("k"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        F.col("s").alias("state"),
+        F.round(F.lit(1_000_000.0) / F.col("k")).cast("long").alias("v"),
+    )
+    for _ in range(n_iter):
+        v = (
+            v.join(F.broadcast(p_full), v.state == p_full.i)
+            .groupBy(F.col("j").alias("state"))
+            .agg(
+                F.round(F.sum(F.col("v") * F.col("p")).cast("double") / 1e6)
+                .cast("long")
+                .alias("v")
+            )
+        )
+    return (
+        states.join(v, states.s == v.state, "left")
+        .select(
+            F.col("s").alias("state"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("pi_micros"),
+        )
+    )

@@ -441,3 +441,74 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acc_micros"),
         )
     )
+
+
+_MARKOV_ITER = "\n".join(
+    f"""    v{n} AS (
+      SELECT p.j AS state,
+             CAST(round(CAST(sum(v.v * p.p) AS DOUBLE) / 1000000.0) AS BIGINT) AS v
+      FROM v{n - 1} v JOIN p ON v.state = p.i GROUP BY p.j
+    ),"""
+    for n in range(1, 11)
+)
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS i, event_type AS j, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    states AS (SELECT DISTINCT i AS s FROM pairs
+               UNION SELECT DISTINCT j AS s FROM pairs),
+    outt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM pairs GROUP BY i),
+    p AS (
+      SELECT i, j, CAST(round(1000000.0 * c / ci) AS BIGINT) AS p
+      FROM pairs JOIN outt USING (i)
+      UNION ALL
+      SELECT s, s, CAST(1000000 AS BIGINT)
+      FROM states WHERE s NOT IN (SELECT i FROM outt)
+    ),
+    kk AS (SELECT count(*) AS k FROM states),
+    v0 AS (SELECT s AS state, CAST(round(1000000.0 / k) AS BIGINT) AS v
+           FROM states, kk),
+{_MARKOV_ITER}
+    final AS (SELECT * FROM v10)
+    SELECT s AS state, CAST(coalesce(v, 0) AS BIGINT) AS pi_micros
+    FROM states LEFT JOIN final ON s = state
+    """,
+    doc="Stationary distribution of the per-user event-type Markov chain "
+    "(operators/graph.py:markov_stationary) — the long-run occupancy "
+    "that event_transition_matrix implies and capacity/engagement "
+    "models consume; closes the Markov family next to one-step "
+    "prediction accuracy. Ten power iterations from uniform, every "
+    "step integer-deterministic: P quantizes once to micros from exact "
+    "counts, each update's inner sum v.p is an exact BIGINT, and the "
+    "oracle unrolls the identical ten CTEs so both engines reproduce "
+    "every step bit-for-bit. Dangling states get the standard "
+    "self-loop. After the one data-sized count collapse, every frame "
+    "is k or k^2 rows on the event-type domain, iterated via broadcast "
+    "joins.",
+    tags=("scale", "events", "graph"),
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import markov_stationary
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return markov_stationary(pairs, "prev_type", "event_type", "n_transitions", n_iter=10)

@@ -139,6 +139,7 @@ _SCALAR_ATTACH = {
     "stats_bh_fdr_rates",           # x broadcast(1-row N/X/m totals)
     "text_stupid_backoff_trigram",  # x broadcast(1-row train-token total)
     "classifier_brier_decomposition",  # x broadcast(1-row N/X/sq totals)
+    "events_markov_stationary",     # x broadcast(1-row state count k)
 }
 
 

@@ -643,3 +643,31 @@ def test_brier_decomposition_perfect_forecaster(spark):
     out = brier_decomposition(df, F.col("f"), F.col("y")).head()
     assert out.brier_micros == 0 and out.reliability_micros == 0
     assert out.resolution_micros == out.uncertainty_micros
+
+
+def test_markov_stationary_hand_computed(spark):
+    from cartography_spark.operators.graph import markov_stationary
+
+    # chain a->b (1), b->a (1), b->b (1): true pi = (1/3, 2/3); ten
+    # micro-quantized iterations land at (333497, 666506) exactly
+    # (hand-traced through the integer update, HALF_UP at .5)
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1), ("b", "b", 1)],
+        "prev_type string, event_type string, n_transitions long",
+    )
+    out = {r.state: r.pi_micros for r in markov_stationary(df).collect()}
+    assert out == {"a": 333_497, "b": 666_506}
+    # mass conserved up to +-k/2 micros per step
+    assert abs(sum(out.values()) - 1_000_000) <= 10
+
+
+def test_markov_stationary_dangling_absorbs(spark):
+    from cartography_spark.operators.graph import markov_stationary
+
+    # a -> b only; b is dangling -> self-loop absorbs all mass, and the
+    # zero-mass state still emits a row (stable schema contract)
+    df = spark.createDataFrame(
+        [("a", "b", 3)], "prev_type string, event_type string, n_transitions long"
+    )
+    out = {r.state: r.pi_micros for r in markov_stationary(df).collect()}
+    assert out == {"a": 0, "b": 1_000_000}
