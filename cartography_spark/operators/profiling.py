@@ -2029,3 +2029,127 @@ def brier_decomposition(df: DataFrame, forecast_pct: Column, outcome: Column) ->
         ).cast("bigint").alias("uncertainty_micros"),
         F.round(F.lit(100.0) * F.col("sq") / n_d).cast("bigint").alias("brier_micros"),
     )
+
+
+def _two_sample_moments(df: DataFrame, value: Column, in_a: Column, in_b: Column):
+    """ONE map-side pass to exact per-side integer moments (n, S, Q) plus
+    the milli-quantized corrected sums of squares v = 1000*Q -
+    round(1000*S^2/n) = 1000*(n-1)*s^2 — the shared substrate of
+    effect_sizes / tost_equivalence (and the same quantization discipline
+    as oneway_anova/brown_forsythe)."""
+    t = df.agg(
+        F.sum(in_a.cast("long")).cast("long").alias("n_a"),
+        F.sum(F.when(in_a, value).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(in_a, value * value).otherwise(0)).cast("long").alias("q_a"),
+        F.sum(in_b.cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(in_b, value).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(in_b, value * value).otherwise(0)).cast("long").alias("q_b"),
+    )
+    v_of = lambda s, q, n: (  # noqa: E731
+        1000 * F.col(q)
+        - F.round(
+            F.lit(1000.0) * F.col(s).cast("double") * F.col(s) / F.col(n)
+        ).cast("long")
+    )
+    return t.withColumn("v_a_milli", v_of("s_a", "q_a", "n_a")).withColumn(
+        "v_b_milli", v_of("s_b", "q_b", "n_b")
+    )
+
+
+def effect_sizes(df: DataFrame, value: Column, in_a: Column, in_b: Column) -> DataFrame:
+    """Standardized effect sizes for the two-sample location comparison:
+    Cohen's d (pooled SD), Hedges' g (d times the small-sample bias
+    correction J = 1 - 3/(4N-9)), and Glass's delta (control-side SD,
+    the right scale when the treatment also changes spread) — the
+    magnitude companion the significance tests (Welch/MW/z) deliberately
+    don't answer: at fleet scale EVERYTHING is significant, and gating
+    decisions need "how big", in units a threshold can hold across
+    re-runs. Integer-valued column contract.
+
+    All integer until the final ratios: per-side moments from ONE
+    map-side pass; corrected sums of squares milli-quantized once
+    (v = 1000*(n-1)*s^2 exactly, same discipline as oneway_anova); the
+    mean difference rides cross-multiplied as an exact BIGINT
+    (S_a*n_b - S_b*n_a). d, g, delta are fixed float expressions over
+    those integers, quantized to micros. ANSI-safe: any side with n < 2
+    (or zero variance for delta) yields NULLs via try_divide, never an
+    error. Scale: one aggregate, then arithmetic on one row.
+    """
+    m = _two_sample_moments(df, value, in_a, in_b)
+    diff = F.try_divide(
+        (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast("double"),
+        (F.col("n_a") * F.col("n_b")).cast("double"),
+    )
+    s_pool = F.sqrt(
+        F.try_divide(
+            (F.col("v_a_milli") + F.col("v_b_milli")).cast("double"),
+            F.lit(1000.0) * (F.col("n_a") + F.col("n_b") - 2),
+        )
+    )
+    s_ctrl = F.sqrt(
+        F.try_divide(
+            F.col("v_b_milli").cast("double"), F.lit(1000.0) * (F.col("n_b") - 1)
+        )
+    )
+    d = F.try_divide(diff, s_pool)
+    jcorr = F.lit(1.0) - F.try_divide(
+        F.lit(3.0), (4 * (F.col("n_a") + F.col("n_b")) - 9).cast("double")
+    )
+    gate = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(diff * 1_000_000).cast("bigint").alias("mean_diff_micros"),
+        F.when(gate, F.round(d * 1_000_000)).cast("bigint").alias("cohens_d_micros"),
+        F.when(gate, F.round(d * jcorr * 1_000_000)).cast("bigint").alias("hedges_g_micros"),
+        F.when(gate, F.round(F.try_divide(diff, s_ctrl) * 1_000_000))
+        .cast("bigint")
+        .alias("glass_delta_micros"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame, value: Column, in_a: Column, in_b: Column, margin_milli: int
+) -> DataFrame:
+    """Two one-sided tests (TOST) for EQUIVALENCE within +-margin — the
+    inversion a "safe to ship" gate actually needs: a non-significant
+    Welch test is absence of evidence, TOST is evidence of absence
+    (|mean_a - mean_b| < margin at 95% confidence when BOTH one-sided
+    large-sample z statistics clear 1.645). The standard A/B guardrail
+    for "the cheap variant is no worse than delta".
+
+    Same one-pass integer-moment substrate as effect_sizes; the Welch
+    standard error sqrt(s_a^2/n_a + s_b^2/n_b) and both z's are fixed
+    float expressions over milli-quantized exact integers, quantized to
+    micros. margin is taken in MILLI value units so callers pass exact
+    integers. ANSI-safe: n < 2 on either side -> NULL z's and
+    equivalent = false (can't demonstrate equivalence without spread).
+    """
+    m = _two_sample_moments(df, value, in_a, in_b)
+    diff = F.try_divide(
+        (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast("double"),
+        (F.col("n_a") * F.col("n_b")).cast("double"),
+    )
+    var_a = F.try_divide(
+        F.col("v_a_milli").cast("double"), F.lit(1000.0) * (F.col("n_a") - 1)
+    )
+    var_b = F.try_divide(
+        F.col("v_b_milli").cast("double"), F.lit(1000.0) * (F.col("n_b") - 1)
+    )
+    se = F.sqrt(
+        F.try_divide(var_a, F.col("n_a").cast("double"))
+        + F.try_divide(var_b, F.col("n_b").cast("double"))
+    )
+    delta = F.lit(margin_milli / 1000.0)
+    t_lower = F.try_divide(diff + delta, se)
+    t_upper = F.try_divide(delta - diff, se)
+    gate = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    eq = gate & (t_lower > 1.645) & (t_upper > 1.645)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(diff * 1_000_000).cast("bigint").alias("mean_diff_micros"),
+        F.when(gate, F.round(t_lower * 1_000_000)).cast("bigint").alias("t_lower_micros"),
+        F.when(gate, F.round(t_upper * 1_000_000)).cast("bigint").alias("t_upper_micros"),
+        F.coalesce(eq, F.lit(False)).alias("equivalent_95"),
+    )

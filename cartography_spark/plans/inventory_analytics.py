@@ -2735,3 +2735,133 @@ def q_classifier_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFr
     return brier_decomposition(
         li, 2 * F.col("l_quantity").cast("long"), F.col("l_returnflag") == "R"
     )
+
+
+@query(
+    "stats_effect_sizes",
+    oracle="""
+    WITH t AS (
+      SELECT
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q_a,
+        CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s_b,
+        CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q_b
+      FROM lineitem
+    ),
+    v AS (
+      SELECT *,
+        1000*q_a - CAST(round(1000.0 * CAST(s_a AS DOUBLE) * s_a / n_a)
+                        AS BIGINT) AS v_a_milli,
+        1000*q_b - CAST(round(1000.0 * CAST(s_b AS DOUBLE) * s_b / n_b)
+                        AS BIGINT) AS v_b_milli
+      FROM t
+    ),
+    e AS (
+      SELECT n_a, n_b,
+        CAST(s_a*n_b - s_b*n_a AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS diff,
+        sqrt(CAST(v_a_milli + v_b_milli AS DOUBLE)
+             / (1000.0 * (n_a + n_b - 2))) AS s_pool,
+        sqrt(CAST(v_b_milli AS DOUBLE) / (1000.0 * (n_b - 1))) AS s_ctrl,
+        1.0 - 3.0 / CAST(4*(n_a + n_b) - 9 AS DOUBLE) AS jcorr
+      FROM v
+    )
+    SELECT n_a, n_b,
+           CAST(round(diff * 1000000) AS BIGINT) AS mean_diff_micros,
+           CAST(round(diff / s_pool * 1000000) AS BIGINT) AS cohens_d_micros,
+           CAST(round(diff / s_pool * jcorr * 1000000) AS BIGINT) AS hedges_g_micros,
+           CAST(round(diff / s_ctrl * 1000000) AS BIGINT) AS glass_delta_micros
+    FROM e
+    """,
+    doc="Standardized effect sizes (Cohen's d, Hedges' g, Glass's delta) "
+    "for the returned-vs-delivered quantity comparison "
+    "(operators/profiling.py:effect_sizes) — the magnitude companion "
+    "the significance suite (Welch/MW/z on the same slicing) "
+    "deliberately doesn't answer: at fleet scale everything is "
+    "significant, and gates need 'how big' in re-run-stable units. One "
+    "map-side moment pass; corrected sums of squares milli-quantized "
+    "once (1000*(n-1)*s^2 exact); mean difference cross-multiplied as "
+    "an exact BIGINT; three fixed float ratios quantized to micros.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import effect_sizes
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return effect_sizes(
+        li, F.col("qty"), F.col("l_returnflag") == "R", F.col("l_returnflag") == "N"
+    )
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle="""
+    WITH t AS (
+      SELECT
+        CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q_a,
+        CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s_b,
+        CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q_b
+      FROM lineitem
+    ),
+    v AS (
+      SELECT *,
+        1000*q_a - CAST(round(1000.0 * CAST(s_a AS DOUBLE) * s_a / n_a)
+                        AS BIGINT) AS v_a_milli,
+        1000*q_b - CAST(round(1000.0 * CAST(s_b AS DOUBLE) * s_b / n_b)
+                        AS BIGINT) AS v_b_milli
+      FROM t
+    ),
+    e AS (
+      SELECT n_a, n_b,
+        CAST(s_a*n_b - s_b*n_a AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS diff,
+        sqrt(CAST(v_a_milli AS DOUBLE) / (1000.0 * (n_a - 1)) / CAST(n_a AS DOUBLE)
+           + CAST(v_b_milli AS DOUBLE) / (1000.0 * (n_b - 1)) / CAST(n_b AS DOUBLE))
+          AS se
+      FROM v
+    )
+    SELECT n_a, n_b,
+           CAST(round(diff * 1000000) AS BIGINT) AS mean_diff_micros,
+           CAST(round((diff + 0.5) / se * 1000000) AS BIGINT) AS t_lower_micros,
+           CAST(round((0.5 - diff) / se * 1000000) AS BIGINT) AS t_upper_micros,
+           coalesce((diff + 0.5) / se > 1.645 AND (0.5 - diff) / se > 1.645,
+                    false) AS equivalent_95
+    FROM e
+    """,
+    doc="TOST equivalence gate: are mean quantities of finished ('F') and "
+    "open ('O') line items within +-0.5 units at 95% "
+    "(operators/profiling.py:tost_equivalence)? The inversion a "
+    "safe-to-ship check needs — a non-significant Welch test is absence "
+    "of evidence; TOST is evidence of absence, demonstrated only when "
+    "BOTH one-sided large-sample z's clear 1.645. Same one-pass "
+    "integer-moment substrate as stats_effect_sizes (shared "
+    "_two_sample_moments helper); Welch SE and both z's are fixed float "
+    "expressions over milli-quantized exact integers.",
+    tags=("analytics", "stats", "scale"),
+)
+def q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import tost_equivalence
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_linestatus", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return tost_equivalence(
+        li,
+        F.col("qty"),
+        F.col("l_linestatus") == "F",
+        F.col("l_linestatus") == "O",
+        margin_milli=500,
+    )

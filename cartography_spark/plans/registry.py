@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "stats_bh_fdr_rates", "privacy_dp_laplace_counts",
     "shard_rendezvous_hashing", "text_stupid_backoff_trigram",
     "classifier_brier_decomposition", "events_markov_stationary",
+    "stats_effect_sizes", "stats_tost_equivalence",
     # --- below: 300 queries already driver-green in r01-r07, kept
     # re-verified every round by the local full gate (tools/oracle_check.py) ---
     "rules_framework_rollup", "job_resource_edge_backfill", "job_guarded_relabel_migration",

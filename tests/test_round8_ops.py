@@ -671,3 +671,73 @@ def test_markov_stationary_dangling_absorbs(spark):
     )
     out = {r.state: r.pi_micros for r in markov_stationary(df).collect()}
     assert out == {"a": 0, "b": 1_000_000}
+
+
+def test_effect_sizes_hand_computed(spark):
+    from cartography_spark.operators.profiling import effect_sizes
+
+    # a=[2,4] (s2=2), b=[1,2,3] (s2=1): diff=1, s_pool=sqrt(4/3),
+    # d=0.8660254, J=8/11 -> g=0.6298366, glass=1/1
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 4), ("b", 1), ("b", 2), ("b", 3)], "g string, v long"
+    )
+    out = effect_sizes(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b"
+    ).head()
+    assert (out.n_a, out.n_b) == (2, 3)
+    assert out.mean_diff_micros == 1_000_000
+    assert out.cohens_d_micros == 866_025
+    assert out.hedges_g_micros == 629_837
+    assert out.glass_delta_micros == 1_000_000
+
+
+def test_effect_sizes_degenerate_small_side(spark):
+    from cartography_spark.operators.profiling import effect_sizes
+
+    # n_a = 1: no spread estimate on that side -> NULL effect sizes,
+    # mean diff still defined
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 1), ("b", 3)], "g string, v long"
+    )
+    out = effect_sizes(df, F.col("v"), F.col("g") == "a", F.col("g") == "b").head()
+    assert out.mean_diff_micros == 3_000_000
+    assert out.cohens_d_micros is None and out.hedges_g_micros is None
+
+
+def test_tost_equivalence_symmetric_and_shifted(spark):
+    from cartography_spark.operators.profiling import tost_equivalence
+
+    # identical distributions (mean 11, spread 1): diff=0, both t's equal
+    # and large -> equivalent at margin 0.5
+    rows = ([("a", 10)] * 50 + [("a", 12)] * 50
+            + [("b", 10)] * 50 + [("b", 12)] * 50)
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = tost_equivalence(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b", margin_milli=500
+    ).head()
+    assert out.mean_diff_micros == 0
+    assert out.t_lower_micros == out.t_upper_micros > 1_645_000
+    assert out.equivalent_95 is True
+
+    # b shifted +2: |diff| = 2 >> margin -> t_upper deeply negative, not
+    # equivalent (and the one-sided asymmetry shows in the two t's)
+    rows2 = ([("a", 10)] * 50 + [("a", 12)] * 50
+             + [("b", 12)] * 50 + [("b", 14)] * 50)
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    out2 = tost_equivalence(
+        df2, F.col("v"), F.col("g") == "a", F.col("g") == "b", margin_milli=500
+    ).head()
+    assert out2.mean_diff_micros == -2_000_000
+    assert out2.t_upper_micros > 0 > out2.t_lower_micros
+    assert out2.equivalent_95 is False
+
+
+def test_tost_equivalence_degenerate_false(spark):
+    from cartography_spark.operators.profiling import tost_equivalence
+
+    # n_b = 1: cannot demonstrate equivalence without spread -> false, no error
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 1)], "g string, v long")
+    out = tost_equivalence(
+        df, F.col("v"), F.col("g") == "a", F.col("g") == "b", margin_milli=500
+    ).head()
+    assert out.equivalent_95 is False and out.t_lower_micros is None
