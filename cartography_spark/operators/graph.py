@@ -675,6 +675,33 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def _transition_micros(
+    trans, from_col: str, to_col: str, count_col: str
+):
+    """(states, P) for a finite chain from observed transition counts:
+    row-stochastic P quantized once to micros from exact counts, with
+    the standard dangling self-loop (p = 1e6) for states that never
+    transition out. Shared by markov_stationary and markov_entropy_rate
+    so the quantization contract lives in ONE body (the ks/psi _by
+    lesson from ADVICE r7)."""
+    t = trans.select(
+        F.col(from_col).alias("i"), F.col(to_col).alias("j"),
+        F.col(count_col).cast("long").alias("c"),
+    )
+    states = (
+        t.select(F.col("i").alias("s")).union(t.select(F.col("j").alias("s"))).distinct()
+    )
+    out_tot = t.groupBy("i").agg(F.sum("c").alias("ci"))
+    p_obs = t.join(out_tot, "i").select(
+        "i", "j",
+        F.round(F.lit(1_000_000.0) * F.col("c") / F.col("ci")).cast("long").alias("p"),
+    )
+    dangling = states.join(out_tot, states.s == out_tot.i, "left_anti").select(
+        F.col("s").alias("i"), F.col("s").alias("j"), F.lit(1_000_000).cast("long").alias("p")
+    )
+    return states, p_obs.union(dangling)
+
+
 def markov_stationary(
     trans: DataFrame,
     from_col: str = "prev_type",
@@ -708,22 +735,7 @@ def markov_stationary(
     join+agg steps run on those bounded broadcast frames. The only
     data-sized work is whatever built `trans` upstream.
     """
-    t = trans.select(
-        F.col(from_col).alias("i"), F.col(to_col).alias("j"),
-        F.col(count_col).cast("long").alias("c"),
-    )
-    states = (
-        t.select(F.col("i").alias("s")).union(t.select(F.col("j").alias("s"))).distinct()
-    )
-    out_tot = t.groupBy("i").agg(F.sum("c").alias("ci"))
-    p_obs = t.join(out_tot, "i").select(
-        "i", "j",
-        F.round(F.lit(1_000_000.0) * F.col("c") / F.col("ci")).cast("long").alias("p"),
-    )
-    dangling = states.join(out_tot, states.s == out_tot.i, "left_anti").select(
-        F.col("s").alias("i"), F.col("s").alias("j"), F.lit(1_000_000).cast("long").alias("p")
-    )
-    p_full = p_obs.union(dangling)
+    states, p_full = _transition_micros(trans, from_col, to_col, count_col)
     k = states.agg(F.count("*").alias("k"))
     v = states.crossJoin(F.broadcast(k)).select(
         F.col("s").alias("state"),
@@ -745,4 +757,77 @@ def markov_stationary(
             F.col("s").alias("state"),
             F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("pi_micros"),
         )
+    )
+
+
+def markov_entropy_rate(
+    trans: DataFrame,
+    from_col: str = "prev_type",
+    to_col: str = "event_type",
+    count_col: str = "n_transitions",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Entropy rate of the finite Markov chain the event stream induces —
+    the capstone over the family (event_transition_matrix -> where mass
+    FLOWS, markov_next_event_accuracy -> one-step predictability,
+    markov_stationary -> long-run occupancy): H = sum_i pi_i * H_i with
+    H_i = -sum_j p_ij ln p_ij, the per-visit information content of the
+    stream in nats. A near-zero rate means sessions are deterministic
+    ritual (prefetchable, compressible, low-value for training); a rate
+    near ln(k) means uniform churn. Returns one row per state
+    (state, pi_micros, h_cond_micronats, contrib_micronats) — the
+    conditional entropy of each state's outgoing row and its
+    pi-weighted contribution — plus the chain total on every row
+    (entropy_rate_micronats) so the one-number answer needs no second
+    query.
+
+    Exactness: pi comes from markov_stationary's integer iterate; P is
+    the SAME micro-quantized row-stochastic matrix (shared
+    _transition_micros body). ln p is quantized once per cell to
+    millinats — round(1000*ln(p/1e6)), the PSI convention — after which
+    every product pi * p * lnq is an exact BIGINT (<= 1e6*1e6*1.4e4 ~
+    1.4e16, inside int64) and sums are reduction-order-immune; the two
+    final micronat conversions are identical single double-divisions.
+    Dangling self-loops contribute ln(1) = 0 exactly. p = 0 cells never
+    appear (only observed transitions are materialized), so the log is
+    total. ANSI-safe throughout (try_divide on the empty-chain edge).
+
+    Scale shape: identical to markov_stationary — the chain lives on
+    the event-type DOMAIN, so after the upstream count collapse every
+    frame here is k or k^2 rows on broadcast joins; the only data-scale
+    work built `trans` upstream.
+    """
+    states, p_full = _transition_micros(trans, from_col, to_col, count_col)
+    pi = markov_stationary(trans, from_col, to_col, count_col, n_iter)
+    lnq = F.round(
+        F.lit(1000.0) * F.log(F.col("p").cast("double") / F.lit(1_000_000.0))
+    ).cast("long")
+    cells = p_full.select("i", "j", "p", lnq.alias("lq"))
+    per_state = cells.groupBy("i").agg(
+        F.sum(F.col("p") * F.col("lq")).alias("s_pl")
+    )
+    # H_i in micronats: -(sum_j p*lq) is in (micro * millinat) = 1e-9 nat
+    # units -> one double division by 1e3 lands micronats.
+    h_cond = F.round(-F.col("s_pl").cast("double") / F.lit(1000.0)).cast("long")
+    joined = pi.join(per_state, pi.state == per_state.i).select(
+        "state",
+        "pi_micros",
+        h_cond.alias("h_cond_micronats"),
+        (F.col("pi_micros") * F.col("s_pl")).alias("wterm"),
+    )
+    total = joined.agg(
+        F.round(
+            -F.coalesce(F.sum("wterm"), F.lit(0)).cast("double") / F.lit(1_000_000_000.0)
+        )
+        .cast("long")
+        .alias("entropy_rate_micronats")
+    )
+    return joined.crossJoin(F.broadcast(total)).select(
+        "state",
+        "pi_micros",
+        "h_cond_micronats",
+        F.round(-F.col("wterm").cast("double") / F.lit(1_000_000_000.0))
+        .cast("long")
+        .alias("contrib_micronats"),
+        "entropy_rate_micronats",
     )

@@ -2153,3 +2153,154 @@ def tost_equivalence(
         F.when(gate, F.round(t_upper * 1_000_000)).cast("bigint").alias("t_upper_micros"),
         F.coalesce(eq, F.lit(False)).alias("equivalent_95"),
     )
+
+
+def weighted_quantiles_by(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    weight: Column,
+    qs: tuple[tuple[int, int], ...] = ((1, 4), (2, 4), (3, 4), (9, 10)),
+) -> DataFrame:
+    """Weight-exact type-1 quantiles of an integer column per group —
+    the curation cut a token-budgeted pipeline actually needs: "the
+    p90 document length BY TOKEN MASS per source" (where to truncate so
+    at most 10% of TOKENS are affected) is a weighted quantile, and the
+    unweighted percentile over documents mis-states it whenever length
+    and token density correlate (they always do). Quantiles are given
+    as exact rationals (q_num, q_den); the answer for q is the SMALLEST
+    value v with cum_weight(v) * q_den >= q_num * total_weight — pure
+    BIGINT comparisons, zero float anywhere, so any engine reproduces
+    the rows bit-exactly (ties and duplicate values included).
+
+    Output: one row per (group, quantile): (group_key, q_num, q_den,
+    q_value, total_weight).
+
+    Scale shape: ONE map-side-combinable groupBy collapses the data to
+    the (group, DISTINCT value) frame; the cumulative-weight window
+    partitions BY GROUP over that collapsed frame (strata parallelize;
+    no global sort); the |groups|-row totals broadcast back, the
+    |qs|-row quantile frame is a literal broadcast, and the final
+    min-per-(group, q) reduction is map-side combinable. At 100 TB the
+    only data-scale stage is the first collapse.
+    """
+    spark = df.sparkSession
+    pv = df.groupBy(group.alias("g"), value.alias("v")).agg(
+        F.sum(weight.cast("long")).alias("w")
+    )
+    cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = pv.select("g", "v", F.sum("w").over(cum).alias("cw"))
+    tot = pv.groupBy("g").agg(F.sum("w").alias("tw"))
+    qf = spark.createDataFrame(list(qs), "q_num long, q_den long")
+    return (
+        c.join(F.broadcast(tot), "g")
+        .crossJoin(F.broadcast(qf))
+        .filter(F.col("cw") * F.col("q_den") >= F.col("q_num") * F.col("tw"))
+        .groupBy(
+            F.col("g").alias("group_key"), "q_num", "q_den", F.col("tw").alias("total_weight")
+        )
+        .agg(F.min("v").alias("q_value"))
+        .select("group_key", "q_num", "q_den", "q_value", "total_weight")
+    )
+
+
+def hill_tail_index(df: DataFrame, value: Column, k: int = 64) -> DataFrame:
+    """Hill estimator of the power-law tail exponent from the top-(k+1)
+    order statistics — the extreme-value companion to corpus_zipf_fit's
+    frequency-domain fit: alpha_hat = k / sum_{i<=k} ln(x_(i)/x_(k+1)),
+    for P(X > x) ~ x^-alpha. The number a curation pipeline consumes
+    when sizing truncation/outlier budgets for doc length, degree, or
+    per-user volume: alpha <= 2 means infinite variance — means and
+    uniform-sample reservoirs stop being representative and the
+    pipeline must switch to weighted/top-k accounting.
+
+    Exactness: the top-(k+1) VALUE multiset is a deterministic order
+    statistic (ties included — which physical rows carry tied values
+    never changes the multiset); each log-ratio quantizes once to
+    millinats — round(1000*ln(x/x_(k+1))), the PSI convention — so the
+    sum is an exact BIGINT (the x_(k+1) copy contributes ln(1) = 0
+    exactly, which is why summing all k+1 rows needs no exclusion),
+    and alpha_milli = round(1e6*k/S) is one identical double division.
+    try_divide: a degenerate tail (all k+1 values equal -> S = 0)
+    yields NULL, not an ANSI error.
+
+    Scale shape: ONE TakeOrdered(k+1) scan (per-partition top-k+1
+    partials, no global sort); everything after runs on a (k+1)-row
+    frame with a 1-row broadcast of the threshold.
+    """
+    top = (
+        df.select(value.cast("long").alias("x"))
+        .filter(F.col("x") > 0)
+        .orderBy(F.col("x").desc())
+        .limit(k + 1)
+    )
+    xk1 = top.agg(F.min("x").alias("xk1"))
+    lnq = F.round(
+        F.lit(1000.0)
+        * F.log(F.col("x").cast("double") / F.col("xk1").cast("double"))
+    ).cast("long")
+    s = (
+        top.crossJoin(F.broadcast(xk1))
+        .agg(
+            F.sum(lnq).alias("s_ln"),
+            F.min("xk1").alias("x_tail"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    return s.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("x_tail").cast("bigint").alias("x_tail"),
+        F.col("s_ln").cast("bigint").alias("sum_ln_millinats"),
+        F.round(
+            F.try_divide(F.lit(1_000_000.0) * F.lit(k), F.col("s_ln").cast("double"))
+        )
+        .cast("bigint")
+        .alias("alpha_milli"),
+    )
+
+
+def fano_burstiness_by(
+    df: DataFrame, group: Column, bucket: Column
+) -> DataFrame:
+    """Fano factor (index of dispersion) of per-bucket arrival counts,
+    one row per group — the burstiness audit over an event stream:
+    F = Var(c)/Mean(c) over the group's OBSERVED time buckets. F = 1 is
+    Poisson arrivals; F >> 1 means bursts (retry storms, batch jobs,
+    thundering herds) that capacity planning and rate-limit tuning must
+    see; F < 1 means regular/paced traffic. Empty buckets inside gaps
+    are intentionally NOT zero-filled (the timeseries_gap_fill contract
+    applies upstream when calendar-complete dispersion is wanted) —
+    documented, matching the acf/seasonal treatment of gapped axes.
+
+    Exactness: with integer counts, population variance over mean
+    cross-multiplies to (n*sum(c^2) - S^2) / (n*S) — numerator and
+    denominator are exact BIGINTs (counts << int64 headroom), ONE
+    double division + micro-round lands fano_micros identically on
+    both engines. try_divide keeps an empty group NULL-safe.
+
+    Scale shape: one map-side-combinable groupBy to (group, bucket)
+    counts — the only data-scale stage — then a second combine to the
+    |groups| frame. No windows, no sorts.
+    """
+    per_bucket = df.groupBy(group.alias("g"), bucket.alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_group = per_bucket.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    num = (F.col("n_buckets") * F.col("ss") - F.col("n_events") * F.col("n_events")).cast(
+        "double"
+    )
+    den = (F.col("n_buckets") * F.col("n_events")).cast("double")
+    fano = F.round(F.lit(1_000_000.0) * F.try_divide(num, den)).cast("long")
+    return per_group.select(
+        F.col("g").alias("group_key"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_events").cast("long").alias("n_events"),
+        fano.alias("fano_micros"),
+        F.coalesce(fano > F.lit(1_000_000), F.lit(False)).alias("overdispersed"),
+    )

@@ -1748,3 +1748,48 @@ def q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p") == 0, F.col("n")).otherwise(F.lit(0)),
         F.when(F.col("p") == 1, F.col("n")).otherwise(F.lit(0)),
     )
+
+
+@query(
+    "skew_shuffle_audit",
+    oracle="""
+    WITH k AS (
+      SELECT event_type AS kk, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type
+    ),
+    kb AS (
+      SELECT kk, c,
+             ('0x' || substring(md5(CAST(kk AS VARCHAR)), 1, 8))::BIGINT % 32 AS b
+      FROM k
+    ),
+    bu AS (SELECT b, sum(c) AS rows_, count(*) AS nk FROM kb GROUP BY b),
+    ks AS (SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_key_rows FROM kb),
+    bs AS (SELECT count(*) AS n_buckets_used, max(rows_) AS max_bucket_rows FROM bu)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_buckets_used AS BIGINT) AS n_buckets_used,
+           CAST(max_bucket_rows AS BIGINT) AS max_bucket_rows,
+           CAST(max_key_rows AS BIGINT) AS max_key_rows,
+           CAST(round(1000.0 * (CAST(max_bucket_rows * 32 AS DOUBLE) / CAST(n_rows AS DOUBLE))) AS BIGINT) AS bucket_skew_millis,
+           CAST(round(1000.0 * (CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE))) AS BIGINT) AS key_skew_millis,
+           coalesce(round(1000.0 * (CAST(max_bucket_rows * 32 AS DOUBLE) / CAST(n_rows AS DOUBLE))) > 2000
+                    AND 2 * max_key_rows > max_bucket_rows, false) AS salt_recommended
+    FROM ks, bs
+    """,
+    doc="Pre-shuffle skew audit on the event-type grouping key "
+    "(operators/skew.py:skew_audit): collapse to distinct keys in one "
+    "map-side-combined pass, hash keys into 32 md5-portable reducer "
+    "buckets, and report heaviest-bucket vs heaviest-key skew plus a "
+    "salt recommendation — the measurement a 100 TB plan runs BEFORE "
+    "committing to a shuffle, distinguishing a hot KEY (needs "
+    "with_salt/salted_agg; AQE cannot split a hash-agg key) from a hot "
+    "BUCKET of cold keys (just needs more partitions). All ratios are "
+    "integer-product-then-one-double-division; identical on both "
+    "engines.",
+    tags=("skew", "scale", "layout"),
+)
+def q_skew_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.skew import skew_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_audit(ev, F.col("event_type"), n_buckets=32)

@@ -4429,3 +4429,276 @@ def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.stupid_backoff_trigram(_docs(spark, sf_dir))
+
+
+_PC_ITER = "\n".join(
+    f"""    raw{n} AS (
+      SELECT p.j AS d, CAST(sum(v.v * p.g) AS BIGINT) AS raw
+      FROM v{n - 1} v JOIN p ON v.d = p.i GROUP BY p.j
+    ),
+    m{n} AS (SELECT max(abs(raw)) AS mv FROM raw{n}),
+    v{n} AS (
+      SELECT d,
+             CAST(CASE WHEN mv = 0 THEN 0
+                  ELSE round(1000000.0 * (CAST(raw AS DOUBLE) / CAST(mv AS DOUBLE)))
+                  END AS BIGINT) AS v
+      FROM raw{n}, m{n}
+    ),"""
+    for n in range(1, 9)
+)
+
+
+@query(
+    "embedding_top_pc_power",
+    oracle=f"""
+    WITH e AS (SELECT row_number() OVER () AS rid, embedding AS vec FROM embeddings),
+    u AS MATERIALIZED (
+      SELECT rid, generate_subscripts(vec, 1) AS i,
+             CAST(unnest(vec) AS DOUBLE) AS x
+      FROM e
+    ),
+    cells AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS c
+      FROM u a JOIN u b USING (rid) GROUP BY a.i, b.i
+    ),
+    mm AS (SELECT max(abs(c)) AS m FROM cells),
+    p AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CASE WHEN m = 0 THEN 0
+                  ELSE round(1000000.0 * (c / m)) END AS BIGINT) AS g
+      FROM cells, mm
+    ),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS d,
+                  CAST(1000000 AS BIGINT) AS v),
+{_PC_ITER}
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+            FROM v8 ORDER BY abs(v) DESC, d ASC LIMIT 1)
+    SELECT CAST(d AS BIGINT) AS dim, CAST(v * s AS BIGINT) AS v_micros
+    FROM v8, sgn
+    """,
+    doc="Dominant principal direction of the embedding space's uncentered "
+    "Gram matrix via eight integer-deterministic power iterations "
+    "(operators/clustering.py:top_pc_power) — the anisotropy probe an "
+    "embedding-quality audit runs before trusting cosine retrieval "
+    "(one direction hoarding the spectrum = contrastive collapse, "
+    "uncalibrated similarities). THE 100 TB shape lives in "
+    "gram_matrix: each partition reduces to ONE 64x64 float64 partial "
+    "via a single BLAS gemm inside Arrow mapInPandas (d^2 doubles per "
+    "partition, never a d^2-per-row explode), partials merge with one "
+    "grouped sum, C normalizes by max|C| and quantizes ONCE to micros "
+    "— after which both engines iterate on identical integers "
+    "(markov_stationary discipline; the oracle unrolls the same eight "
+    "steps, L-infinity renorm and canonical sign included).",
+    tags=("llm", "similarity", "scale"),
+)
+def q_embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import top_pc_power
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_pc_power(emb, "embedding", dims=64, n_iter=8)
+
+
+@query(
+    "embedding_effective_rank",
+    oracle="""
+    WITH e AS (SELECT row_number() OVER () AS rid, embedding AS vec FROM embeddings),
+    u AS MATERIALIZED (
+      SELECT rid, generate_subscripts(vec, 1) AS i,
+             CAST(unnest(vec) AS DOUBLE) AS x
+      FROM e
+    ),
+    cells AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS c
+      FROM u a JOIN u b USING (rid) GROUP BY a.i, b.i
+    ),
+    t AS (
+      SELECT sum(CASE WHEN i = j THEN c END) AS tr, sum(c * c) AS tr2
+      FROM cells
+    )
+    SELECT CAST(64 AS BIGINT) AS n_dims,
+           CAST(round(1000000.0 * (tr * tr / tr2)) AS BIGINT) AS eff_rank_micros,
+           CAST(round(1000000.0 * (tr2 / (tr * tr))) AS BIGINT) AS top_share_ub_micros
+    FROM t
+    """,
+    doc="Participation-ratio effective rank of the embedding second-moment "
+    "matrix (operators/clustering.py:effective_rank): eff_rank = "
+    "tr(C)^2/tr(C^2) = (sum lambda)^2/(sum lambda^2) with NO "
+    "eigendecomposition (tr(C^2) = sum_ij C_ij^2 for symmetric C) — the "
+    "one-number isotropy audit next to embedding_top_pc_power's direction "
+    "probe. 100 TB shape: one gram_matrix gemm pass is the only "
+    "data-scale stage; both traces reduce the d^2-row Gram frame; ratios "
+    "quantized to micros identically on both engines (acf/top_pc "
+    "precedent).",
+    tags=("llm", "similarity", "scale"),
+)
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.clustering import effective_rank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return effective_rank(emb, "embedding", dims=64)
+
+
+@query(
+    "weighted_quantiles_by_source",
+    oracle=r"""
+    WITH t AS (
+      SELECT source AS g, n_chars AS v,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      FROM documents
+    ),
+    pv AS (SELECT g, v, sum(w) AS w FROM t GROUP BY g, v),
+    c AS (
+      SELECT g, v,
+             sum(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM pv
+    ),
+    tot AS (SELECT g, sum(w) AS tw FROM pv GROUP BY g),
+    q(q_num, q_den) AS (VALUES (1, 4), (2, 4), (3, 4), (9, 10))
+    SELECT c.g AS group_key,
+           CAST(q.q_num AS BIGINT) AS q_num,
+           CAST(q.q_den AS BIGINT) AS q_den,
+           CAST(min(c.v) AS BIGINT) AS q_value,
+           CAST(tot.tw AS BIGINT) AS total_weight
+    FROM c JOIN tot ON c.g = tot.g CROSS JOIN q
+    WHERE c.cw * q.q_den >= q.q_num * tot.tw
+    GROUP BY c.g, q.q_num, q.q_den, tot.tw
+    """,
+    doc="Token-mass-weighted exact quantiles of document length per "
+    "source (operators/profiling.py:weighted_quantiles_by): the p90 "
+    "length BY TOKEN WEIGHT — where to truncate so at most 10% of "
+    "TOKENS are affected — which the unweighted doc-count percentile "
+    "mis-states whenever length and token density correlate. Type-1 "
+    "quantiles as exact rationals: smallest v with cum_w(v)*q_den >= "
+    "q_num*total_w, pure BIGINT comparisons, bit-exact on any engine. "
+    "100 TB shape: one map-side-combined collapse to (source, distinct "
+    "length); the cumsum window partitions by source on that frame; "
+    "totals and the 4-row quantile frame broadcast.",
+    tags=("llm", "textprep", "scale"),
+)
+def q_weighted_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import weighted_quantiles_by
+
+    docs = _docs(spark, sf_dir)
+    return weighted_quantiles_by(
+        docs,
+        F.col("source"),
+        F.col("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+    )
+
+
+@query(
+    "similarity_ivf_recall_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    qn AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    seeds AS (SELECT vec_id AS cid, d, qv AS c FROM qn WHERE vec_id < 160),
+    td AS (SELECT qn.vec_id, s.cid, sum((qn.qv - s.c) * (qn.qv - s.c)) AS dist
+           FROM qn JOIN seeds s USING (d) GROUP BY qn.vec_id, s.cid),
+    ta AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM td) WHERE rn = 1),
+    tc AS (SELECT a.cid, qn.d, CAST(floor(CAST(sum(qn.qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+           FROM qn JOIN ta a USING (vec_id) GROUP BY a.cid, qn.d),
+    cents AS (SELECT cid, list_transform(list(c ORDER BY d), x -> x / 1000000.0) AS cv
+              FROM tc GROUP BY cid),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      FROM (SELECT e.vec_id, e.v, c.cid, {_cos64('e.v', 'c.cv')} AS cos
+            FROM e CROSS JOIN cents c)
+    ),
+    probes AS (
+      SELECT cid FROM cents CROSS JOIN q
+      ORDER BY {_cos64('cents.cv', 'q.qv')} DESC, cid ASC LIMIT 4
+    ),
+    ivf AS (
+      SELECT a.vec_id, ROUND({_cos64('a.v', 'q.qv')}, 4) AS cosine
+      FROM assign a JOIN probes USING (cid) CROSS JOIN q
+      WHERE a.rn = 1
+      ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
+    ),
+    ex AS (
+      SELECT e.vec_id, ROUND({_cos64('e.v', 'q.qv')}, 4) AS cosine
+      FROM e CROSS JOIN q
+      ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM ex JOIN ivf USING (vec_id)) AS BIGINT) AS n_overlap,
+           CAST(round(1000000.0 * (CAST((SELECT count(*) FROM ex JOIN ivf USING (vec_id)) AS DOUBLE) / 10.0)) AS BIGINT) AS recall_micros
+    """,
+    doc="Recall@10 of the trained-quantizer IVF path against the exact "
+    "brute-force top-10 for the ladder's standard query (vec_id 0) — "
+    "the quality number that closes the ANN ladder the way "
+    "similarity_int8_distortion closes the compression rung: IVF with "
+    "4/16 probes scans ~25% of the corpus, and THIS measures what that "
+    "pruning costs in retrieved-set terms. Both arms reuse the exact "
+    "operators under test (sim.cosine_topk, sim.ivf_ann_topk with the "
+    "cached trained index); the overlap join runs on two 10-row "
+    "frames. 100 TB shape: unchanged from the arms themselves — the "
+    "exact arm is one TakeOrdered scan, the IVF arm a pruned scan; the "
+    "audit adds only bounded-frame work.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = sim.cosine_topk(emb, qv, k=10).select("vec_id")
+    cents, assigned = _ivf_index(spark, sf_dir, k=16, sample_mod=10)
+    ivf = sim.ivf_ann_topk(
+        emb, qv, k=10, n_centroids=16, n_probe=4, centroids=cents, assigned=assigned
+    ).select("vec_id")
+    hits = exact.join(ivf, "vec_id").agg(F.count(F.lit(1)).alias("n"))
+    return hits.select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_overlap"),
+        F.round(F.lit(1_000_000.0) * (F.col("n").cast("double") / F.lit(10.0)))
+        .cast("bigint")
+        .alias("recall_micros"),
+    )
+
+
+@query(
+    "text_length_hill_tail",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+      WHERE n_chars > 0 ORDER BY x DESC LIMIT 65
+    ),
+    m AS (SELECT min(x) AS xk1 FROM t),
+    s AS (
+      SELECT CAST(sum(CAST(round(1000.0 * ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_ln,
+             min(xk1) AS x_tail
+      FROM t, m
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           CAST(x_tail AS BIGINT) AS x_tail,
+           s_ln AS sum_ln_millinats,
+           CAST(CASE WHEN s_ln = 0 THEN NULL
+                ELSE round(1000000.0 * 64 / CAST(s_ln AS DOUBLE)) END AS BIGINT) AS alpha_milli
+    FROM s
+    """,
+    doc="Hill tail-index of the document-length distribution "
+    "(operators/profiling.py:hill_tail_index): alpha from the top-65 "
+    "order statistics, P(len > x) ~ x^-alpha — the extreme-value "
+    "companion to corpus_zipf_fit that tells a curation pipeline "
+    "whether length has finite variance (alpha <= 2 -> means and "
+    "uniform reservoirs stop being representative; switch to weighted "
+    "accounting and explicit truncation budgets). Millinat-quantized "
+    "log-ratios sum as exact BIGINTs (the threshold copy contributes "
+    "ln(1) = 0, so no boundary exclusion is needed); one TakeOrdered "
+    "scan is the only data-scale stage.",
+    tags=("llm", "textprep", "stats"),
+)
+def q_text_length_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import hill_tail_index
+
+    docs = _docs(spark, sf_dir)
+    return hill_tail_index(docs, F.col("n_chars"), k=64)

@@ -512,3 +512,123 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
     return markov_stationary(pairs, "prev_type", "event_type", "n_transitions", n_iter=10)
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS i, event_type AS j, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    states AS (SELECT DISTINCT i AS s FROM pairs
+               UNION SELECT DISTINCT j AS s FROM pairs),
+    outt AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM pairs GROUP BY i),
+    p AS (
+      SELECT i, j, CAST(round(1000000.0 * c / ci) AS BIGINT) AS p
+      FROM pairs JOIN outt USING (i)
+      UNION ALL
+      SELECT s, s, CAST(1000000 AS BIGINT)
+      FROM states WHERE s NOT IN (SELECT i FROM outt)
+    ),
+    kk AS (SELECT count(*) AS k FROM states),
+    v0 AS (SELECT s AS state, CAST(round(1000000.0 / k) AS BIGINT) AS v
+           FROM states, kk),
+{_MARKOV_ITER}
+    pi AS (SELECT s AS state, CAST(coalesce(v, 0) AS BIGINT) AS pi_micros
+           FROM states LEFT JOIN v10 ON s = v10.state),
+    cells AS (
+      SELECT i, j, p,
+             CAST(round(1000.0 * ln(p / 1000000.0)) AS BIGINT) AS lq
+      FROM p
+    ),
+    per_state AS (SELECT i, CAST(sum(p * lq) AS BIGINT) AS s_pl FROM cells GROUP BY i),
+    joined AS (
+      SELECT pi.state, pi.pi_micros,
+             CAST(round(-CAST(s_pl AS DOUBLE) / 1000.0) AS BIGINT) AS h_cond_micronats,
+             pi.pi_micros * s_pl AS wterm
+      FROM pi JOIN per_state ON pi.state = per_state.i
+    ),
+    total AS (
+      SELECT CAST(round(-CAST(coalesce(sum(wterm), 0) AS DOUBLE) / 1000000000.0) AS BIGINT)
+             AS entropy_rate_micronats
+      FROM joined
+    )
+    SELECT state, pi_micros, h_cond_micronats,
+           CAST(round(-CAST(wterm AS DOUBLE) / 1000000000.0) AS BIGINT) AS contrib_micronats,
+           entropy_rate_micronats
+    FROM joined, total
+    """,
+    doc="Entropy rate of the per-user event-type Markov chain "
+    "(operators/graph.py:markov_entropy_rate) — the capstone over the "
+    "Markov family: H = sum_i pi_i H_i, H_i = -sum_j p_ij ln p_ij, the "
+    "per-visit information content of the stream (near 0 = ritual "
+    "sessions, near ln k = uniform churn). pi is the SAME integer "
+    "power-iterate as events_markov_stationary (shared "
+    "_transition_micros body); ln p quantizes once per observed cell "
+    "to millinats (PSI convention), after which every pi*p*lnq product "
+    "is an exact BIGINT and sums are order-immune; dangling self-loops "
+    "contribute ln(1) = 0 exactly. Everything after the one data-scale "
+    "count collapse runs on k / k^2 domain-bounded broadcast frames.",
+    tags=("scale", "events", "graph"),
+)
+def q_events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.graph import markov_entropy_rate
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return markov_entropy_rate(pairs, "prev_type", "event_type", "n_transitions", n_iter=10)
+
+
+@query(
+    "events_fano_burstiness",
+    oracle="""
+    WITH pb AS (
+      SELECT event_type AS g, date_trunc('minute', ts) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM pb GROUP BY g
+    )
+    SELECT g AS group_key, n_buckets, n_events,
+           CAST(round(1000000.0 * (CAST(n_buckets * ss - n_events * n_events AS DOUBLE)
+                                   / CAST(n_buckets * n_events AS DOUBLE))) AS BIGINT) AS fano_micros,
+           coalesce(round(1000000.0 * (CAST(n_buckets * ss - n_events * n_events AS DOUBLE)
+                                       / CAST(n_buckets * n_events AS DOUBLE))) > 1000000,
+                    false) AS overdispersed
+    FROM pg
+    """,
+    doc="Fano-factor burstiness per event type over observed minutes "
+    "(operators/profiling.py:fano_burstiness_by): Var/Mean of "
+    "per-minute arrival counts — 1 = Poisson, >> 1 = bursts (retry "
+    "storms, batch jobs) that capacity planning and rate limits must "
+    "see, < 1 = paced traffic. Gap minutes intentionally not "
+    "zero-filled (timeseries_gap_fill composes upstream when "
+    "calendar-complete dispersion is wanted). Cross-multiplied integer "
+    "moments, one double division + micro-round; two map-side-combined "
+    "groupBys, no windows.",
+    tags=("scale", "events", "stats"),
+)
+def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.profiling import fano_burstiness_by
+
+    e = T(spark, sf_dir, "events")
+    return fano_burstiness_by(e, F.col("event_type"), F.date_trunc("minute", F.col("ts")))

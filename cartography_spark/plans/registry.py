@@ -81,14 +81,25 @@ PRIORITY: tuple[str, ...] = (
     "job_s3_details_property_remove", "job_okta_group_membership_cleanup",
     "streaming_ks_drift", "sketch_quantile_bottomk", "classifier_pr_auc",
     "robust_median_of_means", "stats_mann_whitney", "sampling_weighted_bottomk",
-    "stats_kendall_tau_b", "stats_brown_forsythe", "stats_two_proportion_z",
-    "events_ohlc_bars", "events_user_rfm_segments",
-    "stats_kruskal_wallis", "stats_oneway_anova",
-    "survival_nelson_aalen", "timeseries_ljung_box",
-    "stats_bh_fdr_rates", "privacy_dp_laplace_counts",
+    # positions 43-50: the driver window holds ~50, and 60 queries are
+    # unverified this round — the LAST 8 in-window slots go to the most
+    # DISTINCTIVE new operators (novel algorithm families), while
+    # same-family siblings of already-windowed tests (ANOVA next to
+    # Kruskal-Wallis, Ljung-Box next to acf, TOST next to Welch) queue
+    # for the r9 rotation, which pulls any leftover to the front.
+    "stats_kendall_tau_b", "stats_kruskal_wallis", "survival_nelson_aalen",
     "shard_rendezvous_hashing", "text_stupid_backoff_trigram",
     "classifier_brier_decomposition", "events_markov_stationary",
-    "stats_effect_sizes", "stats_tost_equivalence",
+    "embedding_top_pc_power", "embedding_effective_rank",
+    # --- queue for r9 (outside this round's ~50 window; all pass the
+    # local full gate and rotate to the front next round) ---
+    "stats_bh_fdr_rates", "privacy_dp_laplace_counts",
+    "stats_brown_forsythe", "stats_two_proportion_z",
+    "events_ohlc_bars", "events_user_rfm_segments", "stats_oneway_anova",
+    "timeseries_ljung_box", "stats_effect_sizes", "stats_tost_equivalence",
+    "skew_shuffle_audit", "weighted_quantiles_by_source",
+    "events_markov_entropy_rate", "similarity_ivf_recall_audit",
+    "text_length_hill_tail", "events_fano_burstiness",
     # --- below: 300 queries already driver-green in r01-r07, kept
     # re-verified every round by the local full gate (tools/oracle_check.py) ---
     "rules_framework_rollup", "job_resource_edge_backfill", "job_guarded_relabel_migration",

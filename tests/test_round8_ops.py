@@ -741,3 +741,236 @@ def test_tost_equivalence_degenerate_false(spark):
         df, F.col("v"), F.col("g") == "a", F.col("g") == "b", margin_milli=500
     ).head()
     assert out.equivalent_95 is False and out.t_lower_micros is None
+
+
+def test_top_pc_power_hand_computed(spark):
+    """Rank-1 data along (3,1): Gram = n*[[9,3],[3,1]], max-normalized
+    [[1,1/3],[1/3,1/9]] -> micros [[1000000,333333],[333333,111111]].
+    Power iteration from (1e6,1e6) converges in two steps to the
+    L-infinity-normalized dominant direction (1000000, 333333) with a
+    positive canonical sign (largest |component| is dim 1)."""
+    from cartography_spark.operators.clustering import top_pc_power
+
+    df = spark.createDataFrame(
+        [([3.0, 1.0],)] * 7, "embedding array<float>"
+    )
+    out = {r.dim: r.v_micros for r in top_pc_power(df, dims=2, n_iter=8).collect()}
+    assert out == {1: 1_000_000, 2: 333_333}
+
+
+def test_top_pc_power_sign_canonicalization(spark):
+    """Data along (-1, 3): the raw iterate lands on the negative of the
+    direction half the time depending on v0's projection; the canonical
+    sign makes the largest-|component| entry (dim 2) positive."""
+    from cartography_spark.operators.clustering import top_pc_power
+
+    df = spark.createDataFrame(
+        [([-1.0, 3.0],)] * 5, "embedding array<float>"
+    )
+    out = {r.dim: r.v_micros for r in top_pc_power(df, dims=2, n_iter=8).collect()}
+    assert out[2] == 1_000_000 and out[1] < 0
+    assert abs(out[1] + 333_333) <= 1
+
+
+def test_top_pc_power_zero_gram_ansi_safe(spark):
+    """All-zero embeddings: max|C| = 0 -> try_divide NULLs coalesce to the
+    zero vector instead of raising under ANSI mode."""
+    from cartography_spark.operators.clustering import top_pc_power
+
+    df = spark.createDataFrame([([0.0, 0.0],)] * 3, "embedding array<float>")
+    out = {r.dim: r.v_micros for r in top_pc_power(df, dims=2, n_iter=3).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_effective_rank_rank1_and_isotropic(spark):
+    """Rank-1 corpus (every vector (3,1)): C = n*[[9,3],[3,1]], tr = 10n,
+    tr(C^2) = 100n^2 -> eff_rank exactly 1. Two orthogonal directions in
+    equal measure: C = diag(n, n) -> eff_rank exactly 2, top-share 1/2."""
+    from cartography_spark.operators.clustering import effective_rank
+
+    r1 = spark.createDataFrame([([3.0, 1.0],)] * 6, "embedding array<float>")
+    out = effective_rank(r1, dims=2).head()
+    assert out.n_dims == 2
+    assert out.eff_rank_micros == 1_000_000
+    assert out.top_share_ub_micros == 1_000_000
+
+    iso = spark.createDataFrame(
+        [([1.0, 0.0],)] * 4 + [([0.0, 1.0],)] * 4, "embedding array<float>"
+    )
+    out2 = effective_rank(iso, dims=2).head()
+    assert out2.eff_rank_micros == 2_000_000
+    assert out2.top_share_ub_micros == 500_000
+
+
+def test_skew_audit_hand_computed(spark):
+    """Keys a*6, b*2, c*1 with 32 md5-portable buckets: a->25, b->30,
+    c->16 (first 8 md5 hex digits mod 32), so max_bucket = max_key = 6;
+    bucket skew = round(1000*6*32/9) = 21333 (>2x uniform) and the hot
+    bucket IS a hot key -> salt recommended."""
+    from cartography_spark.operators.skew import skew_audit
+
+    df = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2 + [("c",)], "k string")
+    out = skew_audit(df, F.col("k"), n_buckets=32).head()
+    assert out.n_rows == 9 and out.n_keys == 3 and out.n_buckets_used == 3
+    assert out.max_bucket_rows == 6 and out.max_key_rows == 6
+    assert out.bucket_skew_millis == 21333
+    assert out.key_skew_millis == 2000
+    assert out.salt_recommended is True
+
+
+def test_skew_audit_uniform_no_salt(spark):
+    """Distinct keys, one row each: every bucket holds <= a few rows and
+    no single key dominates -> salt not recommended."""
+    from cartography_spark.operators.skew import skew_audit
+
+    df = spark.createDataFrame([(str(i),) for i in range(64)], "k string")
+    out = skew_audit(df, F.col("k"), n_buckets=32).head()
+    assert out.n_rows == 64 and out.n_keys == 64 and out.max_key_rows == 1
+    assert out.salt_recommended is False
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    """Weights 3/3/4 at values 1/2/10 (total 10): cum = 3,6,10 so the
+    weighted q25 is 1 (cum 3 >= 2.5), q50 is 2 (6 >= 5), q75 and q90
+    are 10 — while the UNWEIGHTED q75 over rows would be 2 if weights
+    were ignored. Exact rational comparisons, no floats."""
+    from cartography_spark.operators.profiling import weighted_quantiles_by
+
+    df = spark.createDataFrame(
+        [("s", 1, 3), ("s", 2, 3), ("s", 10, 4)], "g string, v int, w int"
+    )
+    out = {
+        (r.q_num, r.q_den): (r.q_value, r.total_weight)
+        for r in weighted_quantiles_by(
+            df, F.col("g"), F.col("v"), F.col("w")
+        ).collect()
+    }
+    assert out[(1, 4)] == (1, 10)
+    assert out[(2, 4)] == (2, 10)
+    assert out[(3, 4)] == (10, 10)
+    assert out[(9, 10)] == (10, 10)
+
+
+def test_weighted_quantiles_boundary_exact(spark):
+    """cum*den == num*tot boundary counts as reached (>=): two values
+    weight 1 each -> the weighted median of {1,2} is 1 (cum 1*2 >= 1*2)."""
+    from cartography_spark.operators.profiling import weighted_quantiles_by
+
+    df = spark.createDataFrame([("s", 1, 1), ("s", 2, 1)], "g string, v int, w int")
+    out = {
+        (r.q_num, r.q_den): r.q_value
+        for r in weighted_quantiles_by(
+            df, F.col("g"), F.col("v"), F.col("w"), qs=((1, 2),)
+        ).collect()
+    }
+    assert out[(1, 2)] == 1
+
+
+def test_markov_entropy_rate_hand_computed(spark):
+    """Chain a->{a,b} equally, b->a always. P(micros): a row = 500000/
+    500000, b row = 1000000. lq = round(1000*ln(.5)) = -693, ln(1) = 0.
+    H_a = round(2*500000*693/1000) = 693000 micronats, H_b = 0. Ten
+    integer iterations from uniform give pi = (666506, 333497) micros
+    (hand-traced: 750000/250000, 625000, 687500, 656250, 671875,
+    664063, 667970, 666017, 666994, 666506 — HALF_UP at every x.5).
+    Rate = round(666506 * 693000000 / 1e9) = 461889 micronats."""
+    from cartography_spark.operators.graph import markov_entropy_rate
+
+    trans = spark.createDataFrame(
+        [("a", "a", 1), ("a", "b", 1), ("b", "a", 1)],
+        "prev_type string, event_type string, n_transitions long",
+    )
+    rows = {r.state: r for r in markov_entropy_rate(trans).collect()}
+    assert rows["a"].pi_micros == 666_506 and rows["b"].pi_micros == 333_497
+    assert rows["a"].h_cond_micronats == 693_000
+    assert rows["b"].h_cond_micronats == 0
+    assert rows["a"].contrib_micronats == 461_889
+    assert rows["b"].contrib_micronats == 0
+    assert rows["a"].entropy_rate_micronats == 461_889
+    assert rows["b"].entropy_rate_micronats == 461_889
+
+
+def test_markov_entropy_rate_deterministic_chain_zero(spark):
+    """A deterministic cycle a->b->a has p = 1 everywhere: every lq is
+    ln(1) = 0, so conditional entropies and the rate are exactly 0."""
+    from cartography_spark.operators.graph import markov_entropy_rate
+
+    trans = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 5)],
+        "prev_type string, event_type string, n_transitions long",
+    )
+    rows = markov_entropy_rate(trans).collect()
+    assert len(rows) == 2
+    assert all(r.h_cond_micronats == 0 for r in rows)
+    assert all(r.entropy_rate_micronats == 0 for r in rows)
+
+
+def test_ivf_recall_audit_invariants(spark, sf_dir):
+    """recall = n_overlap/k exactly (micro-quantized), bounded by [0, 1e6],
+    and the exact arm always contains the query vector itself (cos 1.0),
+    which the 4/16-probe IVF arm also retrieves -> overlap >= 1."""
+    from cartography_spark.plans.inventory_llm import q_similarity_ivf_recall_audit
+
+    out = q_similarity_ivf_recall_audit(spark, sf_dir).head()
+    assert out.k == 10
+    assert 1 <= out.n_overlap <= 10
+    assert out.recall_micros == out.n_overlap * 100_000
+
+
+def test_hill_tail_index_hand_computed(spark):
+    """Values 8,4,2,1 with k=2: top-3 = {8,4,2}, x_(3) = 2. Log-ratios in
+    millinats: round(1000*ln(4)) = 1386, round(1000*ln(2)) = 693,
+    threshold contributes 0 -> S = 2079. alpha_milli =
+    round(1e6 * 2 / 2079) = 962."""
+    from cartography_spark.operators.profiling import hill_tail_index
+
+    df = spark.createDataFrame([(8,), (4,), (2,), (1,)], "x long")
+    out = hill_tail_index(df, F.col("x"), k=2).head()
+    assert out.k == 2 and out.x_tail == 2
+    assert out.sum_ln_millinats == 1386 + 693
+    assert out.alpha_milli == 962
+
+
+def test_hill_tail_degenerate_null(spark):
+    """All values equal: every log-ratio is ln(1) = 0 -> S = 0 and alpha
+    is NULL (try_divide), not an ANSI division error."""
+    from cartography_spark.operators.profiling import hill_tail_index
+
+    df = spark.createDataFrame([(5,)] * 6, "x long")
+    out = hill_tail_index(df, F.col("x"), k=3).head()
+    assert out.sum_ln_millinats == 0 and out.alpha_milli is None
+
+
+def test_fano_burstiness_hand_computed(spark):
+    """Type 'a': counts 4 and 2 over two OBSERVED buckets -> n=2, S=6,
+    ss=20: fano = 1e6*(2*20 - 36)/(2*6) = 1e6/3 = 333333 (paced traffic,
+    under-dispersed). Type 'b': counts 1,1 -> variance 0 -> fano 0.
+    Type 'c': one bucket of 5 -> (25-25)/5 = 0."""
+    from cartography_spark.operators.profiling import fano_burstiness_by
+
+    rows = (
+        [("a", 0)] * 4 + [("a", 2)] * 2
+        + [("b", 0), ("b", 1)]
+        + [("c", 3)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, b int")
+    out = {
+        r.group_key: r
+        for r in fano_burstiness_by(df, F.col("g"), F.col("b")).collect()
+    }
+    assert out["a"].n_buckets == 2 and out["a"].n_events == 6
+    assert out["a"].fano_micros == 333_333
+    assert out["a"].overdispersed is False
+    assert out["b"].fano_micros == 0
+    assert out["c"].fano_micros == 0
+
+
+def test_fano_overdispersed_bursty(spark):
+    """Counts 9 and 1 over two buckets: mean 5, pop-var 16 -> fano =
+    3.2e6, overdispersed."""
+    from cartography_spark.operators.profiling import fano_burstiness_by
+
+    rows = [("a", 0)] * 9 + [("a", 1)]
+    df = spark.createDataFrame(rows, "g string, b int")
+    out = fano_burstiness_by(df, F.col("g"), F.col("b")).head()
+    assert out.fano_micros == 3_200_000 and out.overdispersed is True
