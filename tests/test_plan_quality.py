@@ -140,6 +140,12 @@ _SCALAR_ATTACH = {
     "text_stupid_backoff_trigram",  # x broadcast(1-row train-token total)
     "classifier_brier_decomposition",  # x broadcast(1-row N/X/sq totals)
     "events_markov_stationary",     # x broadcast(1-row state count k)
+    "embedding_top_pc_power",       # x broadcast(1-row max|C| normalizer) on the d^2 Gram frame
+    "skew_shuffle_audit",           # 1-row key stats x broadcast(1-row bucket stats)
+    "weighted_quantiles_by_source",  # x broadcast(4-row quantile spec; non-equi cum-weight filter)
+    "events_markov_entropy_rate",   # x broadcast(1-row k + 1-row entropy total, via markov_stationary)
+    "similarity_ivf_recall_audit",  # exact arm's documented O(n) 1-row query-vec attach + IVF centroid/LUT attaches
+    "text_length_hill_tail",        # x broadcast(1-row tail threshold) on the 65-row order-stat frame
 }
 
 
