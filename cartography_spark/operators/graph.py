@@ -785,8 +785,11 @@ def markov_entropy_rate(
     the SAME micro-quantized row-stochastic matrix (shared
     _transition_micros body). ln p is quantized once per cell to
     millinats — round(1000*ln(p/1e6)), the PSI convention — after which
-    every product pi * p * lnq is an exact BIGINT (<= 1e6*1e6*1.4e4 ~
-    1.4e16, inside int64) and sums are reduction-order-immune; the two
+    every product pi * p * lnq is an exact BIGINT and sums are
+    reduction-order-immune (per state, sum_j p*lq <= 1e6 * 13816
+    because the p's sum to 1e6, so each pi-weighted term is <= 1.4e16
+    and the k-state total stays inside int64 for any k < ~650 — far
+    above an event-type domain); the two
     final micronat conversions are identical single double-divisions.
     Dangling self-loops contribute ln(1) = 0 exactly. p = 0 cells never
     appear (only observed transitions are materialized), so the log is

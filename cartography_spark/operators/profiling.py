@@ -2222,9 +2222,11 @@ def hill_tail_index(df: DataFrame, value: Column, k: int = 64) -> DataFrame:
     millinats — round(1000*ln(x/x_(k+1))), the PSI convention — so the
     sum is an exact BIGINT (the x_(k+1) copy contributes ln(1) = 0
     exactly, which is why summing all k+1 rows needs no exclusion),
-    and alpha_milli = round(1e6*k/S) is one identical double division.
-    try_divide: a degenerate tail (all k+1 values equal -> S = 0)
-    yields NULL, not an ANSI error.
+    and alpha_milli = round(1e6*k_eff/S) is one identical double
+    division. k_eff = (tail rows present) - 1: an input smaller than
+    k+1 rows reports ITS OWN tail size instead of inflating alpha with
+    phantom order statistics. try_divide: a degenerate tail (all
+    values equal -> S = 0) yields NULL, not an ANSI error.
 
     Scale shape: ONE TakeOrdered(k+1) scan (per-partition top-k+1
     partials, no global sort); everything after runs on a (k+1)-row
@@ -2249,12 +2251,20 @@ def hill_tail_index(df: DataFrame, value: Column, k: int = 64) -> DataFrame:
             F.count(F.lit(1)).alias("m"),
         )
     )
+    # Effective k = (tail frame size) - 1, NOT the requested k: an input
+    # smaller than k+1 rows must not inflate alpha with phantom order
+    # statistics (self-review r8; the sf0.001 smoke corpus has 50 docs
+    # against the default k=64).
+    k_eff = F.col("m") - F.lit(1)
     return s.select(
-        F.lit(k).cast("bigint").alias("k"),
+        k_eff.cast("bigint").alias("k"),
         F.col("x_tail").cast("bigint").alias("x_tail"),
         F.col("s_ln").cast("bigint").alias("sum_ln_millinats"),
         F.round(
-            F.try_divide(F.lit(1_000_000.0) * F.lit(k), F.col("s_ln").cast("double"))
+            F.try_divide(
+                F.lit(1_000_000.0) * k_eff.cast("double"),
+                F.col("s_ln").cast("double"),
+            )
         )
         .cast("bigint")
         .alias("alpha_milli"),

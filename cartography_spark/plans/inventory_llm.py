@@ -4675,14 +4675,15 @@ def q_similarity_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     m AS (SELECT min(x) AS xk1 FROM t),
     s AS (
       SELECT CAST(sum(CAST(round(1000.0 * ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_ln,
-             min(xk1) AS x_tail
+             min(xk1) AS x_tail,
+             count(*) - 1 AS k_eff
       FROM t, m
     )
-    SELECT CAST(64 AS BIGINT) AS k,
+    SELECT CAST(k_eff AS BIGINT) AS k,
            CAST(x_tail AS BIGINT) AS x_tail,
            s_ln AS sum_ln_millinats,
            CAST(CASE WHEN s_ln = 0 THEN NULL
-                ELSE round(1000000.0 * 64 / CAST(s_ln AS DOUBLE)) END AS BIGINT) AS alpha_milli
+                ELSE round(1000000.0 * k_eff / CAST(s_ln AS DOUBLE)) END AS BIGINT) AS alpha_milli
     FROM s
     """,
     doc="Hill tail-index of the document-length distribution "

@@ -974,3 +974,16 @@ def test_fano_overdispersed_bursty(spark):
     df = spark.createDataFrame(rows, "g string, b int")
     out = fano_burstiness_by(df, F.col("g"), F.col("b")).head()
     assert out.fano_micros == 3_200_000 and out.overdispersed is True
+
+
+def test_hill_tail_small_corpus_effective_k(spark):
+    """Input smaller than k+1: effective k = (rows present) - 1, so alpha
+    is computed against the REAL tail, not phantom order statistics
+    (values 8,4,2 with k=64 behave exactly like k=2)."""
+    from cartography_spark.operators.profiling import hill_tail_index
+
+    df = spark.createDataFrame([(8,), (4,), (2,)], "x long")
+    out = hill_tail_index(df, F.col("x"), k=64).head()
+    assert out.k == 2 and out.x_tail == 2
+    assert out.sum_ln_millinats == 1386 + 693
+    assert out.alpha_milli == 962
