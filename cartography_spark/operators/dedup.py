@@ -790,16 +790,17 @@ def exact_collapse(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     stage run on unique texts only; expansion back to all ids is one
     linear join on the rep key.
     """
+    from pyspark.sql import Window
+
+    # min-id per md5 group as a WINDOW over the hash key: ONE exchange of
+    # the doc rows, no join back (the former groupBy + eqNullSafe self-join
+    # shuffled the docs once for the aggregate and once more for the probe
+    # side — guide §2.4). Window partitioning groups NULL keys together,
+    # matching the null-safe join semantics exactly.
     key = F.md5(F.col(text_col))
-    grp = (
-        docs.select(key.alias("__k"), F.col(id_col))
-        .groupBy("__k")
-        .agg(F.min(id_col).alias("rep"))
-    )
     return (
         docs.withColumn("__k", key)
-        .alias("d")
-        .join(grp.alias("g"), F.col("d.__k").eqNullSafe(F.col("g.__k")))
+        .withColumn("rep", F.min(id_col).over(Window.partitionBy("__k")))
         .drop("__k")
     )
 
@@ -867,8 +868,17 @@ def embedding_cluster_collapsed(
     formatting), run the LSH-blocked cosine pair generator on unique
     vectors only, cluster, then expand linearly. Same rationale as
     :func:`minhash_cluster_collapsed`."""
-    grp = embeddings.groupBy(vec_col).agg(F.min(id_col).alias("rep"))
-    mapped = embeddings.join(grp, vec_col).select(F.col(id_col), "rep", F.col(vec_col))
+    from pyspark.sql import Window
+
+    # min-id per identical vector as a window over the array value — one
+    # exchange of the embedding rows instead of groupBy + equi-join back
+    # (same rewrite as exact_collapse; grouping and window partitioning
+    # share Spark's value-equality semantics for arrays)
+    mapped = embeddings.select(
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy(vec_col)).alias("rep"),
+        F.col(vec_col),
+    )
     idmap = mapped.select(F.col(id_col), "rep").localCheckpoint(eager=True)
     reps = mapped.filter(F.col(id_col) == F.col("rep")).select(F.col(id_col), F.col(vec_col))
     pairs = embedding_near_dup_pairs(

@@ -1303,6 +1303,13 @@ def stupid_backoff_trigram(
         .filter(F.col("w1").isNotNull())
         .select(F.col(id_col), "w1", "w2", F.col("tok").alias("w3"))
     )
+    # materialize the trigram frame ONCE: it fans out to seven consumers
+    # (five train count dictionaries, the train total, and the held-out
+    # scoring side), each of which would otherwise re-run the tokenize +
+    # repartition + per-doc lag window pipeline from the parquet scan —
+    # measured 15.3 s -> ~2 s at sf0.01 for the registry query (guide §5:
+    # persist only when re-used AND recompute is the expensive side).
+    tri = tri.localCheckpoint(eager=True)
     is_train = (F.col(id_col) % holdout_mod) == 0
     train, held = tri.filter(is_train), tri.filter(~is_train)
 

@@ -26,13 +26,31 @@ from pyspark.sql import DataFrame
 from cartography_spark.catalog import GraphCatalog
 
 
+# (application, view name) -> the DataFrame object currently registered
+# under that view BY THIS FUNCTION (held by reference, compared with `is`,
+# so a garbage-collected frame can never alias a live one). Re-registering
+# an unchanged frame is a py4j round-trip + analyzer pass per table; a
+# multi-statement GraphJob re-registered the WHOLE catalog before every
+# statement (12 statements x ~17 tables for the cleanup-corpus ports —
+# pure driver time, guide §7.3). Only frames that set_node/set_edge
+# actually replaced are re-registered.
+_VIEW_STATE: dict[tuple[str, str], DataFrame] = {}
+
+
 def register_catalog_views(catalog: GraphCatalog) -> None:
     """Expose node tables as ``n_<Label>`` and edge tables as
     ``e_<Src>__<REL>__<Dst>`` temp views for SQL statements."""
+    app = catalog.spark.sparkContext.applicationId
     for label, df in catalog.nodes.items():
-        df.createOrReplaceTempView(f"n_{label}")
+        name = f"n_{label}"
+        if _VIEW_STATE.get((app, name)) is not df:
+            df.createOrReplaceTempView(name)
+            _VIEW_STATE[(app, name)] = df
     for (sl, rl, dl), df in catalog.edges.items():
-        df.createOrReplaceTempView(f"e_{sl}__{rl}__{dl}")
+        name = f"e_{sl}__{rl}__{dl}"
+        if _VIEW_STATE.get((app, name)) is not df:
+            df.createOrReplaceTempView(name)
+            _VIEW_STATE[(app, name)] = df
 
 
 def _bind(sql: str, params: dict[str, Any]) -> str:
