@@ -487,7 +487,10 @@ def cluster_min_label(
     # exchange (localCheckpoint would lose the partitioning info; persist
     # keeps it — same pattern as graph._persist_copartitioned)
     n_part = shuffle_partition_count(und.sparkSession)
-    und = und.distinct().repartition(n_part, "dst")
+    # repartition first, dedup second: HashPartitioning(dst) satisfies the
+    # (src, dst) clustering of the distinct, so one exchange serves both
+    # (guide §2.4; same rewrite as cluster_min_label_bipartite)
+    und = und.repartition(n_part, "dst").dropDuplicates(["src", "dst"])
     und.persist()
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
@@ -583,10 +586,15 @@ def cluster_min_label_bipartite(
     from pyspark.sql import Observation
 
     n_part = shuffle_partition_count(memberships.sparkSession)
+    # repartition FIRST, dedup second: HashPartitioning(mv) satisfies the
+    # (mv, mb) clustering the dedup aggregate needs, so the distinct runs
+    # on the repartition's exchange instead of adding its own — one
+    # shuffle of the membership rows, not two (guide §2.4), and the cached
+    # blocks keep the mv partitioning every round's first join wants.
     mem = (
         memberships.select(F.col(id_col).alias("mv"), F.col(bucket_col).alias("mb"))
-        .distinct()
         .repartition(n_part, "mv")
+        .dropDuplicates(["mv", "mb"])
     )
     mem.persist()
     labels = vertices.select(F.col(id_col).alias("v")).distinct().withColumn(
@@ -839,8 +847,16 @@ def minhash_cluster_collapsed(
         F.col(id_col),
         F.concat_ws(":", F.col("band"), F.col("bsig")).alias("bucket"),
     )
+    # vertices = the distinct rep ids, read from the already-checkpointed
+    # idmap instead of re-deriving reps from the collapse (the labels init
+    # runs inside the first cluster job — without this it re-ran the full
+    # docs scan + collapse there; identical id set either way)
     cl = cluster_min_label_bipartite(
-        mem, reps.select(id_col), max_iter=max_iter, id_col=id_col, hop_fusion=hop_fusion
+        mem,
+        idmap.select(F.col("rep").alias(id_col)),
+        max_iter=max_iter,
+        id_col=id_col,
+        hop_fusion=hop_fusion,
     )
     return (
         idmap.join(
@@ -885,7 +901,11 @@ def embedding_cluster_collapsed(
         reps, dim=dim, threshold=threshold, n_planes=n_planes,
         vec_col=vec_col, id_col=id_col,
     ).select("a", "b")
-    cl = cluster_min_label(pairs, reps.select(id_col), max_iter=max_iter, id_col=id_col)
+    # vertices from the checkpointed idmap — same rep-id set, no second
+    # pass over the embedding collapse (see minhash_cluster_collapsed)
+    cl = cluster_min_label(
+        pairs, idmap.select(F.col("rep").alias(id_col)), max_iter=max_iter, id_col=id_col
+    )
     return (
         idmap.join(cl.select(F.col(id_col).alias("rep"), "cluster"), "rep")
         .select(
