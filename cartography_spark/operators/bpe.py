@@ -86,6 +86,32 @@ def _apply_merge(wf: DataFrame, left: str, right: str) -> DataFrame:
     return wf.withColumn("sym", F.expr(fold))
 
 
+def _apply_merge_frame(wf: DataFrame, m: DataFrame) -> DataFrame:
+    """:func:`_apply_merge` with the merge pair read from a 1-row frame
+    (``lhs``, ``rhs``, ``merged``) broadcast-left-joined in, instead of
+    baked in as literals. Identical greedy fold; the difference is that the
+    merge can stay LAZY — the per-round argmax no longer needs its own
+    collect() action before the fold can be planned (one Spark job per
+    training round instead of two). An EMPTY m (vocabulary fully merged)
+    leaves every symbol string unchanged, matching the literal form's
+    early-exit."""
+    fold = (
+        "aggregate("
+        " slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)),"
+        " element_at(split(sym, ' '), 1),"
+        " (acc, x) -> CASE"
+        "   WHEN lhs IS NOT NULL"
+        "    AND (acc = lhs OR endswith(acc, concat(' ', lhs))) AND x = rhs"
+        "   THEN concat(substring(acc, 1, length(acc) - length(lhs)), merged)"
+        "   ELSE concat(acc, ' ', x) END)"
+    )
+    return (
+        wf.join(F.broadcast(m.select("lhs", "rhs", "merged")), F.lit(True), "left")
+        .withColumn("sym", F.expr(fold))
+        .drop("lhs", "rhs", "merged")
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame, n_merges: int = 4, text_col: str = "text"
 ) -> DataFrame:
@@ -94,23 +120,34 @@ def bpe_learn_merges(
     costs nothing — only the vocabulary table is re-folded (checkpointed
     per round to truncate lineage)."""
     wf = word_freqs(docs, text_col).localCheckpoint(eager=True)
-    rows = []
+    # The per-round argmax stays a LAZY 1-row frame that is broadcast into
+    # the fold (_apply_merge_frame), so each round is ONE checkpoint job —
+    # the old literal-based fold needed a collect() of the argmax BEFORE it
+    # could even be planned (2 jobs/round; measured ~12 jobs for the
+    # 4-merge bench query, half of them argmax collects). The merge table
+    # accumulates as a union of those 1-row frames and is collected once at
+    # the end. An exhausted vocabulary yields empty argmax rows, which
+    # _apply_merge_frame treats as a no-op — identical to the old break.
+    merges: DataFrame | None = None
     for rank in range(1, n_merges + 1):
-        top = (
+        m = (
             _pair_counts(wf)
             .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
-            .collect()
+            .select(
+                F.lit(rank).alias("rank"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.concat(F.col("l"), F.col("r")).alias("merged"),
+                F.col("c").cast("long").alias("weight"),
+            )
         )
-        if not top:
-            break
-        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
-        rows.append((rank, l, r, l + r, c))
+        merges = m if merges is None else merges.unionByName(m)
         if rank < n_merges:
-            wf = _apply_merge(wf, l, r).localCheckpoint(eager=True)
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        rows, "rank int, lhs string, rhs string, merged string, weight long"
+            wf = _apply_merge_frame(wf, m).localCheckpoint(eager=True)
+    assert merges is not None
+    return merges.select(
+        F.col("rank").cast("int"), "lhs", "rhs", "merged", F.col("weight")
     )
 
 
