@@ -293,9 +293,16 @@ def label_propagation(
     total order, so the result is reproducible in any engine.
 
     Per round: one hash join (static edge side persisted) + a two-level
-    aggregation. The argmax is ``max_by(label, (cnt, -label))`` — a
-    mergeable aggregate with map-side combine — instead of a
-    row_number window, so no per-group sort materializes. Lineage is
+    aggregation sharing ONE exchange — the joined (src, label) rows are
+    repartitioned by src, and HashPartitioning(src) satisfies the
+    clustering requirement of both the (src, label) count and the
+    per-src argmax, so neither aggregate shuffles again. The alternative
+    (two aggregate exchanges with map-side combine) shuffles the count
+    frame twice; early rounds have near-distinct (src, label) pairs so
+    the combine saves almost nothing (interleaved A/B at sf0.1: ~3.9 s
+    -> ~2.7 s for the single-exchange shape). The argmax is
+    ``max_by(label, (cnt, -label))`` — a mergeable aggregate — instead
+    of a row_number window, so no per-group sort materializes. Lineage is
     truncated every ``checkpoint_every`` rounds: each eager
     localCheckpoint is a full materialization barrier, so at small round
     counts skipping it is ~40% wall-clock (measured at sf0.1), while
@@ -306,9 +313,12 @@ def label_propagation(
     labels = e.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
+    n = shuffle_partition_count(edges.sparkSession)
     for r in range(rounds):
         counts = (
             e.join(labels, e.dst == labels.node)
+            .select("src", "label")
+            .repartition(n, "src")
             .groupBy("src", "label")
             .agg(F.count("*").alias("cnt"))
         )

@@ -408,44 +408,66 @@ def pq_adc_topk(
     int8_quantize, so encoding, LUT, and scan are exact BIGINT
     arithmetic any engine reproduces.
 
-    Plan: quantized vectors localCheckpointed once; codebook and LUT are
-    1-row broadcasts; encode + scan are JVM higher-order expressions on
-    the single pass over the codes; TakeOrdered(k) with the total order
-    (adist ASC, id ASC).
+    Plan: quantized vectors localCheckpointed once; ONE aggregate over
+    the codebook+query rows builds a single 1-row broadcast carrying
+    both the codebook and the query's LUT (the previous shape paid two
+    broadcast-build jobs and two full scans of the checkpointed codes —
+    RDD-backed frames have no filter pushdown, so "find the query row"
+    was a whole extra pass); encode + scan are JVM higher-order
+    expressions on the single pass over the codes, with each subspace's
+    centroid-distance array let-bound via a 1-element transform() so it
+    is evaluated once, not re-derived for argmin and min separately;
+    TakeOrdered(k) with the total order (adist ASC, id ASC).
     """
     dsub = dim // n_sub
     q = int8_quantize(embeddings, vec_col=vec_col, id_col=id_col)
     q = q.localCheckpoint(eager=True)
-    cb = q.filter(F.col(id_col).isin(list(codebook_ids))).groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("qvec")))),
-            lambda s: s["qvec"],
-        ).alias("__cb")
+    cbq = (
+        q.filter(F.col(id_col).isin([*codebook_ids, query_id]))
+        .groupBy()
+        .agg(
+            # collect_list skips NULLs, so the when() drops the query row
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col(id_col) != query_id,
+                            F.struct(F.col(id_col), F.col("qvec")),
+                        )
+                    )
+                ),
+                lambda s: s["qvec"],
+            ).alias("__cb"),
+            # exactly one row has the flag set, so max_by is deterministic
+            F.max_by("qvec", (F.col(id_col) == query_id).cast("int")).alias("__q"),
+        )
     )
-    with_cb = q.crossJoin(F.broadcast(cb))
 
-    def sub_dists(m: int) -> Column:
-        mine = F.slice("qvec", m * dsub + 1, dsub)
+    def sub_dists(vec: Column, m: int) -> Column:
+        mine = F.slice(vec, m * dsub + 1, dsub)
         return F.transform(
             F.col("__cb"), lambda c: _sq_dist(mine, F.slice(c, m * dsub + 1, dsub))
         )
 
-    codes = F.array(
-        *[
-            (F.array_position(sub_dists(m), F.array_min(sub_dists(m))) - 1).cast("int")
-            for m in range(n_sub)
-        ]
+    lut_row = cbq.select(
+        "__cb",
+        F.array(*[sub_dists(F.col("__q"), m) for m in range(n_sub)]).alias("__lut"),
     )
-    lut_row = (
-        with_cb.filter(F.col(id_col) == query_id)
-        .select(F.array(*[sub_dists(m) for m in range(n_sub)]).alias("__lut"))
-    )
-    encoded = with_cb.select(F.col(id_col), codes.alias("__codes"))
-    adist = sum(
-        F.get(F.get("__lut", m), F.get("__codes", F.lit(m))) for m in range(n_sub)
-    )
+
+    def code(m: int) -> Column:
+        # let-bind the 8-centroid distance array: transform() materializes
+        # its input once, so argmin's two references share one evaluation
+        return F.get(
+            F.transform(
+                F.array(sub_dists(F.col("qvec"), m)),
+                lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+            ),
+            0,
+        )
+
+    adist = sum(F.get(F.get("__lut", m), code(m)) for m in range(n_sub))
     return (
-        encoded.filter(F.col(id_col) != query_id)
+        q.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(lut_row))
         .select(F.col(id_col), adist.cast("long").alias("adist"))
         .orderBy(F.asc("adist"), F.asc(id_col))

@@ -176,14 +176,18 @@ def nb_language_classifier(
     """
     from cartography_spark.operators.dedup import portable_hash32
 
+    # No token-stream repartition: the two consumers (model counts, s1)
+    # each partially aggregate map-side, so the exchanges carry at most
+    # (label, bucket) resp. (doc, label) aggregated rows — never the raw
+    # exploded token stream. The alternative (repartition tokens by doc
+    # so s1 aggregates in place) shuffles every token occurrence: ~100x
+    # the bytes at corpus scale for one saved scan. Interleaved A/B at
+    # sf0.1: neutral-to-slightly-faster without the repartition.
     toks = docs.select(
         F.col(id_col),
         F.col(label_col).alias("actual"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("b", portable_hash32(F.col("tok"), salt="nb") % n_buckets)
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
 
     counts = toks.groupBy(F.col("actual").alias("label"), "b").agg(F.count("*").alias("c"))
     likelihood = counts.select(
