@@ -210,8 +210,11 @@ def ks_two_sample_by(
         F.sum("ca").over(cum).alias("cum_a"),
         F.sum("cb").over(cum).alias("cum_b"),
     )
-    tot = ecdf.groupBy("g").agg(
-        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    # totals from per_v, not max(cum) over ecdf: same values, but the
+    # max-over-cumsum form re-executed the whole window subtree (single-
+    # partition for the global stratum) a second time in the broadcast build
+    tot = per_v.groupBy("g").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
     d = (
         ecdf.join(F.broadcast(tot), "g")

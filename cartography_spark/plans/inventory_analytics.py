@@ -1794,7 +1794,10 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = base.groupBy("v").agg(F.count("*").alias("c"))
     cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     e = per_v.select("v", F.sum("c").over(cum).alias("cum"))
-    tot = e.agg(F.max("cum").alias("n"))
+    # n == max(cum) but derived as a plain count over the base scan: the
+    # max-over-cumsum form re-executed the whole per_v + single-partition
+    # window subtree a second time just to read its last row
+    tot = base.agg(F.count("*").alias("n"))
     qf = spark.createDataFrame([(q,) for q in QS], "q_pct int")
     exact = (
         e.crossJoin(F.broadcast(tot))
@@ -1805,9 +1808,11 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("q_pct").cast("long").alias("q_pct"))
         .agg(F.min("v").alias("exact_cents"))
     )
+    # 5-row frames: hint them broadcast or the final joins plan as
+    # sort-merge (exchange + sort per side) on statless subqueries
     return (
-        est_m.join(est_d, "q_pct")
-        .join(exact, "q_pct")
+        est_m.join(F.broadcast(est_d), "q_pct")
+        .join(F.broadcast(exact), "q_pct")
         .select(
             "q_pct",
             "est_merged_cents",
