@@ -312,7 +312,9 @@ def conformal_interval_calibrate(
     per_v = scores.groupBy(F.col(n_col).alias("v")).agg(F.count("*").alias("c"))
     cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = per_v.select("v", F.sum("c").over(cum).alias("cum"))
-    tot = ecdf.agg(F.max("cum").alias("n_cal"))
+    # n_cal == max(cum), but summed from per_v so the broadcast build
+    # does not re-execute the single-partition cumsum window
+    tot = per_v.agg(F.sum("c").alias("n_cal"))
     k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long")
     return (
         ecdf.crossJoin(F.broadcast(tot))
@@ -1177,7 +1179,9 @@ def conformal_mondrian_calibrate(
         Window.unboundedPreceding, 0
     )
     ecdf = per_v.select("g", "v", F.sum("c").over(cum).alias("cum"))
-    tot = ecdf.groupBy("g").agg(F.max("cum").alias("n_cal"))
+    # per-group totals summed from per_v, not max over the cumsum frame:
+    # same values without re-executing the window in the broadcast build
+    tot = per_v.groupBy("g").agg(F.sum("c").alias("n_cal"))
     k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long")
     return (
         ecdf.join(F.broadcast(tot), "g")
@@ -1454,7 +1458,9 @@ def brown_forsythe(df: DataFrame, group: Column, value: Column) -> DataFrame:
     per_v = base.groupBy("g", "v").agg(F.count("*").alias("c"))
     cum = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = per_v.select("g", "v", F.sum("c").over(cum).alias("cum"))
-    tot = ecdf.groupBy("g").agg(F.max("cum").cast("long").alias("n_g"))
+    # group sizes summed from per_v, not max over the cumsum frame (same
+    # values, no second execution of the window subtree)
+    tot = per_v.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
     lo = F.floor((F.col("n_g") + 1) / 2).cast("long")
     hi = F.ceil((F.col("n_g") + 1) / 2).cast("long")
     ranked = ecdf.join(F.broadcast(tot), "g").withColumn("lo", lo).withColumn("hi", hi)
@@ -1612,7 +1618,9 @@ def kruskal_wallis(df: DataFrame, group: Column, value: Column) -> DataFrame:
     ranked = per_v.withColumn("cum", F.sum("cv").over(w_cum)).withColumn(
         "r2", 2 * F.col("cum") - F.col("cv") + 1
     )
-    tot = ranked.agg(F.max("cum").cast("long").alias("n"))
+    # N == max(cum) summed from per_v so the broadcast build skips the
+    # single-partition rank window re-execution
+    tot = per_v.agg(F.sum("cv").cast("long").alias("n"))
     # centered doubled rank: d2 = r2 - (N+1), exact integer, sums to 0
     rv = ranked.crossJoin(F.broadcast(tot)).select(
         "v", "cv", "n", (F.col("r2") - (F.col("n") + 1)).alias("d2")

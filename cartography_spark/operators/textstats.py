@@ -125,12 +125,14 @@ def unigram_surprisal(
     Output: (doc_id, n_tokens, total_bits, mean_millibits) — higher
     mean_millibits = rarer tokens = more surprising text.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
-    )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # doc_shingles pattern: repartition the COMPACT pre-explode rows (one
+    # token array per doc), not the exploded stream — same downstream
+    # partitioning (Generate preserves it) at a fraction of the shuffled
+    # bytes, while still spreading the explode across the cluster
+    pre = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = pre.select(F.col(id_col), F.explode("__arr").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     scored = (
@@ -261,13 +263,13 @@ def bigram_surprisal(
     vocabulary-bounded), two dictionary joins, one per-doc groupBy.
     bin()-length arithmetic as in unigram_surprisal — no float log.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
-    )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # compact pre-explode repartition (doc_shingles pattern): the lag
+    # window's per-doc clustering comes from shuffling one array row per
+    # doc, never the exploded token stream
+    pre = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy("pos")
@@ -304,12 +306,13 @@ def inverted_index(
     IS the index build (one pass, hash-partitioned by term = one posting
     shard per reducer); nothing here is driver-bounded.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
-    ).filter(F.col("term") != "")
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    # compact pre-explode repartition (doc_shingles pattern): one array
+    # row per doc crosses the wire, not the exploded term stream
+    pre = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col("doc"))
+    toks = pre.select(F.col("doc"), F.explode("__arr").alias("term")).filter(
+        F.col("term") != ""
     )
     tf = toks.groupBy("term", "doc").agg(F.count("*").alias("tf"))
     return tf.groupBy("term").agg(
@@ -345,12 +348,13 @@ def blockmax_index(
     the output is |postings| / block_size rows — the same compression
     knob the on-disk structure has.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
-    ).filter(F.col("term") != "")
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col("doc")
+    # compact pre-explode repartition (doc_shingles pattern): one array
+    # row per doc crosses the wire, not the exploded term stream
+    pre = docs.select(
+        F.col(id_col).alias("doc"), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col("doc"))
+    toks = pre.select(F.col("doc"), F.explode("__arr").alias("term")).filter(
+        F.col("term") != ""
     )
     n_docs = docs.agg(F.countDistinct(id_col).alias("n"))
     # tf feeds BOTH the df/idf aggregate and the final block rollup:
@@ -661,13 +665,13 @@ def pmi_collocations(
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
-    )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # compact pre-explode repartition (doc_shingles pattern): shuffle one
+    # array row per doc, not the exploded token stream; Generate preserves
+    # the hash(id) partitioning the lag window needs
+    pre = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
     w = W.partitionBy(id_col).orderBy("pos")
     # checkpoint: four branches (total, c_x, c_y, c_xy) consume this
     # relation — without it the explode + per-doc lag window execute once
@@ -1213,13 +1217,13 @@ def kn_bigram_surprisal(
     2^63 (~1e9 types x 1e9 max unigram count) — shard the vocabulary
     past that.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
-    )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # compact pre-explode repartition (doc_shingles pattern): the lag
+    # window's per-doc clustering comes from shuffling one array row per
+    # doc, never the exploded token stream
+    pre = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy("pos")
@@ -1293,13 +1297,13 @@ def stupid_backoff_trigram(
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
-    )
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # compact pre-explode repartition (doc_shingles pattern): shuffle one
+    # array row per doc, not the exploded token stream; Generate preserves
+    # the hash(id) partitioning the lag window needs
+    pre = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
     w = W.partitionBy(id_col).orderBy("pos")
     tri = (
         toks.withColumn("w2", F.lag("tok", 1).over(w))
