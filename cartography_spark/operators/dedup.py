@@ -950,12 +950,17 @@ def shingle_containment_pairs(
             f"i -> substring(lower({text_col}), i, {n}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # compact pre-explode repartition (doc_shingles pattern): shuffle one
-    # distinct-gram array per doc, not the exploded shingle stream
-    pre = docs.select(
-        F.col(id_col), F.col(block_col), F.array_distinct(grams).alias("__g")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    sh = pre.select(F.col(id_col), F.col(block_col), F.explode("__g").alias("__sh"))
+    # The post-explode repartition doubles as a MATERIALIZATION point:
+    # the shingle stream feeds three consumers (sizes + both self-join
+    # sides), and the exchange files let each reuse the explode instead
+    # of re-flattening the gram arrays (cf. the r8-opt sf1 A/Bs on the
+    # analogous token-stream sites).
+    sh = docs.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.explode(F.array_distinct(grams)).alias("__sh"),
+    )
+    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col(id_col).alias("a"), F.col(block_col).alias("__ba"), F.col("__sh"))
     b = sh.select(F.col(id_col).alias("b"), F.col(block_col).alias("__bb"), F.col("__sh"))

@@ -125,14 +125,18 @@ def unigram_surprisal(
     Output: (doc_id, n_tokens, total_bits, mean_millibits) — higher
     mean_millibits = rarer tokens = more surprising text.
     """
-    # doc_shingles pattern: repartition the COMPACT pre-explode rows (one
-    # token array per doc), not the exploded stream — same downstream
-    # partitioning (Generate preserves it) at a fraction of the shuffled
-    # bytes, while still spreading the explode across the cluster
-    pre = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = pre.select(F.col(id_col), F.explode("__arr").alias("tok"))
+    # The post-explode repartition doubles as a MATERIALIZATION point:
+    # the token stream feeds two jobs (frequency-dictionary build, then
+    # scoring), and the exchange files let the second reuse the explode.
+    # The compact pre-explode variant (shuffle one array row per doc)
+    # measured 15% SLOWER at sf1 — each consumer re-ran the explode —
+    # so the exploded-stream shuffle stays (interleaved A/B, r8 opt).
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     scored = (
@@ -178,18 +182,24 @@ def nb_language_classifier(
     """
     from cartography_spark.operators.dedup import portable_hash32
 
-    # No token-stream repartition: the two consumers (model counts, s1)
-    # each partially aggregate map-side, so the exchanges carry at most
-    # (label, bucket) resp. (doc, label) aggregated rows — never the raw
-    # exploded token stream. The alternative (repartition tokens by doc
-    # so s1 aggregates in place) shuffles every token occurrence: ~100x
-    # the bytes at corpus scale for one saved scan. Interleaved A/B at
-    # sf0.1: neutral-to-slightly-faster without the repartition.
+    # The token repartition is a MATERIALIZATION point, not (just) a
+    # partitioning trick: the md5-bucketed token stream feeds two
+    # sequential jobs (the likelihood-broadcast build, then scoring), and
+    # the exchange files let the second job reuse the explode + md5 work.
+    # Removing it (so both consumers partially aggregate map-side and
+    # shuffle only aggregated rows) measured neutral at sf0.1 but 1.6x
+    # SLOWER at sf1 (interleaved A/B: 13.2 vs 7.8 s min) — the doubled
+    # per-token md5 dominates the saved shuffle bytes. A lazy
+    # localCheckpoint of the token stream measured the same as the
+    # repartition (9.5 vs 9.5 s median), with worse partitioning for s1.
     toks = docs.select(
         F.col(id_col),
         F.col(label_col).alias("actual"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("b", portable_hash32(F.col("tok"), salt="nb") % n_buckets)
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
 
     counts = toks.groupBy(F.col("actual").alias("label"), "b").agg(F.count("*").alias("c"))
     likelihood = counts.select(
@@ -263,13 +273,19 @@ def bigram_surprisal(
     vocabulary-bounded), two dictionary joins, one per-doc groupBy.
     bin()-length arithmetic as in unigram_surprisal — no float log.
     """
-    # compact pre-explode repartition (doc_shingles pattern): the lag
-    # window's per-doc clustering comes from shuffling one array row per
-    # doc, never the exploded token stream
-    pre = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
+    # The post-explode repartition doubles as a MATERIALIZATION point for
+    # the three consumers of the lagged pair frame (r8-opt sf1 A/Bs: the
+    # compact pre-explode variant re-ran the explode per branch, and a
+    # localCheckpoint of the pair frame lost the dictionary joins' stats
+    # and measured 2x slower — the exchange shape is the fastest of the
+    # three).
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy("pos")
@@ -1217,13 +1233,17 @@ def kn_bigram_surprisal(
     2^63 (~1e9 types x 1e9 max unigram count) — shard the vocabulary
     past that.
     """
-    # compact pre-explode repartition (doc_shingles pattern): the lag
-    # window's per-doc clustering comes from shuffling one array row per
-    # doc, never the exploded token stream
-    pre = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__arr")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = pre.select(F.col(id_col), F.posexplode("__arr").alias("pos", "tok"))
+    # The post-explode repartition doubles as a MATERIALIZATION point for
+    # the pair frame's consumers (see bigram_surprisal — same r8-opt sf1
+    # A/B verdict: exchange shape beats both the compact pre-explode
+    # variant and a localCheckpoint).
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    toks = toks.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy("pos")
