@@ -173,8 +173,9 @@ def nb_language_classifier(
     n_labels rows. All log terms quantized to millinat bigints, so
     per-document sums are reduction-order-exact across engines.
 
-    Plan at 100 TB: one explode + one (label, bucket) groupBy for the
-    model (bounded output), one broadcast join + per-(doc, label) sum for
+    Plan at 100 TB: one explode + one (label, tok) groupBy for the model
+    (vocabulary-bounded output; bucket md5 runs per distinct token, not
+    per occurrence), one broadcast join + per-(doc, label) sum for
     scoring, one mergeable min_by argmax per doc — no window sort, no
     shuffle wider than (doc_id, label).
 
@@ -182,34 +183,57 @@ def nb_language_classifier(
     """
     from cartography_spark.operators.dedup import portable_hash32
 
-    # The token repartition is a MATERIALIZATION point, not (just) a
-    # partitioning trick: the md5-bucketed token stream feeds two
-    # sequential jobs (the likelihood-broadcast build, then scoring), and
-    # the exchange files let the second job reuse the explode + md5 work.
-    # Removing it (so both consumers partially aggregate map-side and
-    # shuffle only aggregated rows) measured neutral at sf0.1 but 1.6x
-    # SLOWER at sf1 (interleaved A/B: 13.2 vs 7.8 s min) — the doubled
-    # per-token md5 dominates the saved shuffle bytes. A lazy
-    # localCheckpoint of the token stream measured the same as the
-    # repartition (9.5 vs 9.5 s median), with worse partitioning for s1.
+    # md5 over the VOCABULARY, not the occurrence stream: hashing every
+    # token occurrence made the bucket md5 ~the whole query (sf1 profile:
+    # 3.9 s of 11.2 s, plus a 2.4 s exchange of the raw stream kept only
+    # so the second consumer could reuse that md5 work). Instead the
+    # stream is first reduced map-side to (label, tok) counts — a
+    # vocabulary-bounded frame (Heaps-law sublinear in corpus size) — and
+    # the bucket hash runs once per distinct token. Neither consumer
+    # shuffles token occurrences anymore: the model exchange carries
+    # (label, tok) partial counts, the scoring exchange (doc, label)
+    # partial sums, and the stream itself is scanned twice with no
+    # materialization point (2 explode passes < 1 explode + full-stream
+    # exchange — sf1 interleaved A/B 5.4 vs 7.8 s min; the per-occurrence
+    # md5 variants measured 7.8-13.2 s across three shapes, r8 opt).
     toks = docs.select(
         F.col(id_col),
         F.col(label_col).alias("actual"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("b", portable_hash32(F.col("tok"), salt="nb") % n_buckets)
-    toks = toks.repartition(
-        toks.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    bucket = (portable_hash32(F.col("tok"), salt="nb") % n_buckets).alias("b")
 
-    counts = toks.groupBy(F.col("actual").alias("label"), "b").agg(F.count("*").alias("c"))
+    # (label, tok) counts: the only pass over the stream for the model;
+    # partial aggregation keeps the exchange vocabulary-bounded. Lazy
+    # localCheckpoint because the frame fans out to three consumers
+    # (bucket counts, the distinct-token side, the class totals) whose
+    # different column prunings would otherwise defeat exchange reuse and
+    # re-run the stream aggregate per consumer (measured: 4 explode
+    # passes, 0 reused exchanges). Checkpointed rows are vocab x labels —
+    # recomputed from parquet on every run, never carried across runs.
+    counts_lt = toks.groupBy(F.col("actual").alias("label"), "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    counts = (
+        counts_lt.select("label", bucket, "c")
+        .groupBy("label", "b")
+        .agg(F.sum("c").alias("c"))
+    )
     likelihood = counts.select(
         "label", "b", F.round(F.log(F.col("c") + 1) * 1000).cast("bigint").alias("lc")
     )
+    # per-token likelihood dictionary (vocab x labels rows, observed pairs
+    # only): tok -> bucket once per distinct token, then the (label, b)
+    # log-counts attach. Broadcast is vocabulary-bounded; for an unbounded
+    # vocabulary swap the scoring join below to a shuffle join — the
+    # aggregates stay identical.
+    tok_b = counts_lt.select("tok").distinct().select("tok", bucket)
+    lik_tok = tok_b.join(F.broadcast(likelihood), "b").select("tok", "label", "lc")
     class_tok = counts.groupBy("label").agg(F.sum("c").alias("ct"))
     prior = docs.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("dc"))
     n_docs = docs.agg(F.count("*").alias("nd"))
     classes = (
-        class_tok.join(prior, "label")
+        class_tok.join(F.broadcast(prior), "label")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "label",
@@ -219,7 +243,7 @@ def nb_language_classifier(
     )
 
     s1 = (
-        toks.join(F.broadcast(likelihood), "b")
+        toks.join(F.broadcast(lik_tok), "tok")
         .groupBy(F.col(id_col), "label")
         .agg(F.sum("lc").alias("s1"))
     )
