@@ -34,20 +34,27 @@ def _count_tokens_in(tokens: Column, words: tuple[str, ...]) -> Column:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    # Every output is a scalar regex count — no token arrays, no
+    # interpreted fold lambdas (r8 opt; the array shapes cost 2.4x at
+    # sf1). Exactness of each replacement:
+    #   n_ws_tokens: split(trim(t)) has (delimiter runs + 1) fields for
+    #     every input incl. "" -> [""], so regexp_count(trim, \s+) + 1.
+    #   sum(token lengths) = non-whitespace chars = length - ws count
+    #     (tokens are exactly the non-ws chars of the trimmed text, and
+    #     trimming only removes whitespace).
+    #   size(regexp_extract_all(re)) = regexp_count(re) without
+    #     materializing the match array.
     t = F.col(text_col)
-    ws_tokens = F.split(F.trim(t), r"\s+")
-    bpe_tokens = F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)
+    ws_chars = F.regexp_count(t, F.lit(r"\s"))
+    n_ws_tokens = F.regexp_count(F.trim(t), F.lit(r"\s+")) + F.lit(1)
     return docs.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
-        F.size(ws_tokens).alias("n_ws_tokens"),
-        F.size(bpe_tokens).alias("n_bpe_tokens"),
+        n_ws_tokens.alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.round(ws_chars / F.greatest(F.length(t), F.lit(1)), 6).alias("space_ratio"),
         F.round(
-            F.length(F.regexp_replace(t, r"[^\s]", "")) / F.greatest(F.length(t), F.lit(1)), 6
-        ).alias("space_ratio"),
-        F.round(
-            F.aggregate(ws_tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long"))
-            / F.greatest(F.size(ws_tokens), F.lit(1)),
+            (F.length(t) - ws_chars).cast("long") / F.greatest(n_ws_tokens, F.lit(1)),
             6,
         ).alias("avg_token_len"),
     )
