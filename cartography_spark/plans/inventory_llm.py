@@ -298,16 +298,27 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from cartography_spark.operators.similarity import _dot, _norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # factor the per-side work out of the 8-way cross join: the corpus
+    # vector's cast and norm are computed once per vector (below the
+    # join) instead of once per (vector, anchor) pair; only the dot
+    # product is per-pair. cosine = dot/(norm_a*norm_b) is the exact
+    # expression cosine_similarity composes, so the doubles (and the
+    # rounded band/rank) are bit-identical. Interleaved A/B (r8 opt):
+    # sf1 3.90 -> 2.16 s min, sf0.1 0.69 -> 0.57 s min.
+    ev = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+    ).withColumn("en", _norm(F.col("ev")))
+    qs = ev.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv"), F.col("en").alias("qn")
     )
-    cos = sim.cosine_similarity(
-        F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")
-    )
+    cos = _dot(F.col("ev"), F.col("qv")) / (F.col("en") * F.col("qn"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        emb.crossJoin(F.broadcast(qs))
+        ev.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", F.round(cos, 4).alias("cosine"))
         .filter((F.col("cosine") >= 0.2) & (F.col("cosine") < 0.45))
