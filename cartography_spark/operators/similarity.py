@@ -452,14 +452,42 @@ def pq_adc_topk(
     lut_row = cbq.select(
         "__cb",
         F.array(*[sub_dists(F.col("__q"), m) for m in range(n_sub)]).alias("__lut"),
+        # codebook pre-sliced per subspace IN THE BROADCAST, so the
+        # per-row encode never re-slices the full centroid vectors
+        # (8 centroid slices per subspace per scanned row otherwise);
+        # factory closure because a 2-parameter lambda would be treated
+        # as (element, index) by transform()
+        F.array(
+            *[
+                (lambda _m: F.transform(F.col("__cb"), lambda c: F.slice(c, _m * dsub + 1, dsub)))(m)
+                for m in range(n_sub)
+            ]
+        ).alias("__cbs"),
     )
 
     def code(m: int) -> Column:
-        # let-bind the 8-centroid distance array: transform() materializes
-        # its input once, so argmin's two references share one evaluation
+        # let-bind BOTH the query sub-vector slice (one element transform,
+        # evaluated once instead of once per centroid) and the 8-centroid
+        # distance array (so argmin's two references share one
+        # evaluation); centroid sub-vectors come pre-sliced from the
+        # broadcast. (An unrolled flat-expression encode — 512 get/sub/mul
+        # terms per row replacing the zip_with+aggregate HOFs — measured
+        # 5x SLOWER at sf1 in an interleaved A/B (20.9 vs 4.1 s min): the
+        # tree falls out of whole-stage codegen and per-node
+        # interpretation costs far more than the HOF's tight
+        # primitive-array loop. r8 opt.)
+        dists = F.get(
+            F.transform(
+                F.array(F.slice(F.col("qvec"), m * dsub + 1, dsub)),
+                lambda mine: F.transform(
+                    F.get(F.col("__cbs"), m), lambda cs: _sq_dist(mine, cs)
+                ),
+            ),
+            0,
+        )
         return F.get(
             F.transform(
-                F.array(sub_dists(F.col("qvec"), m)),
+                F.array(dists),
                 lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
             ),
             0,
