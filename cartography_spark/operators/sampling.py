@@ -90,12 +90,14 @@ def dsir_importance(
     integer-exact and engine-reproducible regardless of reduction order
     (same discipline as textstats.unigram_surprisal).
 
-    Plan shape for 100 TB: one explode + one groupBy builds the bucket
-    counts (map-side combinable, output bounded at n_buckets rows); the
-    log-ratio model and its two scalar totals are a bounded broadcast; the
-    scoring pass is one broadcast join + one per-doc sum; selection is a
-    TakeOrdered(top_k) semi-joined back — no global window, no second
-    shuffle over the corpus. Deterministic tie-break (weight desc, id asc).
+    Plan shape for 100 TB: one explode + one groupBy reduces the stream to
+    vocabulary-bounded bigram counts (map-side combinable; the bucket md5
+    runs per distinct bigram, not per occurrence), folded to the n_buckets
+    model; the log-ratio dictionary and its two scalar totals are a
+    bounded broadcast; the scoring pass is one broadcast join + one
+    per-doc sum; selection is a TakeOrdered(top_k) semi-joined back — no
+    global window, no second shuffle over the corpus. Deterministic
+    tie-break (weight desc, id asc).
 
     Returns (doc_id, n_grams, weight_millinats, selected).
     """
@@ -103,16 +105,36 @@ def dsir_importance(
 
     base = docs.select(F.col(id_col), target_pred.alias("__t"), _tokens(text_col).alias("__toks"))
     # small single-file parquet scans as ONE split — spread the compact
-    # pre-explode rows so the explode+md5 work parallelizes
+    # pre-explode rows so the explode work parallelizes (and the exchange
+    # lets both passes below reuse the tokenize)
     base = base.repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     grams = base.select(
         F.col(id_col), "__t", F.explode(_word_ngrams(F.col("__toks"), 2)).alias("g")
-    ).withColumn("b", portable_hash32(F.col("g"), salt="dsir") % n_buckets)
+    )
 
-    # raw and target bucket counts in ONE corpus pass (map-side combinable)
-    model = grams.groupBy("b").agg(
-        F.count("*").alias("rc"),
-        F.count_if(F.col("__t")).alias("tc"),
+    # md5 over the bigram VOCABULARY, not the occurrence stream: the
+    # bucket hash previously ran per occurrence in BOTH corpus passes
+    # (model build and scoring). The stream now reduces map-side to
+    # vocabulary-bounded (g, rc, tc) counts (Heaps-law sublinear), the
+    # hash runs once per distinct bigram, and scoring joins a broadcast
+    # (g -> lr) dictionary. Lazy localCheckpoint because the counts frame
+    # fans out to three consumers whose different column prunings would
+    # otherwise defeat exchange reuse and re-run the stream aggregate per
+    # consumer (same fix as textstats.nb_language_classifier, r8 opt).
+    # Measured: tie at sf0.1/sf1 (the local corpus's bigram hash is noise
+    # next to tokenize+explode — interleaved A/B mins 3.87 vs 3.82 s at
+    # sf1); kept because it strictly removes two corpus-sized md5 passes
+    # at scale while the oracle stays value-exact.
+    counts_g = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("rc"), F.count_if(F.col("__t")).alias("tc"))
+        .localCheckpoint(eager=False)
+    )
+    bucket = (portable_hash32(F.col("g"), salt="dsir") % n_buckets).alias("b")
+    model = (
+        counts_g.select(bucket, "rc", "tc")
+        .groupBy("b")
+        .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
     )
     totals = model.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     lr = (
@@ -122,8 +144,15 @@ def dsir_importance(
     model = model.crossJoin(F.broadcast(totals)).select(
         "b", F.round(lr * 1000).cast("bigint").alias("lr_millinats")
     )
+    gram_lr = (
+        counts_g.select("g")
+        .distinct()
+        .select("g", bucket)
+        .join(F.broadcast(model), "b")
+        .select("g", "lr_millinats")
+    )
     scored = (
-        grams.join(F.broadcast(model), "b")
+        grams.join(F.broadcast(gram_lr), "g")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
