@@ -22,6 +22,63 @@ from pyspark.sql import functions as F
 # read_events_stream — setup metadata only, never row data
 _STREAM_SETUP_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
+# applicationId -> {source path: bytes on disk}; filled by the probe in
+# read_events_stream, consumed by run_available_now to size the stream's
+# state-store partition count from the input (setup metadata only).
+_SOURCE_BYTES: dict[str, dict[str, int]] = {}
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _stream_state_partitions(spark: SparkSession) -> int | None:
+    """Scale-adaptive state-store partition count for a stream start.
+
+    Batch shuffles get AQE coalescing (tiny inputs collapse to a few
+    post-shuffle partitions); streaming state is pinned to
+    ``spark.sql.shuffle.partitions`` at first query start and AQE never
+    touches it, so a small input pays per-micro-batch state-store
+    commit/provider overhead on every one of those partitions. Apply the
+    same rule AQE uses, at start time: ceil(source bytes / advisory
+    partition size), clamped to [1, configured shuffle partitions] — i.e.
+    this can only COALESCE relative to today's behavior, exactly like AQE,
+    and grows with the input until the configured ceiling takes over (at
+    cluster scale the ceiling is the deliberately-sized shuffle partition
+    count). Bytes-per-partition is parameterised via
+    ``spark.cartography.streaming.bytesPerStatePartition`` (default 64 MB,
+    AQE's advisory default). Returns None when no source probe was
+    recorded (caller keeps the session default)."""
+    from cartography_spark.session import shuffle_partition_count
+
+    sizes = _SOURCE_BYTES.get(spark.sparkContext.applicationId)
+    if not sizes:
+        return None
+    total = sum(sizes.values())
+    try:
+        bpp = int(
+            spark.conf.get(
+                "spark.cartography.streaming.bytesPerStatePartition",
+                str(64 * 1024 * 1024),
+            )
+        )
+    except (TypeError, ValueError):
+        bpp = 64 * 1024 * 1024
+    ceiling = shuffle_partition_count(spark)
+    return max(1, min(ceiling, -(-total // bpp)))
+
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """readStream over the events parquet path (file or directory);
@@ -52,6 +109,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
             stream_path = d
         cached = (ts_type, stream_path)
         _STREAM_SETUP_CACHE[key] = cached
+        _SOURCE_BYTES.setdefault(spark.sparkContext.applicationId, {})[path] = _path_bytes(path)
     ts_type, path = cached
     schema = (
         f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
@@ -143,15 +201,28 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     """Execute the stream with Trigger.AvailableNow into a memory sink and
     return the materialized result (for tests/verification). Stateful
     operators (applyInPandasWithState) require ``output_mode='update'``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    spark = stream_df.sparkSession
+    # State-store partition count is captured from spark.sql.shuffle.
+    # partitions at query start (fresh temp checkpoint each run) and AQE
+    # cannot coalesce it later — derive it from the probed source size
+    # (see _stream_state_partitions) and restore the session value after.
+    derived = _stream_state_partitions(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None) if derived else None
+    if derived is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(derived))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if derived is not None and prior is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def minute_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

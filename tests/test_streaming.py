@@ -354,3 +354,37 @@ def test_value_count_stream_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_state_partitions_derived_and_restored(spark, sf_dir):
+    """The state-store partition count is derived from the probed source
+    size (AQE-style coalesce: ceil(bytes/bpp) clamped to the configured
+    shuffle-partition ceiling), applied only for the stream's lifetime,
+    and never changes what the stream computes."""
+    from cartography_spark.session import shuffle_partition_count
+    from cartography_spark.streaming import events as ev
+
+    stream = ev.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sizes = ev._SOURCE_BYTES.get(spark.sparkContext.applicationId)
+    assert sizes and all(v > 0 for v in sizes.values())
+
+    ceiling = shuffle_partition_count(spark)
+    total = sum(sizes.values())
+    derived = ev._stream_state_partitions(spark)
+    assert derived == max(1, min(ceiling, -(-total // (64 * 1024 * 1024))))
+    assert 1 <= derived <= ceiling  # coalesce-only, like AQE
+
+    # the bytes-per-partition knob is honoured (tiny bpp -> ceiling clamp)
+    spark.conf.set("spark.cartography.streaming.bytesPerStatePartition", "1")
+    try:
+        assert ev._stream_state_partitions(spark) == ceiling
+    finally:
+        spark.conf.unset("spark.cartography.streaming.bytesPerStatePartition")
+
+    # run_available_now applies the derived value only while the stream runs
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    result = run_available_now(tumbling_counts(stream), "state_part_test")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    got = {tuple(r) for r in result.collect()}
+    expect = {tuple(r) for r in q_events_tumbling(spark, sf_dir).collect()}
+    assert got == expect
