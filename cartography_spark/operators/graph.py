@@ -707,6 +707,18 @@ def _transition_micros(
         F.col(from_col).alias("i"), F.col(to_col).alias("j"),
         F.col(count_col).cast("long").alias("c"),
     )
+    # Domain-collapse barrier (r8 opt): t is <= k^2 rows on the event-type
+    # domain, but every downstream reference (states x2, out_tot, p_obs,
+    # dangling, and each power-iteration's broadcast build) re-rooted the
+    # FULL data-scale upstream — the pre-execution plan for
+    # events_markov_entropy_rate held 288 copies of the events scan and 908
+    # Exchange nodes at n_iter=10, and planning/AQE orchestration of that
+    # tree dominated the query (4.9 s at sf0.1 vs 0.3 s for the sibling
+    # one-pass events aggregates). The lazy localCheckpoint executes the
+    # upstream exactly once per action; everything after runs on the
+    # checkpointed domain-bounded rows. Interleaved A/B in
+    # OPTIMIZATION_r08.md §27.
+    t = t.localCheckpoint(eager=False)
     states = (
         t.select(F.col("i").alias("s")).union(t.select(F.col("j").alias("s"))).distinct()
     )
@@ -718,7 +730,13 @@ def _transition_micros(
     dangling = states.join(out_tot, states.s == out_tot.i, "left_anti").select(
         F.col("s").alias("i"), F.col("s").alias("j"), F.lit(1_000_000).cast("long").alias("p")
     )
-    return states, p_obs.union(dangling)
+    # states is referenced 3x per consumer and P once per power-iteration
+    # broadcast build — checkpoint both (k and k^2 rows) so each reference
+    # is a leaf instead of a rebuilt join tree over t.
+    return (
+        states.localCheckpoint(eager=False),
+        p_obs.union(dangling).localCheckpoint(eager=False),
+    )
 
 
 def markov_stationary(
@@ -755,6 +773,14 @@ def markov_stationary(
     data-sized work is whatever built `trans` upstream.
     """
     states, p_full = _transition_micros(trans, from_col, to_col, count_col)
+    return _stationary_iterate(states, p_full, n_iter)
+
+
+def _stationary_iterate(states: DataFrame, p_full: DataFrame, n_iter: int) -> DataFrame:
+    """The integer power iteration of markov_stationary, factored over a
+    prebuilt (states, P) pair so markov_entropy_rate shares ONE
+    _transition_micros subtree with its internal stationary solve instead
+    of instantiating a second copy of the whole upstream (r8 opt §27)."""
     k = states.agg(F.count("*").alias("k"))
     v = states.crossJoin(F.broadcast(k)).select(
         F.col("s").alias("state"),
@@ -820,7 +846,7 @@ def markov_entropy_rate(
     work built `trans` upstream.
     """
     states, p_full = _transition_micros(trans, from_col, to_col, count_col)
-    pi = markov_stationary(trans, from_col, to_col, count_col, n_iter)
+    pi = _stationary_iterate(states, p_full, n_iter)
     lnq = F.round(
         F.lit(1000.0) * F.log(F.col("p").cast("double") / F.lit(1_000_000.0))
     ).cast("long")
