@@ -442,6 +442,13 @@ def modularity_exact(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     two_m = edges.agg(F.count("*").cast("long").alias("two_m"))
+    # labels is referenced three times below (both intra sides + the
+    # community-degree rollup); when the caller hands over a LAZY iterative
+    # plan (LPA in oneshot mode) each reference would re-execute the whole
+    # round loop. The lazy localCheckpoint runs it once per action — same
+    # barrier class as the markov fix (r8 opt §27/§29); linear (node,
+    # label) rows, strictly cheaper than 3x the LPA loop at any scale.
+    labels = labels.localCheckpoint(eager=False)
     lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("__cs"))
     lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("__cd"))
     intra = (
