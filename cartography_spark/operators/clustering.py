@@ -192,7 +192,7 @@ def semdedup_prune(
 
     Returns (id, cluster, pruned) for every input row.
     """
-    from cartography_spark.operators.similarity import cosine_similarity
+    from cartography_spark.operators.similarity import _dot, _norm
 
     v0 = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     if collapse_exact:
@@ -216,18 +216,31 @@ def semdedup_prune(
         id_col, "cluster"
     )
     v = v0
-    m = assign.join(v, id_col)
+    # Per-vector norm BELOW the pair join (r8 opt §28, same cut as §21's
+    # hard-negative fix): cosine_similarity per pair re-folds both norms,
+    # so each of the O(cluster_size^2) pairs paid three interpreted
+    # 64-element folds; norms are per-ROW quantities (|members| evals).
+    # The pair expression composes the identical tree
+    # Divide(_dot, Multiply(na, nb)) so the rounded value is bit-exact.
+    m = assign.join(v, id_col).select(
+        "cluster", F.col(id_col), F.col("__v"), _norm(F.col("__v")).alias("__n")
+    )
     a = m.select(
-        F.col("cluster"), F.col(id_col).alias("__ida"), F.col("__v").alias("__va")
+        F.col("cluster"), F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     b = m.select(
-        F.col("cluster"), F.col(id_col).alias("__idb"), F.col("__v").alias("__vb")
+        F.col("cluster"), F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
     pruned = (
         a.join(b, ["cluster"])
         .filter(F.col("__ida") < F.col("__idb"))
         .filter(
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_digits)
+            F.round(
+                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                round_digits,
+            )
             >= threshold
         )
         .select(F.col("__idb").alias(id_col))
