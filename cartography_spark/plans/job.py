@@ -73,6 +73,38 @@ class GraphStatement:
         register_catalog_views(catalog)
         result = catalog.spark.sql(_bind(self.query, params))
         if self.writes:
+            # Statement-boundary barrier (r8 opt §30): a written frame is
+            # read by every later statement (and the idempotency re-run
+            # nests the first run's whole chain), so a lazy job's plan can
+            # grow multiplicatively with statement count (the backfill and
+            # tenant-materialization ports accumulate 34-62 leaf relations
+            # by run 2), with Catalyst analysis of that tree costing more
+            # than the data. The lazy localCheckpoint executes such a
+            # statement exactly once at action time — matching the
+            # reference's eager per-statement execution contract
+            # (graph/job.py runs statements against the store
+            # sequentially). But a barrier on a SHALLOW statement is pure
+            # overhead (an extra persisted RDD + stage per statement: the
+            # okta port, max 4 leaves, measured +0.3-0.5 s with a blanket
+            # barrier), so the barrier is gated on the analyzed plan's
+            # leaf-relation count — self-regulating, since a barriered
+            # statement becomes a single leaf for everything downstream,
+            # capping every later statement's plan near the threshold.
+            threshold = int(
+                catalog.spark.conf.get("spark.cartography.job.checkpointLeafThreshold", "12")
+            )
+            leaves = result._jdf.queryExecution().analyzed().collectLeaves().size()
+            if leaves >= threshold:
+                # Spark 4.1 can fail attribute rebinding when planning a
+                # lazy checkpoint over some MERGE-shaped unions whose
+                # branches read a just-swapped view
+                # (NoSuchElementException: key not found: <attr>); the
+                # barrier is an optimization, so fall back to the
+                # unbarriered frame for exactly those statements.
+                try:
+                    result = result.localCheckpoint(eager=False)
+                except Exception:
+                    pass
             if "," in self.writes:
                 sl, rl, dl = (p.strip() for p in self.writes.split(","))
                 catalog.set_edge((sl, rl, dl), result)

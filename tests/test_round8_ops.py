@@ -987,3 +987,69 @@ def test_hill_tail_small_corpus_effective_k(spark):
     assert out.k == 2 and out.x_tail == 2
     assert out.sum_ln_millinats == 1386 + 693
     assert out.alpha_milli == 962
+
+
+def test_markov_plan_collapses_behind_domain_barrier(spark):
+    """r8 opt §27: _transition_micros checkpoints the domain-collapsed
+    transition frame, so the data-scale upstream appears in the markov
+    queries' plans exactly zero times (it runs once, behind the barrier)
+    instead of once per states/P/power-iteration reference (288 scan
+    copies pre-fix for entropy_rate at n_iter=10)."""
+    from cartography_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    for q in ("events_markov_stationary", "events_markov_entropy_rate"):
+        df = REGISTRY[q].spark(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Relation" not in plan or "parquet" not in plan, (
+            f"{q}: data-scale scan leaked above the transition barrier"
+        )
+
+
+def test_job_statement_barrier_gated_on_plan_growth(spark, sf_dir):
+    """r8 opt §30: a write statement's frame gets a lazy localCheckpoint
+    barrier only when its analyzed plan has accumulated >= the configured
+    leaf-relation threshold — deep chains truncate (the barriered frame is
+    a single leaf downstream), shallow statements skip the barrier's
+    per-statement RDD + stage overhead. Results are identical either way."""
+    from cartography_spark.plans.inventory_lifecycle import base_catalog
+    from cartography_spark.plans.job import GraphJob, GraphStatement
+
+    job = GraphJob(
+        name="self-join growth",
+        statements=(
+            GraphStatement(
+                query="SELECT a.* FROM n_Supplier a "
+                "JOIN n_Supplier b ON a.id = b.id",
+                writes="Supplier",
+            ),
+        ) * 3,
+    )
+
+    def leaves(df):
+        return df._jdf.queryExecution().analyzed().collectLeaves().size()
+
+    key = "spark.cartography.job.checkpointLeafThreshold"
+    old = spark.conf.get(key, None)
+    try:
+        # threshold high: no barrier — the 3rd statement's plan holds the
+        # doubled-per-statement self-join chain (the base catalog frame is
+        # 2 leaves, so 4 -> 8 -> 16)
+        spark.conf.set(key, str(10**9))
+        cat_hi = base_catalog(spark, sf_dir)
+        job.run(cat_hi, {})
+        assert leaves(cat_hi.node("Supplier")) == 16
+        # threshold 3: any statement reaching 4 leaves barriers, so every
+        # written frame downstream is a checkpoint leaf and growth is capped
+        spark.conf.set(key, "3")
+        cat_lo = base_catalog(spark, sf_dir)
+        job.run(cat_lo, {})
+        assert leaves(cat_lo.node("Supplier")) == 1
+        a = sorted(cat_hi.node("Supplier").select("id").toPandas()["id"])
+        b = sorted(cat_lo.node("Supplier").select("id").toPandas()["id"])
+        assert a == b
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
