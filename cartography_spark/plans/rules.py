@@ -255,20 +255,6 @@ def run_rules_batched(
             for i in range(0, len(parts), 2)
         ]
     tagged = parts[0] if parts else None
-    failing: dict[str, int] = {}
-    if tagged is not None:
-        # distinct-asset count must match the reference's Python-set semantics
-        # (a NULL asset_id is one set element) — countDistinct drops NULLs, so
-        # count distinct groups instead: groupBy collapses all NULLs into one
-        # group, and both aggregates are map-side combinable
-        failing = {
-            r["__fact"]: r["n"]
-            for r in tagged.groupBy("__fact", "__asset")
-            .count()
-            .groupBy("__fact")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
     # totals: label counts AND DataFrame-form custom counters (count_df) in
     # ONE unioned job — previously each custom count_query was its own
     # driver action (3 extra jobs over the corpus). Opaque int-returning
@@ -291,12 +277,56 @@ def run_rules_batched(
         fn(catalog).select(F.lit(f"fn:{key}").alias("__lbl"), F.col("n"))
         for key, fn in custom_dfs.items()
     )
-    merged_total: dict[str, int] = {}
+    counts = None
     if count_parts:
         counts = count_parts[0]
         for one in count_parts[1:]:
             counts = counts.unionByName(one)
-        merged_total = {r["__lbl"]: r["n"] for r in counts.collect()}
+
+    def _collect_failing() -> dict[str, int]:
+        # distinct-asset count must match the reference's Python-set semantics
+        # (a NULL asset_id is one set element) — countDistinct drops NULLs, so
+        # count distinct groups instead: groupBy collapses all NULLs into one
+        # group, and both aggregates are map-side combinable
+        return {
+            r["__fact"]: r["n"]
+            for r in tagged.groupBy("__fact", "__asset")
+            .count()
+            .groupBy("__fact")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def _collect_totals() -> dict[str, int]:
+        return {r["__lbl"]: r["n"] for r in counts.collect()}
+
+    # Overlap the two independent collect jobs (guide §2.6): the counts job
+    # is a handful of tiny per-label aggregates whose stages back-fill
+    # executors left idle by the union job's straggler tail instead of
+    # paying their scheduling latency sequentially after it. Results are
+    # byte-identical — the jobs share no state and the dicts are merged
+    # the same way afterwards.
+    failing: dict[str, int] = {}
+    merged_total: dict[str, int] = {}
+    jobs = [
+        j for j in (
+            ("failing", _collect_failing) if tagged is not None else None,
+            ("totals", _collect_totals) if counts is not None else None,
+        ) if j is not None
+    ]
+    if len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            done = {name: pool.submit(fn) for name, fn in jobs}
+        failing = done["failing"].result() if "failing" in done else {}
+        merged_total = done["totals"].result() if "totals" in done else {}
+    elif jobs:
+        name, fn = jobs[0]
+        if name == "failing":
+            failing = fn()
+        else:
+            merged_total = fn()
     label_total = {
         k.removeprefix("label:"): v
         for k, v in merged_total.items()
