@@ -806,6 +806,87 @@ def q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _harmonic_2hop_bitset(e: DataFrame) -> DataFrame:
+    """(node, harmonic_2x) over a SYMMETRIC edge frame, unordered.
+
+    Bitset 2-hop counting (r8 opt §32). The trade graph is DENSE:
+    # 1.17M symmetric edges over 16k nodes at sf0.1, so the distinct 2-hop
+    # pair set is ~167M of the 256M possible pairs and the original
+    # pair-materializing shape (self-join -> 370M raw pairs -> distinct ->
+    # anti-join -> count) spent ~2 minutes hash-aggregating pairs across 2
+    # exchanges. Per-source distinct counting is a set-union problem, so
+    # the pairs never need to exist as rows: give every node a dense id,
+    # chunk the id domain into 64-bit masks, build each node's
+    # neighbor-mask chunks ONCE, and OR together the chunks of each
+    # source's neighbors — the shuffle carries (src, chunk, mask) rows
+    # with map-side bit_or combine (~5x fewer rows, none wider than 20
+    # bytes) and the reduce side is a trivial bit_or aggregate instead of
+    # a 167M-entry hash dedup. c2 = popcount(two_hop & ~own & ~self) is
+    # exact. Interleaved A/B at sf0.1: 111.7/145.3 -> 9.9/11.0 s (11x).
+    # At domains where n/64 chunks per mask is impractical (billions of
+    # nodes), fall back to the pair-distinct shape or a per-partition
+    # roaring-style container; here the node domain is the bounded
+    # customer+supplier id space.
+    """
+    from pyspark.sql import Window
+
+    e = e.localCheckpoint(eager=False)  # scanned three times below
+    # dense 0-based node ids (the node domain is small by construction;
+    # for unbounded domains use dedup.ordered_dense_ids instead of a
+    # single-partition window)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("d", F.row_number().over(Window.orderBy("node")) - 1)
+        .localCheckpoint(eager=False)  # referenced by both ends + the read-back
+    )
+    ed = (
+        e.join(nodes.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
+        .join(nodes.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select("ds", "dd")
+    )
+    # own neighbor-mask chunks: (ds, i, m) with bit dd%64 of chunk dd/64 set
+    own = (
+        ed.select(
+            "ds",
+            (F.col("dd") / 64).cast("int").alias("i"),
+            F.expr("shiftleft(1L, CAST(dd % 64 AS INT))").alias("b"),
+        )
+        .groupBy("ds", "i")
+        .agg(F.bit_or("b").alias("m"))
+        .localCheckpoint(eager=False)  # consumed by the 2-hop OR and the subtraction
+    )
+    # 2-hop reachability: OR each source's neighbors' chunks
+    two = (
+        ed.join(own.select(F.col("ds").alias("dd"), "i", "m"), "dd")
+        .groupBy("ds", "i")
+        .agg(F.bit_or("m").alias("m2"))
+    )
+    # drop direct neighbors and self, then count surviving bits
+    res = (
+        two.join(own, ["ds", "i"], "left")
+        .withColumn(
+            "selfbit",
+            F.when(
+                (F.col("ds") / 64).cast("int") == F.col("i"),
+                F.expr("shiftleft(1L, CAST(ds % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("m1", F.coalesce(F.col("m"), F.lit(0).cast("long")))
+        .select("ds", F.expr("bit_count(m2 & ~m1 & ~selfbit)").alias("pc"))
+    )
+    c2 = res.groupBy("ds").agg(F.sum("pc").alias("c2"))
+    c1 = ed.groupBy("ds").agg(F.count("*").alias("c1"))
+    return (
+        c1.join(c2, "ds", "left")
+        .join(nodes.select(F.col("d").alias("ds"), "node"), "ds")
+        .select(
+            "node",
+            (2 * F.col("c1") + F.coalesce("c2", F.lit(0))).cast("bigint").alias("harmonic_2x"),
+        )
+    )
+
+
 @query(
     "graph_harmonic_2hop",
     oracle=f"""
@@ -836,23 +917,8 @@ def q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = symmetrize(_trade_edges(spark, sf_dir), "a", "b")
-    e = e.localCheckpoint(eager=False)  # scanned three times below
-    two = (
-        e.alias("x")
-        .join(e.alias("y"), F.col("x.dst") == F.col("y.src"))
-        .filter(F.col("y.dst") != F.col("x.src"))
-        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
-        .distinct()
-        .join(e.select("src", "dst"), ["src", "dst"], "left_anti")
-    )
-    n1 = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("c1"))
-    n2 = two.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("c2"))
     return (
-        n1.join(n2, "node", "left")
-        .select(
-            "node",
-            (2 * F.col("c1") + F.coalesce("c2", F.lit(0))).cast("bigint").alias("harmonic_2x"),
-        )
+        _harmonic_2hop_bitset(e)
         .orderBy(F.col("harmonic_2x").desc(), F.col("node").asc())
         .limit(20)
     )
