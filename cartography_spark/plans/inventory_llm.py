@@ -2350,29 +2350,46 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verification via per-doc shingle SETS instead of the shingle stream
+    # (r8 opt §33). The stream shape joined the 3M LSH candidates against
+    # the exploded (doc, shingle) rows twice — a 450M-row intermediate
+    # feeding a (a, b) hash aggregate, 35-46 s at sf0.1. Collecting each
+    # doc's distinct shingles into ONE array row (the 712k-row stream
+    # collapses to 5k rows) lets every candidate pair verify scan-locally
+    # with array_intersect — no pair x shingle rows exist at all.
+    # Byte-identical output (doc_shingles is already distinct per doc, so
+    # size(set) == the old count(*) and size(array_intersect) == the old
+    # shared-shingle count). Interleaved A/B: 35.0/45.6 -> 17.5/18.4 s.
+    # The broadcast is |unique docs| shingle-set rows; for corpora where
+    # that side outgrows the broadcast budget, drop the hint and let the
+    # pairs co-partition against the set frame on a then b — the shuffle
+    # then carries each pair's two sets once, still strictly fewer bytes
+    # than the old stream join's 450M narrow rows.
     docs = _docs(spark, sf_dir)
     wide = dd.minhash_wide(docs, num_perm=16, n=3)
     cand = dd.lsh_candidate_pairs(wide, bands=4, wide=True).select("a", "b")
-    cand = cand.localCheckpoint(eager=False)  # probed by both shingle joins
     sh = dd.doc_shingles(docs, n=3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(sha, "a")
-        .join(shb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
+    ss = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+        .localCheckpoint(eager=False)  # consumed by both pair sides
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
-        .filter(3 * F.col("n_inter") >= F.col("sza") + F.col("szb"))
+        cand.join(F.broadcast(ss.select(F.col("doc_id").alias("a"), F.col("ss").alias("ssa"))), "a")
+        .join(F.broadcast(ss.select(F.col("doc_id").alias("b"), F.col("ss").alias("ssb"))), "b")
         .select(
             "a",
             "b",
-            F.col("n_inter").cast("bigint"),
-            (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("bigint").alias("n_union"),
+            F.size(F.array_intersect("ssa", "ssb")).alias("ni"),
+            F.size("ssa").alias("sza"),
+            F.size("ssb").alias("szb"),
+        )
+        .filter(3 * F.col("ni") >= F.col("sza") + F.col("szb"))
+        .select(
+            "a",
+            "b",
+            F.col("ni").cast("bigint").alias("n_inter"),
+            (F.col("sza") + F.col("szb") - F.col("ni")).cast("bigint").alias("n_union"),
         )
     )
 
