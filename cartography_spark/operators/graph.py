@@ -151,6 +151,11 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFram
     dataflow. ``max_depth`` is both the recursion cap and what makes the
     DuckDB WITH RECURSIVE oracle's search space finite.
     """
+    # static side persisted co-partitioned on the per-level join key (r8
+    # opt: every other iterative operator here already did this; BFS was
+    # re-executing the whole upstream edge build once per level — 6x the
+    # trade-graph source joins at max_depth=6)
+    edges = _persist_copartitioned(edges.select("src", "dst"), "src")
     labels = edges.sparkSession.createDataFrame(
         [(source, 0)], "node BIGINT, distance BIGINT"
     )
@@ -174,7 +179,7 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 6) -> DataFram
             break
         labels = labels.unionByName(new)
         frontier = new.select("node")
-    return labels
+    return finalize_iterative(labels, edges)
 
 
 def bellman_ford(edges: DataFrame, source: int, rounds: int) -> DataFrame:

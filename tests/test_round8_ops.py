@@ -1053,3 +1053,32 @@ def test_job_statement_barrier_gated_on_plan_growth(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_harmonic_2hop_bitset_hand_computed(spark):
+    """r8 opt §32: the bitset 2-hop counter (chunked 64-bit masks OR'd per
+    source) on a hand-computed star graph whose 71-node domain crosses the
+    64-bit chunk boundary. Star center 0 with leaves 1..70: every leaf's
+    2-hop set is the other 69 leaves, the center's is empty, so
+    harmonic_2x = 2*70+0 = 140 (center) and 2*1+69 = 71 (leaf)."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.plans.inventory_graph import _harmonic_2hop_bitset
+
+    half = spark.createDataFrame([(0, i) for i in range(1, 71)], "a long, b long")
+    e = half.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        half.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    got = {r.node: r.harmonic_2x for r in _harmonic_2hop_bitset(e).collect()}
+    assert got[0] == 140
+    assert all(got[i] == 71 for i in range(1, 71))
+
+    # path 1-2-3-4-5: exact-distance-2 sets {3},{4},{1,5},{2},{3}
+    p = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    pe = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    got = {r.node: r.harmonic_2x for r in _harmonic_2hop_bitset(pe).collect()}
+    assert got == {1: 3, 2: 5, 3: 6, 4: 5, 5: 3}
