@@ -173,9 +173,13 @@ def q_cleanup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         child_edge=("Lineitem", "PART_OF", "Order"),
         update_tag=T2,
     )
-    n_li = cat.node("Lineitem").count()
-    n_o = cat.node("Order").count()
-    return spark.createDataFrame([(n_li, n_o)], "n_lineitems bigint, n_orders bigint")
+    # One lazy plan instead of two count() driver actions + an ExistingRDD
+    # (r8 opt §36): the two MERGE/cascade chains are independent subtrees,
+    # so a single action schedules them concurrently and the bench's noop
+    # sink is the only materialization. Same 1-row (n_lineitems, n_orders).
+    n_li = cat.node("Lineitem").agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    n_o = cat.node("Order").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return n_li.crossJoin(n_o)
 
 
 @query(

@@ -77,6 +77,9 @@ _SCALAR_ATTACH = {
     "sketch_countmin_heavy_hitters",  # x broadcast(1-row total)
     "sketch_histogram_quantiles",   # x broadcast(1-row total, 3-row q spec)
     "graph_triangle_count",         # x broadcast(1-row edge count)
+    "cleanup_cascade",              # 1-row lineitem count x 1-row order count
+                                    # (r8 opt §36: the two post-cascade counts
+                                    # fused into one lazy action)
     "similarity_ann_ivf",           # probe x broadcast(constant centroid table)
     "similarity_token_cosine_pairs",  # x broadcast(1-row norm total)
     "bloom_prefilter_join",         # x broadcast(1-row bitset scalar)
