@@ -60,7 +60,18 @@ def _stream_state_partitions(spark: SparkSession) -> int | None:
     count). Bytes-per-partition is parameterised via
     ``spark.cartography.streaming.bytesPerStatePartition`` (default 64 MB,
     AQE's advisory default). Returns None when no source probe was
-    recorded (caller keeps the session default)."""
+    recorded (caller keeps the session default).
+
+    FLOOR (r8 opt, sf1 evidence): the derivation never drops below the
+    session's core parallelism. State-operator COMPUTE scales with rows
+    per partition, not with shuffle bytes the way AQE's advisory sizing
+    assumes — the sf1 rehearsal measured the session-window merge at
+    13.7 s on the byte-derived 1 partition vs 3.4 s on the pinned count
+    (4x), a loss that GROWS with input until the byte rule crosses the
+    ceiling. With the floor the rule still coalesces a small stream's
+    state below a deliberately large configured ceiling (the actual
+    per-micro-batch commit-overhead win on clusters where shuffle
+    partitions >> cores) but never single-tasks the state compute."""
     from cartography_spark.session import shuffle_partition_count
 
     sizes = _SOURCE_BYTES.get(spark.sparkContext.applicationId)
@@ -77,7 +88,8 @@ def _stream_state_partitions(spark: SparkSession) -> int | None:
     except (TypeError, ValueError):
         bpp = 64 * 1024 * 1024
     ceiling = shuffle_partition_count(spark)
-    return max(1, min(ceiling, -(-total // bpp)))
+    floor = min(ceiling, spark.sparkContext.defaultParallelism)
+    return max(floor, min(ceiling, -(-total // bpp)))
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
