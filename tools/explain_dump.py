@@ -1,7 +1,7 @@
 """Dump .explain("formatted") for named registry queries to files.
 
 Usage: python tools/explain_dump.py <out_suffix> <query> [query ...]
-Writes plans/r08/<query>_<out_suffix>.txt for each query.
+Writes plans/r09/<query>_<out_suffix>.txt for each query.
 
 The plan is captured at the sf in $SPARK_GRAFT_SF_DIR (default sf0.1) —
 the same data the bench times — so Exchange counts / join strategies in
@@ -29,7 +29,7 @@ def main() -> int:
     spark = get_spark("explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spec = REGISTRY[name]
