@@ -828,18 +828,17 @@ def _harmonic_2hop_bitset(e: DataFrame) -> DataFrame:
     # roaring-style container; here the node domain is the bounded
     # customer+supplier id space.
     """
-    from pyspark.sql import Window
+    from cartography_spark.operators.dedup import ordered_dense_ids
 
     e = e.localCheckpoint(eager=False)  # scanned three times below
-    # dense 0-based node ids (the node domain is small by construction;
-    # for unbounded domains use dedup.ordered_dense_ids instead of a
-    # single-partition window)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("d", F.row_number().over(Window.orderBy("node")) - 1)
-        .localCheckpoint(eager=False)  # referenced by both ends + the read-back
-    )
+    # dense 0-based node ids, assigned DISTRIBUTED (range-partition +
+    # per-partition offsets, dedup.ordered_dense_ids) — a single-partition
+    # row_number window here would serialize the node sort at a 100 TB
+    # node domain; only id-compactness matters to the popcounts, and the
+    # distributed assignment yields the identical (node -> d) map anyway
+    nodes = ordered_dense_ids(
+        e.select(F.col("src").alias("node")).distinct(), ["node"], "d"
+    ).localCheckpoint(eager=False)  # referenced by both ends + the read-back
     ed = (
         e.join(nodes.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src")
         .join(nodes.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst")
