@@ -145,7 +145,10 @@ def bpe_learn_merges(
         merges = m if merges is None else merges.unionByName(m)
         if rank < n_merges:
             wf = _apply_merge_frame(wf, m).localCheckpoint(eager=True)
-    assert merges is not None
+    if merges is None:  # n_merges=0: empty merge table, same schema
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, lhs string, rhs string, merged string, weight long"
+        )
     return merges.select(
         F.col("rank").cast("int"), "lhs", "rhs", "merged", F.col("weight")
     )

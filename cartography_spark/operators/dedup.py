@@ -1038,7 +1038,12 @@ def embedding_cluster_collapsed(
     # min-id per identical vector as a window over the array value — one
     # exchange of the embedding rows instead of groupBy + equi-join back
     # (same rewrite as exact_collapse; grouping and window partitioning
-    # share Spark's value-equality semantics for arrays)
+    # share Spark's value-equality semantics for arrays). NULL-vector rows
+    # are dropped up front: the pre-rewrite equi-join (not null-safe)
+    # dropped them, and the window would otherwise group them into one
+    # bogus cluster — parity with the join shape and the oracle's SQL
+    # equi-join semantics.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     mapped = embeddings.select(
         F.col(id_col),
         F.min(id_col).over(Window.partitionBy(vec_col)).alias("rep"),

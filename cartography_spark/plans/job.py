@@ -26,31 +26,37 @@ from pyspark.sql import DataFrame
 from cartography_spark.catalog import GraphCatalog
 
 
-# (application, view name) -> the DataFrame object currently registered
-# under that view BY THIS FUNCTION (held by reference, compared with `is`,
-# so a garbage-collected frame can never alias a live one). Re-registering
-# an unchanged frame is a py4j round-trip + analyzer pass per table; a
-# multi-statement GraphJob re-registered the WHOLE catalog before every
-# statement (12 statements x ~17 tables for the cleanup-corpus ports —
+# (application, session id, view name) -> the DataFrame object currently
+# registered under that view BY THIS FUNCTION (held by reference, compared
+# with `is`, so a garbage-collected frame can never alias a live one).
+# Re-registering an unchanged frame is a py4j round-trip + analyzer pass per
+# table; a multi-statement GraphJob re-registered the WHOLE catalog before
+# every statement (12 statements x ~17 tables for the cleanup-corpus ports —
 # pure driver time, guide §7.3). Only frames that set_node/set_edge
-# actually replaced are re-registered.
-_VIEW_STATE: dict[tuple[str, str], DataFrame] = {}
+# actually replaced are re-registered. Temp views are PER-SESSION, so the
+# memo keys on the SparkSession identity too (the memoized frames reference
+# their session, so id() cannot be recycled while an entry is live); an
+# external dropTempView of an n_*/e_* view under this function's feet is
+# not detected — verifying via catalog.tableExists would re-pay the py4j
+# round-trip per view per statement this memo exists to remove.
+_VIEW_STATE: dict[tuple[str, int, str], DataFrame] = {}
 
 
 def register_catalog_views(catalog: GraphCatalog) -> None:
     """Expose node tables as ``n_<Label>`` and edge tables as
     ``e_<Src>__<REL>__<Dst>`` temp views for SQL statements."""
     app = catalog.spark.sparkContext.applicationId
+    sess = id(catalog.spark)
     for label, df in catalog.nodes.items():
         name = f"n_{label}"
-        if _VIEW_STATE.get((app, name)) is not df:
+        if _VIEW_STATE.get((app, sess, name)) is not df:
             df.createOrReplaceTempView(name)
-            _VIEW_STATE[(app, name)] = df
+            _VIEW_STATE[(app, sess, name)] = df
     for (sl, rl, dl), df in catalog.edges.items():
         name = f"e_{sl}__{rl}__{dl}"
-        if _VIEW_STATE.get((app, name)) is not df:
+        if _VIEW_STATE.get((app, sess, name)) is not df:
             df.createOrReplaceTempView(name)
-            _VIEW_STATE[(app, name)] = df
+            _VIEW_STATE[(app, sess, name)] = df
 
 
 def _bind(sql: str, params: dict[str, Any]) -> str:
@@ -98,13 +104,25 @@ class GraphStatement:
                 # Spark 4.1 can fail attribute rebinding when planning a
                 # lazy checkpoint over some MERGE-shaped unions whose
                 # branches read a just-swapped view
-                # (NoSuchElementException: key not found: <attr>); the
-                # barrier is an optimization, so fall back to the
-                # unbarriered frame for exactly those statements.
+                # (NoSuchElementException: key not found: <attr>, surfacing
+                # in Python as Py4JJavaError); the barrier is an
+                # optimization, so fall back to the unbarriered frame for
+                # exactly those statements — but only for that observed
+                # JVM-side planning failure, logged once, so unrelated
+                # planner errors are not swallowed silently.
+                from py4j.protocol import Py4JJavaError
+                from pyspark.errors import PySparkException
+
                 try:
                     result = result.localCheckpoint(eager=False)
-                except Exception:
-                    pass
+                except (Py4JJavaError, PySparkException) as err:
+                    import logging
+
+                    logging.getLogger(__name__).debug(
+                        "statement barrier skipped (lazy localCheckpoint "
+                        "failed to plan): %s",
+                        str(err).splitlines()[0] if str(err) else err,
+                    )
             if "," in self.writes:
                 sl, rl, dl = (p.strip() for p in self.writes.split(","))
                 catalog.set_edge((sl, rl, dl), result)

@@ -232,8 +232,14 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
         )
         q.awaitTermination()
     finally:
-        if derived is not None and prior is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prior)
+        if derived is not None:
+            if prior is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prior)
+            else:
+                # the session had no explicit setting: unset rather than
+                # leaving the (possibly very small) derived count to leak
+                # into every later batch query in the session
+                spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
