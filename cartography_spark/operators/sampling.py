@@ -203,6 +203,25 @@ def _poisson_from_uniform(u: Column) -> Column:
     return w.otherwise(len(_POISSON_CUTS))
 
 
+# the same cuts as fixed-width lowercase hex: for 8-hex-char slices of an
+# md5 string, LEXICOGRAPHIC order == numeric order ('0'-'9' < 'a'-'f'),
+# so the inverse CDF can compare the hex slice directly and skip the
+# conv(hex,16,10) base parse — which profiling showed was ~65% of
+# bootstrap_mean_ci's per-row cost (r9 opt: 32 convs ~6.8 s of 10.3 s at
+# sf0.1; string-compare form 5.5 s, all 64 sums bit-identical)
+_POISSON_HEX_CUTS = tuple(format(c, "08x") for c in _POISSON_CUTS)
+
+
+def _poisson_from_hex_slice(hx: Column) -> Column:
+    """Truncated-Poisson(1) inverse CDF evaluated directly on an 8-char
+    lowercase-hex slice of an md5 (same value as
+    ``_poisson_from_uniform(conv(hx, 16, 10))``, without the parse)."""
+    w = F.when(hx < _POISSON_HEX_CUTS[0], 0)
+    for k in range(1, len(_POISSON_HEX_CUTS)):
+        w = w.when(hx < _POISSON_HEX_CUTS[k], k)
+    return w.otherwise(len(_POISSON_HEX_CUTS))
+
+
 def poisson_replicate_weight(col: Column, b: int, salt: str = "boot") -> Column:
     """Deterministic Poisson(1)-ish bootstrap weight for replicate ``b``:
     inverse-CDF (truncated at 4) on a 32-bit slice of the salted md5 of
@@ -214,8 +233,7 @@ def poisson_replicate_weight(col: Column, b: int, salt: str = "boot") -> Column:
     which seeded ``df.sample`` is not."""
     group, slot = divmod(b, 4)
     h = F.md5(F.concat(F.lit(f"{salt}{group}:"), col.cast("string")))
-    u = F.conv(F.substring(h, 1 + 8 * slot, 8), 16, 10).cast("long")
-    return _poisson_from_uniform(u)
+    return _poisson_from_hex_slice(F.substring(h, 1 + 8 * slot, 8))
 
 
 def poisson_bootstrap_ci(
@@ -254,10 +272,10 @@ def poisson_bootstrap_ci(
     aggs = [F.sum("_x").alias("s"), F.count(F.lit(1)).alias("n")]
     for b in range(n_replicates):
         group, slot = divmod(b, 4)
-        u = F.conv(F.substring(F.col(f"_h{group}"), 1 + 8 * slot, 8), 16, 10).cast(
-            "long"
-        )
-        w = _poisson_from_uniform(u)
+        # hex-slice string compare instead of conv(hex,16,10): identical
+        # weights (fixed-width lowercase hex orders lexicographically ==
+        # numerically), ~2x on the whole query (see _poisson_from_hex_slice)
+        w = _poisson_from_hex_slice(F.substring(F.col(f"_h{group}"), 1 + 8 * slot, 8))
         aggs.append(F.sum(w * F.col("_x")).alias(f"s{b}"))
         aggs.append(F.sum(w).alias(f"n{b}"))
     one = hashed.agg(*aggs)
