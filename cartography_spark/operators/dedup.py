@@ -86,6 +86,59 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def shingle_word_sets(
+    sh: DataFrame, id_col: str = "doc_id", max_words: int = 128
+) -> tuple[DataFrame | None, int]:
+    """Per-doc exact shingle BITSET for candidate verification: returns
+    ``(sets, nwords)`` where ``sets`` has (id_col, __sz, __w0..__w{n-1})
+    — the doc's distinct-shingle count and its shingle set packed into
+    ``nwords`` scalar long columns over a dense shingle-id space (any
+    deterministic order; only id-compactness matters). Exact:
+    sum_j bit_count(a_wj & b_wj) == |A ∩ B|. Scalar long columns keep the
+    per-pair popcount in whole-stage codegen (array/HOF encodings of the
+    same predicate measured ~2.7 µs/pair interpreted — r9 ngram note).
+
+    Returns ``(None, 0)`` when the distinct vocabulary exceeds
+    ``max_words * 64`` — the caller keeps its array-set verification
+    (a bitset over an unbounded word-n-gram vocab would waste
+    vocab/8 bytes per doc and a giant unrolled expression)."""
+    from pyspark.sql import Window
+
+    sh = sh.localCheckpoint(eager=True)  # consumed by the vocab + the sets
+    vocab = sh.select("shingle").distinct()
+    vocab = vocab.localCheckpoint(eager=True)
+    vocab_size = vocab.count()
+    nwords = (vocab_size + 63) // 64
+    if vocab_size == 0 or nwords > max_words:
+        return None, 0
+    if vocab_size <= 1_000_000:
+        ided_vocab = vocab.withColumn(
+            "__sid", F.row_number().over(Window.orderBy("shingle")) - 1
+        )
+    else:  # unreachable under max_words=128, kept for safety with big caps
+        ided_vocab = ordered_dense_ids(vocab, ["shingle"], "__sid")
+    ided = sh.join(F.broadcast(ided_vocab), "shingle")
+    word_bits = ided.groupBy(id_col, (F.col("__sid") / 64).cast("int").alias("__w")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__sid % 64 AS INT))")).alias("__bits"),
+        F.count("*").alias("__n"),
+    )
+    sets = (
+        word_bits.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__m"),
+            F.sum("__n").alias("__sz"),
+        )
+        .select(
+            id_col, "__sz",
+            *[
+                F.coalesce(F.col("__m")[j], F.lit(0).cast("bigint")).alias(f"__w{j}")
+                for j in range(nwords)
+            ],
+        )
+    )
+    return sets, nwords
+
+
 def _ngram_jaccard_dense(
     sh: DataFrame,
     vocab: DataFrame,
